@@ -1,0 +1,217 @@
+"""Engine: bring-up and the run loop.
+
+Capability parity with the reference's driver + backend pair
+(reference: chitu/chitu_main.py:38-131 and chitu/backend.py:86-405), minus
+the singletons: everything lives on one `Engine` object so tests can build
+several engines in-process.
+
+Bring-up (reference call stack SURVEY.md §3.1): tokenizer -> model adapter ->
+params (random or checkpoint) -> KV cache sizing (incl. merged-MLA shapes,
+reference: backend.py:181-217) -> scheduler -> executor. The run loop mirrors
+`chitu_run` (reference: chitu_main.py:100-121): schedule -> step -> update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from chitu_tpu.config import EngineConfig
+from chitu_tpu.executor import Executor
+from chitu_tpu.kvcache import PagedKVCache
+from chitu_tpu.models import build_model
+from chitu_tpu.scheduler import Scheduler
+from chitu_tpu.task import SampleParams, Task, TaskPool, UserRequest, new_request_id
+from chitu_tpu.tokenizer import build_tokenizer
+from chitu_tpu.utils import get_logger, get_timers, init_logger
+
+logger = get_logger()
+
+
+class EngineState(enum.Enum):
+    RUNNING = 1
+    TERMINATING = 2
+    TERMINATED = 3
+
+
+class Engine:
+    """One inference engine instance (per process / per model replica)."""
+
+    def __init__(self, cfg: EngineConfig, mesh=None):
+        init_logger()
+        self.cfg = cfg
+        self.state = EngineState.RUNNING
+        self.mesh = mesh
+
+        self.tokenizer = build_tokenizer(cfg.models, cfg.infer)
+        # widen model vocab if the tokenizer is bigger (debug tokenizer case)
+        margs = cfg.models
+        if self.tokenizer.vocab_size > margs.vocab_size:
+            margs = dataclasses.replace(
+                margs, vocab_size=self.tokenizer.vocab_size
+            )
+            cfg = dataclasses.replace(cfg, models=margs)
+            self.cfg = cfg
+        self.model = build_model(margs, cfg)
+
+        t0 = time.time()
+        if cfg.infer.do_load and margs.ckpt_dir:
+            from chitu_tpu.loader import load_checkpoint
+
+            self.params = load_checkpoint(self.model, cfg, mesh=mesh)
+        else:
+            # arch-only debug: random weights (reference: infer.do_load=False,
+            # config/serve_config.yaml:9)
+            self.params = self.model.init_params(
+                jax.random.PRNGKey(cfg.infer.seed)
+            )
+        if cfg.quant.method != "none" and cfg.quant.quant_on_load:
+            from chitu_tpu.quantize import quantize_params
+
+            self.params = quantize_params(
+                self.params, cfg.quant, self.model
+            )
+        logger.info("params ready in %.1fs", time.time() - t0)
+
+        spec = self.model.kv_cache_spec()
+        num_pages = PagedKVCache.num_pages_for(
+            cfg.infer.max_reqs, cfg.infer.max_seq_len, cfg.infer.page_size
+        )
+        self.cache = PagedKVCache(
+            spec["n_layers"],
+            num_pages,
+            cfg.infer.page_size,
+            spec["kv_heads"],
+            spec["head_dim"],
+            dtype=jnp.bfloat16,
+            kv_dim=spec.get("kv_dim", 0),
+        )
+        logger.info(
+            "KV cache: %d pages x %d tokens (%.1f MiB)",
+            num_pages,
+            cfg.infer.page_size,
+            self.cache.bytes() / 1e6,
+        )
+
+        self.pool = TaskPool()
+        self.scheduler = Scheduler.build(self.pool, cfg)
+        self.executor = Executor(cfg, self.model, self.params, self.cache, mesh)
+
+    # -- request API --------------------------------------------------------
+
+    def submit(
+        self,
+        message,
+        params: Optional[SampleParams] = None,
+        request_id: Optional[str] = None,
+        prompt_tokens: Optional[List[int]] = None,
+    ) -> UserRequest:
+        """Create a request+task and enqueue it (reference: serve.py:78-99)."""
+        rid = request_id or new_request_id()
+        margs = self.cfg.models
+        req = UserRequest(
+            message,
+            rid,
+            tokenizer=self.tokenizer,
+            params=params
+            or SampleParams(
+                temperature=self.cfg.request.temperature,
+                top_p=self.cfg.request.top_p,
+                top_k=self.cfg.request.top_k,
+                frequency_penalty=self.cfg.request.frequency_penalty,
+                max_new_tokens=self.cfg.request.max_new_tokens,
+            ),
+            model=margs.name,
+            rs_token_id=margs.rs_token_id,
+            re_token_id=margs.re_token_id,
+            force_full_seq_decode=margs.tokenizer_force_full_seq_decode,
+        )
+        req.bind_loop()
+        task = Task(
+            f"task-{rid}",
+            req,
+            self.tokenizer,
+            stop_with_eos=self.cfg.infer.stop_with_eos,
+            max_seq_len=self.cfg.infer.max_seq_len,
+            prompt_tokens=prompt_tokens,
+        )
+        self.pool.add(task)
+        return req
+
+    # -- engine loop --------------------------------------------------------
+
+    def step(self) -> int:
+        """One scheduling round (reference: chitu_run, chitu_main.py:100-121).
+        Returns the number of tasks stepped."""
+        if self.state != EngineState.RUNNING:
+            return 0
+        task_ids = self.scheduler.schedule(self._admit_predicate())
+        if not task_ids:
+            return 0
+        tasks = [self.pool[tid] for tid in task_ids if tid in self.pool]
+        self.executor.step(tasks)
+        removed = self.scheduler.update(task_ids)
+        for tid in removed:
+            pass  # task already removed from pool by scheduler.update
+        # executor-side residency cleanup for finished tasks
+        for t in tasks:
+            if t.task_id not in self.pool:
+                self.executor.release(t)
+        return len(tasks)
+
+    def _admit_predicate(self):
+        """Stateful admission check for new prefills: a prefill is only
+        schedulable when a request slot and enough KV pages are free, so
+        queued prefills can't starve running decodes."""
+        budget = {
+            "slots": len(self.executor.slots.free),
+            "pages": self.cache.allocator.num_free(),
+        }
+        page = self.cfg.infer.page_size
+
+        def admit(task) -> bool:
+            if task.slot >= 0:  # already resident
+                return True
+            need = (task.prefix_len + 1 + page - 1) // page + 1
+            if budget["slots"] >= 1 and budget["pages"] >= need:
+                budget["slots"] -= 1
+                budget["pages"] -= need
+                return True
+            return False
+
+        return admit
+
+    def run_until_complete(self, max_steps: int = 1_000_000):
+        steps = 0
+        while len(self.pool) and steps < max_steps:
+            if self.step() == 0 and len(self.pool):
+                # nothing runnable (all waiting); avoid a busy spin
+                time.sleep(0.001)
+            steps += 1
+        return steps
+
+    def generate(
+        self, message, params: Optional[SampleParams] = None
+    ) -> List[int]:
+        """Synchronous one-shot generation (test/driver convenience)."""
+        req = self.submit(message, params)
+        task_id = f"task-{req.request_id}"
+        while task_id in self.pool:
+            self.step()
+        return list(req.async_stream.tokens)
+
+    # -- termination (reference: chitu_main.py:124-131) ---------------------
+
+    def terminate(self):
+        self.state = EngineState.TERMINATING
+        # single-controller JAX: no cross-rank handshake needed; multi-host
+        # termination is coordinated by the serving layer
+        self.state = EngineState.TERMINATED
+
+    def is_terminated(self) -> bool:
+        return self.state == EngineState.TERMINATED

@@ -1,0 +1,353 @@
+"""Executor: turns scheduled task batches into jitted device steps.
+
+Capability parity with the reference's executor layer
+(reference: chitu/executor.py:40-162 NormalExecutor): prefill packs and runs
+`model.prefill`, samples first tokens, flips tasks to decode; decode batches
+live requests and runs one fused model+sampling step.
+
+TPU-native redesign of the reference's CUDA-graph machinery
+(reference: models/model.py:537-622): each (batch-bucket, table-width)
+pair gets one jit-compiled program with *donated* KV-cache and sampling
+state, so steady-state decode replays a fully compiled graph with zero
+host-side tensor work besides the sampled-token fetch. Sampling (including
+frequency penalty) runs inside the same program
+(the reference syncs logits to host each step, executor.py:110).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chitu_tpu import sampling
+from chitu_tpu.kvcache import PagedKVCache, SlotAllocator
+from chitu_tpu.task import Task, TaskType
+from chitu_tpu.utils import get_logger, get_timers
+
+logger = get_logger()
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _pow2_buckets(lo: int, hi: int) -> Tuple[int, ...]:
+    out = []
+    b = lo
+    while b < hi:
+        out.append(b)
+        b *= 2
+    out.append(hi)
+    return tuple(out)
+
+
+class Executor:
+    """Single-program executor (TP/DP handled via GSPMD shardings on the
+    same code path; see chitu_tpu/parallel)."""
+
+    def __init__(self, cfg, model, params, cache: PagedKVCache, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.cache = cache
+        self.mesh = mesh
+        self.page = cfg.infer.page_size
+        self.max_reqs = cfg.infer.max_reqs
+        self.mp_full = cfg.infer.max_seq_len // self.page + 1
+        self.attn_impl = self._resolve_attn_impl()
+
+        vocab = model.args.vocab_size
+        self.counts = jnp.zeros((self.max_reqs, vocab), jnp.int32)
+        self.slots = SlotAllocator(self.max_reqs)
+        self.key = jax.random.PRNGKey(cfg.infer.seed)
+
+        self.prefill_buckets = _pow2_buckets(16, cfg.infer.max_seq_len)
+        self.decode_buckets = tuple(
+            b for b in cfg.infer.decode_buckets if b <= self.max_reqs
+        ) or (self.max_reqs,)
+        if self.decode_buckets[-1] < self.max_reqs:
+            self.decode_buckets = self.decode_buckets + (self.max_reqs,)
+
+        self._jit_prefill: Dict = {}
+        self._jit_decode: Dict = {}
+        self._jit_sample: Dict = {}
+        self._jit_reset = jax.jit(sampling.reset_slots, donate_argnums=(0,))
+
+    def _resolve_attn_impl(self) -> str:
+        at = self.cfg.infer.attn_type
+        if at in ("xla", "ref"):
+            return "xla"
+        if at == "pallas":
+            return "pallas"
+        # auto: pallas kernels once available on TPU, else the XLA oracle
+        if jax.default_backend() == "tpu":
+            try:
+                from chitu_tpu.ops import pallas_attention  # noqa: F401
+
+                return "pallas"
+            except ImportError:
+                return "xla"
+        return "xla"
+
+    # -- jit builders -------------------------------------------------------
+
+    def _prefill_fn(self, T: int, mp: int, all_logits: bool = False):
+        key = (T, mp, all_logits)
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            model, page, impl = self.model, self.page, self.attn_impl
+
+            def run(params, cache, tokens, block_table, start_pos, valid_len):
+                return model.prefill(
+                    params,
+                    cache,
+                    tokens,
+                    block_table,
+                    start_pos,
+                    valid_len,
+                    page_size=page,
+                    attn_impl=impl,
+                    return_all_logits=all_logits,
+                )
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._jit_prefill[key] = fn
+        return fn
+
+    def _decode_fn(self, B: int, mp: int):
+        key = (B, mp)
+        fn = self._jit_decode.get(key)
+        if fn is None:
+            model, page, impl = self.model, self.page, self.attn_impl
+
+            def run(
+                params,
+                cache,
+                counts,
+                tokens,
+                seq_lens,
+                block_tables,
+                valid,
+                slots,
+                temps,
+                top_ks,
+                top_ps,
+                pens,
+                rng,
+            ):
+                logits, cache = model.decode(
+                    params,
+                    cache,
+                    tokens,
+                    seq_lens,
+                    block_tables,
+                    valid,
+                    page_size=page,
+                    attn_impl=impl,
+                )
+                logits = sampling.apply_frequency_penalty(
+                    logits, counts, slots, pens
+                )
+                toks = sampling.sample_tokens(logits, rng, temps, top_ks, top_ps)
+                counts = sampling.update_counts(counts, slots, toks, valid)
+                return toks, cache, counts
+
+            fn = jax.jit(run, donate_argnums=(1, 2))
+            self._jit_decode[key] = fn
+        return fn
+
+    def _sample_fn(self, n: int):
+        fn = self._jit_sample.get(n)
+        if fn is None:
+
+            def run(logits, counts, slots, valid, temps, top_ks, top_ps, pens, rng):
+                logits = sampling.apply_frequency_penalty(
+                    logits, counts, slots, pens
+                )
+                toks = sampling.sample_tokens(logits, rng, temps, top_ks, top_ps)
+                counts = sampling.update_counts(counts, slots, toks, valid)
+                return toks, counts
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._jit_sample[n] = fn
+        return fn
+
+    # -- batch assembly -----------------------------------------------------
+
+    def _sampling_arrays(self, tasks: List[Task], n: int):
+        temps = np.ones((n,), np.float32)
+        top_ks = np.full((n,), 1, np.int32)
+        top_ps = np.ones((n,), np.float32)
+        pens = np.zeros((n,), np.float32)
+        slots = np.full((n,), np.iinfo(np.int32).max, np.int32)
+        valid = np.zeros((n,), bool)
+        for i, t in enumerate(tasks):
+            p = t.req.params
+            temps[i] = max(p.temperature, 1e-6)
+            top_ks[i] = p.top_k
+            top_ps[i] = p.top_p
+            pens[i] = p.frequency_penalty
+            slots[i] = t.slot
+            valid[i] = True
+        return (
+            jnp.asarray(temps),
+            jnp.asarray(top_ks),
+            jnp.asarray(top_ps),
+            jnp.asarray(pens),
+            jnp.asarray(slots),
+            jnp.asarray(valid),
+        )
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- steps --------------------------------------------------------------
+
+    def step(self, tasks: List[Task]):
+        """Run one engine step over a (possibly mixed) scheduled batch
+        (reference: executor.py:150-162)."""
+        prefills = [t for t in tasks if t.task_type == TaskType.PREFILL]
+        decodes = [t for t in tasks if t.task_type == TaskType.DECODE]
+        if prefills:
+            self.prefill_step(prefills)
+        if decodes:
+            self.decode_step(decodes)
+
+    def prefill_step(self, tasks: List[Task]):
+        """(reference: executor.py:118-131)"""
+        timers = get_timers()
+        timers("prefill").start()
+        admitted = []
+        for t in tasks:
+            slot = self.slots.alloc(t.task_id)
+            if slot is None:
+                continue  # over max_reqs; stays queued
+            t.slot = slot
+            if not self.cache.allocator.ensure(t.task_id, t.prefix_len + 1):
+                self.slots.release(t.task_id)
+                t.slot = -1
+                logger.warning("KV pool exhausted; deferring %s", t.task_id)
+                continue
+            if t.req.prefill_start_time is None:
+                t.req.prefill_start_time = __import__("time").time()
+            admitted.append(t)
+
+        logits_rows = []
+        for t in admitted:
+            logits_rows.append(self._prefill_one(t))
+
+        if not admitted:
+            timers("prefill").stop()
+            return
+
+        # sample first tokens for the whole group in one jitted call
+        n = _bucket(len(admitted), _pow2_buckets(1, self.max_reqs))
+        V = logits_rows[0].shape[-1]
+        logits = jnp.zeros((n, V), jnp.float32)
+        logits = logits.at[: len(admitted)].set(jnp.stack(logits_rows))
+        temps, tks, tps, pens, slots, valid = self._sampling_arrays(admitted, n)
+        toks, self.counts = self._sample_fn(n)(
+            logits, self.counts, slots, valid, temps, tks, tps, pens,
+            self._next_key(),
+        )
+        toks_host = np.asarray(toks)
+        for i, t in enumerate(admitted):
+            t.prefilled_len = t.prefix_len
+            t.start_decoding()
+            t.append_token(int(toks_host[i]))
+        timers("prefill").stop()
+
+    def _prefill_one(self, t: Task) -> jnp.ndarray:
+        """Run one request's prompt through the model (chunked if long)."""
+        chunk_cap = max(self.cfg.infer.prefill_chunk, 16)
+        pos = t.prefilled_len
+        tokens = t.tokens
+        logits = None
+        while pos < len(tokens):
+            n = min(len(tokens) - pos, chunk_cap)
+            T = _bucket(n, self.prefill_buckets)
+            total = pos + n
+            pages_needed = (total + self.page - 1) // self.page
+            mp = min(_bucket(pages_needed, _pow2_buckets(1, self.mp_full)), self.mp_full)
+            chunk = np.zeros((T,), np.int32)
+            chunk[:n] = tokens[pos : pos + n]
+            bt = self.cache.allocator.block_table([t.task_id], mp)[0]
+            fn = self._prefill_fn(T, mp)
+            logits, self.cache.arrays = fn(
+                self.params,
+                self.cache.arrays,
+                jnp.asarray(chunk),
+                jnp.asarray(bt),
+                jnp.int32(pos),
+                jnp.int32(n),
+            )
+            pos += n
+        t.prefilled_len = pos
+        return logits
+
+    def decode_step(self, tasks: List[Task]):
+        """(reference: executor.py:133-148)"""
+        timers = get_timers()
+        timers("decode").start()
+        # grow page lists before stepping (reference: cache_manager.py:196-209)
+        live = []
+        for t in tasks:
+            if self.cache.allocator.ensure(t.task_id, t.seq_len + 1):
+                live.append(t)
+            else:
+                logger.warning("KV pool exhausted during decode of %s", t.task_id)
+        if not live:
+            timers("decode").stop()
+            return
+        B = _bucket(len(live), self.decode_buckets)
+        tokens = np.zeros((B,), np.int32)
+        seq_lens = np.zeros((B,), np.int32)
+        for i, t in enumerate(live):
+            tokens[i] = t.response_tokens[-1] if t.response_tokens else t.tokens[-1]
+            seq_lens[i] = t.seq_len
+        bts = np.full((B, self.mp_full), -1, np.int32)
+        bts[: len(live)] = self.cache.allocator.block_table(
+            [t.task_id for t in live], self.mp_full
+        )
+        temps, tks, tps, pens, slots, valid = self._sampling_arrays(live, B)
+        fn = self._decode_fn(B, self.mp_full)
+        toks, self.cache.arrays, self.counts = fn(
+            self.params,
+            self.cache.arrays,
+            self.counts,
+            jnp.asarray(tokens),
+            jnp.asarray(seq_lens),
+            jnp.asarray(bts),
+            valid,
+            slots,
+            temps,
+            tks,
+            tps,
+            pens,
+            self._next_key(),
+        )
+        toks_host = np.asarray(toks)
+        for i, t in enumerate(live):
+            t.append_token(int(toks_host[i]))
+        timers("decode").stop()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def release(self, task: Task):
+        """Free device residency when a request finishes
+        (reference: executor.py finalize + cache free)."""
+        if task.slot >= 0:
+            self.counts = self._jit_reset(
+                self.counts, jnp.asarray([task.slot], jnp.int32)
+            )
+        self.slots.release(task.task_id)
+        self.cache.allocator.free(task.task_id)
+        task.slot = -1

@@ -1,0 +1,148 @@
+"""Paged KV cache: host-side block allocator + device-resident pools.
+
+Capability parity with the reference's cache managers
+(reference: chitu/cache_manager.py:12-225 PagedKVCacheManager and
+:403-652 KVCacheManagerSkewAware). TPU-native design:
+
+- Device state is a pair of fixed-shape pools `[L, num_pages, page, KV, D]`
+  (or one merged pool `[L, num_pages, page, 1, C]` for MLA, where
+  C = kv_lora_rank + qk_rope_dim, reference: backend.py:181-217), updated
+  *inside* the jitted step via scatter (models/common.paged_append) with
+  buffers donated — no per-step host traffic.
+- Host state is a free-page set + per-request page lists, mirroring the
+  reference's python `free_blocks` (cache_manager.py:88-91), and a slot
+  allocator for per-request device residency (sampling state row).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PageAllocator:
+    """Host-side page bookkeeping (reference: cache_manager.py:88-142)."""
+
+    def __init__(self, num_pages: int, page_size: int):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.free_pages: List[int] = list(range(num_pages - 1, -1, -1))
+        self.req_pages: Dict[str, List[int]] = {}
+        self.req_len: Dict[str, int] = {}
+
+    def num_free(self) -> int:
+        return len(self.free_pages)
+
+    def ensure(self, req_id: str, total_tokens: int) -> bool:
+        """Grow req's page list to cover `total_tokens`; False if exhausted.
+
+        The reference raises on pool exhaustion (cache_manager.py:160-168);
+        we return False so the scheduler can defer admission instead.
+        """
+        pages = self.req_pages.setdefault(req_id, [])
+        need = (total_tokens + self.page_size - 1) // self.page_size
+        while len(pages) < need:
+            if not self.free_pages:
+                return False
+            pages.append(self.free_pages.pop())
+        self.req_len[req_id] = total_tokens
+        return True
+
+    def free(self, req_id: str):
+        for p in self.req_pages.pop(req_id, []):
+            self.free_pages.append(p)
+        self.req_len.pop(req_id, None)
+
+    def block_table(
+        self, req_ids: Sequence[str], max_pages: int
+    ) -> np.ndarray:
+        """[B, max_pages] int32, -1 padded (consumed by paged_flat_index)."""
+        bt = np.full((len(req_ids), max_pages), -1, dtype=np.int32)
+        for i, rid in enumerate(req_ids):
+            pages = self.req_pages.get(rid, [])
+            bt[i, : len(pages)] = pages[:max_pages]
+        return bt
+
+
+class SlotAllocator:
+    """Fixed slots for per-request device-resident state (sampling counts).
+
+    Spirit of the reference's skew-aware slot pinning
+    (cache_manager.py:471-487) applied to sampling state.
+    """
+
+    def __init__(self, max_slots: int):
+        self.max_slots = max_slots
+        self.free: List[int] = list(range(max_slots - 1, -1, -1))
+        self.by_req: Dict[str, int] = {}
+
+    def alloc(self, req_id: str) -> Optional[int]:
+        if req_id in self.by_req:
+            return self.by_req[req_id]
+        if not self.free:
+            return None
+        s = self.free.pop()
+        self.by_req[req_id] = s
+        return s
+
+    def release(self, req_id: str):
+        s = self.by_req.pop(req_id, None)
+        if s is not None:
+            self.free.append(s)
+
+
+class PagedKVCache:
+    """Device pools + allocator for one model.
+
+    kv_heads == 0 selects the merged-MLA layout with `kv_dim` floats/token
+    shared across heads (reference: backend.py:186-197).
+    """
+
+    def __init__(
+        self,
+        n_layers: int,
+        num_pages: int,
+        page_size: int,
+        kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+        kv_dim: int = 0,
+        sharding=None,
+    ):
+        self.n_layers = n_layers
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.kv_heads = kv_heads
+        self.head_dim = head_dim
+        self.merged = kv_heads == 0
+        self.allocator = PageAllocator(num_pages, page_size)
+
+        if self.merged:
+            shape = (n_layers, num_pages, page_size, 1, kv_dim)
+            self.arrays = {"kv": jnp.zeros(shape, dtype=dtype)}
+        else:
+            shape = (n_layers, num_pages, page_size, kv_heads, head_dim)
+            self.arrays = {
+                "k": jnp.zeros(shape, dtype=dtype),
+                "v": jnp.zeros(shape, dtype=dtype),
+            }
+        if sharding is not None:
+            self.arrays = {
+                k: jax.device_put(v, sharding) for k, v in self.arrays.items()
+            }
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        return self.num_pages
+
+    def bytes(self) -> int:
+        return sum(a.size * a.dtype.itemsize for a in self.arrays.values())
+
+    @staticmethod
+    def num_pages_for(max_reqs: int, max_seq_len: int, page_size: int) -> int:
+        """Pool sizing (reference: cache_manager.py:32-33)."""
+        per_req = max_seq_len // page_size + 1
+        return per_req * max_reqs

@@ -1,0 +1,228 @@
+"""Shared model building blocks (pure JAX functions).
+
+Capability parity with the reference's base model layer
+(reference: chitu/models/model.py): RMSNorm, rotary embedding in all three
+layouts (hf-llama half-split, llama interleaved, glm4 partial —
+reference: chitu/ops.py:94-326), grouped-query attention, and paged-KV
+append/gather helpers. Everything here is shape-static and jit-safe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with fp32 accumulation (reference: models/model.py:29-78)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+
+def rope_tables(
+    head_rot_dim: int,
+    max_seq_len: int,
+    theta: float,
+    rope_scaling=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [max_seq_len, rot_dim//2] in f32.
+
+    Supports YaRN-style extension with correction range + mscale
+    (reference: chitu/models/model_deepseek_v3.py:1353-1445).
+    """
+    half = head_rot_dim // 2
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_rot_dim)
+    )
+    mscale = 1.0
+    if rope_scaling is not None and rope_scaling.kind == "yarn":
+        factor = rope_scaling.factor
+        orig = rope_scaling.original_max_position
+        if max_seq_len > orig and factor > 1.0:
+            def find_dim(num_rot: float) -> float:
+                # dimension whose wavelength reaches num_rot full rotations
+                # over the original context
+                return (
+                    head_rot_dim
+                    * math.log(orig / (num_rot * 2 * math.pi))
+                    / (2 * math.log(theta))
+                )
+
+            low = max(math.floor(find_dim(rope_scaling.beta_fast)), 0)
+            high = min(math.ceil(find_dim(rope_scaling.beta_slow)), half - 1)
+            # linear ramp over [low, high]: 0 -> fully scaled, 1 -> unscaled
+            rng = jnp.clip(
+                (jnp.arange(half, dtype=jnp.float32) - low)
+                / max(high - low, 1e-3),
+                0.0,
+                1.0,
+            )
+            smooth = 1.0 - rng
+            freqs = freqs / factor * (1.0 - smooth) + freqs * smooth
+
+            def get_mscale(scale: float, m: float) -> float:
+                if scale <= 1.0 or m == 0.0:
+                    return 1.0
+                return 0.1 * m * math.log(scale) + 1.0
+
+            mscale = get_mscale(factor, rope_scaling.mscale) / get_mscale(
+                factor, rope_scaling.mscale_all_dim
+            )
+    elif rope_scaling is not None and rope_scaling.kind == "linear":
+        freqs = freqs / rope_scaling.factor
+
+    t = jnp.arange(max_seq_len, dtype=jnp.float32)
+    ang = jnp.outer(t, freqs)
+    return jnp.cos(ang) * mscale, jnp.sin(ang) * mscale
+
+
+def apply_rope(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    layout: str = "hf-llama",
+) -> jnp.ndarray:
+    """Rotate x: [..., T, H, D]. cos/sin: [T, R//2] where R = rotary dims.
+
+    Layouts (reference: chitu/ops.py:94-326):
+    - "hf-llama": half-split — pairs are (x[i], x[i + D/2])
+    - "llama": interleaved — pairs are (x[2i], x[2i+1])
+    - "glm4": partial (first half of D) + interleaved within that
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    d = x.shape[-1]
+    r2 = cos.shape[-1]  # rotated half size
+    cos_b = cos[..., :, None, :]  # [T, 1, R/2]
+    sin_b = sin[..., :, None, :]
+
+    if layout == "hf-llama":
+        assert 2 * r2 == d
+        x1, x2 = xf[..., :r2], xf[..., r2:]
+        o1 = x1 * cos_b - x2 * sin_b
+        o2 = x2 * cos_b + x1 * sin_b
+        return jnp.concatenate([o1, o2], axis=-1).astype(dtype)
+
+    if layout in ("llama", "glm4"):
+        rot = 2 * r2
+        xr, xp = xf[..., :rot], xf[..., rot:]
+        x1 = xr[..., 0::2]
+        x2 = xr[..., 1::2]
+        o1 = x1 * cos_b - x2 * sin_b
+        o2 = x2 * cos_b + x1 * sin_b
+        out = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
+        if xp.shape[-1]:
+            out = jnp.concatenate([out, xp], axis=-1)
+        return out.astype(dtype)
+
+    raise ValueError(f"unknown rotary layout {layout!r}")
+
+
+# ---------------------------------------------------------------------------
+# Attention (XLA reference path — the correctness oracle; the Pallas flash
+# kernels plug in behind the same contracts, reference: attn_backend.py:24-164)
+# ---------------------------------------------------------------------------
+
+
+def grouped_attention(
+    q: jnp.ndarray,  # [T, H, Dh]
+    k: jnp.ndarray,  # [S, KV, Dh]
+    v: jnp.ndarray,  # [S, KV, Dv]
+    mask: Optional[jnp.ndarray],  # [T, S] bool (True = attend) or None
+    scale: Optional[float] = None,
+    softcap: float = 0.0,
+) -> jnp.ndarray:
+    """GQA/MQA attention with f32 softmax. Returns [T, H, Dv]."""
+    T, H, Dh = q.shape
+    S, KV, _ = k.shape
+    G = H // KV
+    scale = scale if scale is not None else 1.0 / math.sqrt(Dh)
+    qg = q.reshape(T, KV, G, Dh).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("tkgd,skd->kgts", qg, kf) * scale
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    if mask is not None:
+        scores = jnp.where(mask[None, None, :, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("kgts,skd->tkgd", p, v.astype(jnp.float32))
+    return out.reshape(T, H, -1).astype(q.dtype)
+
+
+def causal_mask(T: int, valid_len: jnp.ndarray, offset: jnp.ndarray = 0):
+    """[T, T] causal mask for a (possibly padded) prefill chunk.
+
+    Token t attends to s <= t, and both must be < valid_len. `offset` shifts
+    absolute positions for chunked prefill (bottom-right alignment semantics
+    of the reference, attn_backend.py:88-101, handled by the caller).
+    """
+    rows = jnp.arange(T)[:, None]
+    cols = jnp.arange(T)[None, :]
+    return (cols <= rows) & (rows < valid_len) & (cols < valid_len)
+
+
+# ---------------------------------------------------------------------------
+# Paged KV helpers (XLA path; reference contract: cache_manager.py §2.2)
+# ---------------------------------------------------------------------------
+
+
+def paged_flat_index(
+    block_table: jnp.ndarray, pos: jnp.ndarray, page_size: int
+) -> jnp.ndarray:
+    """Flattened pool index for absolute position(s) `pos`.
+
+    block_table: [..., max_pages] int32; pos: [...] int32.
+    Out-of-range positions map to an out-of-bounds index so that scatter
+    with mode='drop' skips them.
+    """
+    page = pos // page_size
+    off = pos % page_size
+    blk = jnp.take_along_axis(
+        block_table, page[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    idx = blk * page_size + off
+    return jnp.where(blk < 0, jnp.iinfo(jnp.int32).max, idx)
+
+
+def paged_append(
+    pool: jnp.ndarray,  # [num_pages, page, KV, D]
+    values: jnp.ndarray,  # [N, KV, D]
+    flat_idx: jnp.ndarray,  # [N] int32 (OOB = drop)
+) -> jnp.ndarray:
+    P, page, KV, D = pool.shape
+    flat = pool.reshape(P * page, KV, D)
+    flat = flat.at[flat_idx].set(values.astype(pool.dtype), mode="drop")
+    return flat.reshape(P, page, KV, D)
+
+
+def paged_gather(
+    pool: jnp.ndarray,  # [num_pages, page, KV, D]
+    block_table: jnp.ndarray,  # [B, max_pages] int32
+) -> jnp.ndarray:
+    """Materialize per-request KV: [B, max_pages*page, KV, D].
+
+    The XLA reference decode path; the Pallas paged-decode kernel reads
+    pages directly from HBM instead (ops/pallas_paged_decode.py).
+    """
+    B, MP = block_table.shape
+    P, page, KV, D = pool.shape
+    safe = jnp.maximum(block_table, 0)
+    out = pool[safe]  # [B, MP, page, KV, D]
+    return out.reshape(B, MP * page, KV, D)

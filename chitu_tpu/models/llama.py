@@ -1,0 +1,307 @@
+"""Llama-family model (HF Llama-3 / Qwen2 / GLM-4 / R1-Distill / Meta-Llama).
+
+Capability parity with the reference's llama model files
+(reference: chitu/models/model_hf_llama.py, chitu/models/model_llama.py),
+re-designed TPU-first:
+
+- pure functions over a parameter pytree (no module tree); layers are
+  *stacked* along a leading L axis and iterated with `lax.scan`, which keeps
+  compile time flat in depth and lets GSPMD shard every layer identically;
+- tensor parallelism is expressed as PartitionSpecs on the stacked weights
+  (column-parallel = shard out-dim, row-parallel = shard in-dim, exactly the
+  sharding algebra of reference: chitu/tensor_parallel.py:20-208) — XLA
+  inserts the all-reduces over ICI;
+- the paged KV cache is appended/attended inside the same jit program
+  (reference splits this across cache_manager + attn_backend).
+
+Covers rotary layouts hf-llama/llama/glm4 (reference: chitu/ops.py:94-326),
+optional qkv bias (qwen2), tied embeddings, and Meta-llama FFN sizing
+(reference: chitu/models/model_llama.py:131-158).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from chitu_tpu.models import register_model
+from chitu_tpu.models.common import rms_norm, rope_tables, apply_rope
+from chitu_tpu.ops import attention as attn_ops
+from chitu_tpu.ops.linear import linear
+
+
+def _ffn_dim(args) -> int:
+    """FFN hidden size (reference: model_llama.py:131-158)."""
+    if args.inter_dim:
+        return args.inter_dim
+    hidden = int(2 * (4 * args.dim) / 3)
+    if args.ffn_dim_multiplier:
+        hidden = int(args.ffn_dim_multiplier * hidden)
+    m = args.multiple_of
+    return m * ((hidden + m - 1) // m)
+
+
+@register_model("hf-llama")
+class LlamaForCausalLM:
+    """Functional model adapter: holds static config, exposes pure fns."""
+
+    def __init__(self, args, cfg):
+        self.args = args
+        self.cfg = cfg
+        self.head_dim = args.head_dim_()
+        self.inter_dim = _ffn_dim(args)
+        self.rot_dim = int(self.head_dim * args.partial_rotary_factor)
+        self.n_rep = args.n_heads // args.n_kv_heads
+        self.attn_scale = 1.0 / math.sqrt(self.head_dim)
+        max_seq = cfg.infer.max_seq_len
+        self.cos, self.sin = rope_tables(
+            self.rot_dim, max_seq, args.rope_theta, args.rope_scaling
+        )
+        self.rotary_layout = (
+            "hf-llama" if args.rotary_type == "hf-llama" else args.rotary_type
+        )
+
+    # -- cache geometry -----------------------------------------------------
+
+    def kv_cache_spec(self) -> Dict[str, Any]:
+        return dict(
+            n_layers=self.args.n_layers,
+            kv_heads=self.args.n_kv_heads,
+            head_dim=self.head_dim,
+            kv_dim=0,
+        )
+
+    # -- parameters ---------------------------------------------------------
+
+    def init_params(self, key: jax.Array, dtype=jnp.bfloat16):
+        a = self.args
+        L, D, H, KV, Dh, F, V = (
+            a.n_layers,
+            a.dim,
+            a.n_heads,
+            a.n_kv_heads,
+            self.head_dim,
+            self.inter_dim,
+            a.vocab_size,
+        )
+        ks = jax.random.split(key, 16)
+
+        def init(k, shape, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(
+                dtype
+            )
+
+        layers = {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "ffn_norm": jnp.ones((L, D), dtype),
+            "wq": init(ks[0], (L, D, H * Dh)),
+            "wk": init(ks[1], (L, D, KV * Dh)),
+            "wv": init(ks[2], (L, D, KV * Dh)),
+            "wo": init(ks[3], (L, H * Dh, D)),
+            "w_gate": init(ks[4], (L, D, F)),
+            "w_up": init(ks[5], (L, D, F)),
+            "w_down": init(ks[6], (L, F, D)),
+        }
+        if a.attn_bias:
+            layers["bq"] = jnp.zeros((L, H * Dh), dtype)
+            layers["bk"] = jnp.zeros((L, KV * Dh), dtype)
+            layers["bv"] = jnp.zeros((L, KV * Dh), dtype)
+        params = {
+            "embed": init(ks[7], (V, D)),
+            "norm": jnp.ones((D,), dtype),
+            "layers": layers,
+        }
+        if not a.tie_word_embeddings:
+            params["lm_head"] = init(ks[8], (D, V))
+        return params
+
+    def param_partition_specs(self, params) -> Any:
+        """PartitionSpec tree for TP sharding over mesh axis 'tp'
+        (sharding algebra of reference: tensor_parallel.py:20-208)."""
+        a = self.args
+        layer_specs = {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "w_gate": P(None, None, "tp"),
+            "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        }
+        if a.attn_bias:
+            layer_specs["bq"] = P(None, "tp")
+            layer_specs["bk"] = P(None, "tp")
+            layer_specs["bv"] = P(None, "tp")
+        specs = {
+            "embed": P("tp", None),  # vocab-parallel embedding
+            "norm": P(None),
+            "layers": layer_specs,
+        }
+        if "lm_head" in params:
+            specs["lm_head"] = P(None, "tp")
+        return specs
+
+    def kv_cache_partition_spec(self) -> P:
+        # shard KV heads over tp when divisible, else replicate
+        return P(None, None, None, "tp", None)
+
+    # -- forward ------------------------------------------------------------
+
+    def _layer(
+        self,
+        h: jnp.ndarray,  # [T, D]
+        lp: Dict[str, jnp.ndarray],
+        k_pool: jnp.ndarray,
+        v_pool: jnp.ndarray,
+        cos: jnp.ndarray,  # [T, R/2]
+        sin: jnp.ndarray,
+        attend,  # fn(q, k_pool, v_pool) -> [T, H, Dv]
+        append,  # fn(k_pool, v_pool, k, v) -> (k_pool, v_pool)
+    ):
+        a = self.args
+        T = h.shape[0]
+        H, KV, Dh = a.n_heads, a.n_kv_heads, self.head_dim
+
+        x = rms_norm(h, lp["attn_norm"], a.norm_eps)
+        q = linear(x, lp["wq"], lp.get("bq")).reshape(T, H, Dh)
+        k = linear(x, lp["wk"], lp.get("bk")).reshape(T, KV, Dh)
+        v = linear(x, lp["wv"], lp.get("bv")).reshape(T, KV, Dh)
+        q = apply_rope(q, cos, sin, self.rotary_layout)
+        k = apply_rope(k, cos, sin, self.rotary_layout)
+        k_pool, v_pool = append(k_pool, v_pool, k, v)
+        o = attend(q, k_pool, v_pool)
+        h = h + linear(o.reshape(T, H * Dh), lp["wo"])
+
+        x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
+        gate = linear(x, lp["w_gate"])
+        up = linear(x, lp["w_up"])
+        h = h + linear(jax.nn.silu(gate) * up, lp["w_down"])
+        return h, (k_pool, v_pool)
+
+    def _run_layers(self, params, k_pools, v_pools, h, cos, sin, attend, append):
+        def body(carry, xs):
+            h = carry
+            lp, kp, vp = xs
+            h, (kp, vp) = self._layer(h, lp, kp, vp, cos, sin, attend, append)
+            return h, (kp, vp)
+
+        h, (k_pools, v_pools) = jax.lax.scan(
+            body, h, (params["layers"], k_pools, v_pools)
+        )
+        return h, k_pools, v_pools
+
+    def _logits(self, params, h: jnp.ndarray) -> jnp.ndarray:
+        head = (
+            params["embed"].T
+            if self.args.tie_word_embeddings
+            else params["lm_head"]
+        )
+        return linear(h, head, out_dtype=jnp.float32)
+
+    def prefill(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],  # {"k": [L,P,page,KV,Dh], "v": ...}
+        tokens: jnp.ndarray,  # [T] int32 (padded)
+        block_table: jnp.ndarray,  # [mp] int32
+        start_pos: jnp.ndarray,  # scalar i32: chunk offset (chunked prefill)
+        valid_len: jnp.ndarray,  # scalar i32: valid tokens in this chunk
+        page_size: int,
+        attn_impl: str = "xla",
+        return_all_logits: bool = False,
+    ):
+        """One request's prefill chunk -> (last-token logits [V], cache).
+
+        (reference: Transformer.prefill_single_device, models/model.py:450-465)
+        """
+        T = tokens.shape[0]
+        pos = start_pos + jnp.arange(T, dtype=jnp.int32)
+        total_len = start_pos + valid_len
+        h = jnp.take(params["embed"], tokens, axis=0)
+        cos = jnp.take(self.cos, jnp.minimum(pos, self.cos.shape[0] - 1), 0)
+        sin = jnp.take(self.sin, jnp.minimum(pos, self.sin.shape[0] - 1), 0)
+
+        def append(kp, vp, k, v):
+            return attn_ops.append_prefill(
+                kp, vp, k, v, block_table, pos, valid_len, page_size
+            )
+
+        def attend(q, kp, vp):
+            return attn_ops.attend_prefill(
+                q,
+                kp,
+                vp,
+                block_table,
+                jnp.where(jnp.arange(T) < valid_len, pos, 0),
+                total_len,
+                page_size,
+                scale=self.attn_scale,
+                impl=attn_impl,
+            )
+
+        h, k_pools, v_pools = self._run_layers(
+            params, cache["k"], cache["v"], h, cos, sin, attend, append
+        )
+        h = rms_norm(h, params["norm"], self.args.norm_eps)
+        if return_all_logits:
+            logits = self._logits(params, h)
+        else:
+            last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
+            logits = self._logits(params, last)
+        return logits, {"k": k_pools, "v": v_pools}
+
+    def decode(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        tokens: jnp.ndarray,  # [B] int32
+        seq_lens: jnp.ndarray,  # [B] context length (new token's position)
+        block_tables: jnp.ndarray,  # [B, mp] int32
+        valid: jnp.ndarray,  # [B] bool
+        page_size: int,
+        attn_impl: str = "xla",
+    ):
+        """Batched one-token decode -> (logits [B, V], cache).
+
+        (reference: Transformer.decode, models/model.py:537-622 — the CUDA
+        graph becomes this single jitted program)
+        """
+        B = tokens.shape[0]
+        a = self.args
+        H, KV, Dh = a.n_heads, a.n_kv_heads, self.head_dim
+        h = jnp.take(params["embed"], tokens, axis=0)  # [B, D]
+        idx = jnp.minimum(seq_lens, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)  # [B, R/2]
+        sin = jnp.take(self.sin, idx, 0)
+
+        def append(kp, vp, k, v):
+            return attn_ops.append_decode(
+                kp, vp, k, v, block_tables, seq_lens, valid, page_size
+            )
+
+        def attend(q, kp, vp):
+            return attn_ops.attend_decode(
+                q,
+                kp,
+                vp,
+                block_tables,
+                seq_lens,
+                page_size,
+                scale=self.attn_scale,
+                impl=attn_impl,
+            )
+
+        # _layer treats the batch dim as the "token" dim; rope tables are
+        # per-row so the [T, 1, R/2] broadcast in apply_rope still applies.
+        h, k_pools, v_pools = self._run_layers(
+            params, cache["k"], cache["v"], h, cos, sin, attend, append
+        )
+        h = rms_norm(h, params["norm"], a.norm_eps)
+        logits = self._logits(params, h)
+        return logits, {"k": k_pools, "v": v_pools}

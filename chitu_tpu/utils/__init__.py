@@ -1,0 +1,2 @@
+from chitu_tpu.utils.logging import init_logger, get_logger
+from chitu_tpu.utils.timers import Timers, get_timers

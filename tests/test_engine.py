@@ -1,0 +1,113 @@
+"""End-to-end engine tests (the single_req_test role,
+reference: test/single_req_test.py:109-159)."""
+
+import numpy as np
+import pytest
+
+from chitu_tpu.engine import Engine
+from chitu_tpu.task import SampleParams
+
+from helpers import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(tiny_cfg())
+
+
+def test_greedy_deterministic(engine):
+    p = SampleParams(temperature=0.0, max_new_tokens=8)
+    t1 = engine.generate("Hello world, this is a test.", p)
+    t2 = engine.generate("Hello world, this is a test.", p)
+    assert t1 == t2
+    assert len(t1) == 8
+
+
+def test_batch_generation(engine):
+    reqs = [
+        engine.submit(f"prompt number {i}", SampleParams(temperature=0.7, max_new_tokens=6))
+        for i in range(4)
+    ]
+    engine.run_until_complete()
+    assert len(engine.pool) == 0
+    for r in reqs:
+        assert len(r.async_stream.tokens) == 6
+        assert r.finish_reason == "length"
+
+
+def test_batch_matches_single(engine):
+    """A request decoded in a batch must produce the same greedy tokens as
+    decoded alone (continuous-batching correctness)."""
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    solo = engine.generate("the quick brown fox", p)
+    reqs = [
+        engine.submit("the quick brown fox", SampleParams(temperature=0.0, max_new_tokens=6)),
+        engine.submit("totally different prompt here", SampleParams(temperature=0.0, max_new_tokens=6)),
+        engine.submit("yet another one", SampleParams(temperature=0.0, max_new_tokens=6)),
+    ]
+    engine.run_until_complete()
+    assert list(reqs[0].async_stream.tokens) == solo
+
+
+def test_frequency_penalty_changes_output(engine):
+    base = engine.generate(
+        "aaaa", SampleParams(temperature=0.0, max_new_tokens=10)
+    )
+    pen = engine.generate(
+        "aaaa",
+        SampleParams(temperature=0.0, max_new_tokens=10, frequency_penalty=50.0),
+    )
+    # massive penalty forbids repeats; baseline (random weights) repeats
+    assert len(set(pen)) > len(set(base)) or pen != base
+
+
+def test_max_seq_len_stop():
+    cfg = tiny_cfg()
+    eng = Engine(cfg)
+    toks = eng.generate(
+        "x" * 100, SampleParams(temperature=0.0, max_new_tokens=1000)
+    )
+    # prompt ~101 tokens; must stop at max_seq_len=128
+    assert len(toks) <= 128
+
+
+def test_long_prompt_chunked_prefill():
+    cfg = tiny_cfg(**{"infer.prefill_chunk": 32})
+    eng = Engine(cfg)
+    p = SampleParams(temperature=0.0, max_new_tokens=4)
+    long_prompt = "word " * 18  # ~90 tokens > chunk of 32
+    toks = eng.generate(long_prompt, p)
+    assert len(toks) == 4
+    # same tokens with chunking disabled
+    eng2 = Engine(tiny_cfg())
+    toks2 = eng2.generate(long_prompt, p)
+    assert toks == toks2
+
+
+@pytest.mark.parametrize(
+    "policy", ["fcfs", "prefill_first", "stride", "deadline", "prefix_align", "balance"]
+)
+def test_scheduler_policies_complete(policy):
+    cfg = tiny_cfg(**{"scheduler.policy": policy})
+    eng = Engine(cfg)
+    reqs = [
+        eng.submit(f"prompt {i}", SampleParams(temperature=0.0, max_new_tokens=4))
+        for i in range(6)  # more than max_reqs=4
+    ]
+    eng.run_until_complete()
+    for r in reqs:
+        assert len(r.async_stream.tokens) == 4
+
+
+def test_admission_beyond_max_reqs():
+    cfg = tiny_cfg()
+    eng = Engine(cfg)
+    reqs = [
+        eng.submit(f"p{i}", SampleParams(temperature=0.5, max_new_tokens=3))
+        for i in range(9)
+    ]
+    eng.run_until_complete()
+    assert all(len(r.async_stream.tokens) == 3 for r in reqs)
+    # all pages and slots returned
+    assert eng.cache.allocator.num_free() == eng.cache.num_pages
+    assert len(eng.executor.slots.free) == cfg.infer.max_reqs
