@@ -1,0 +1,140 @@
+"""Decode-throughput benchmark (driver entry: prints ONE JSON line).
+
+Measures steady-state batched decode on a TinyLlama-1.1B-geometry model in
+bf16 on the available accelerator, serving bs=16 synthetic requests through
+the full engine (scheduler -> executor -> jitted decode+sample step with
+paged KV cache).
+
+`vs_baseline` is the fraction of the HBM-bandwidth roofline achieved:
+decode is bandwidth-bound (the reference's own analysis, README.md:56-57),
+so ideal steps/s = HBM_BW / (weight_bytes + per-step KV traffic), and ideal
+tok/s = steps/s * batch. TPU v5e HBM BW = 819 GB/s. A vs_baseline of 1.0
+means decoding at memory speed-of-light, the bar SURVEY.md §6 sets via the
+reference's CUDA-graph numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def model_bytes(m, dtype_bytes=2) -> int:
+    d, L, H, KV, Dh, F, V = (
+        m.dim,
+        m.n_layers,
+        m.n_heads,
+        m.n_kv_heads,
+        m.head_dim_(),
+        m.inter_dim,
+        m.vocab_size,
+    )
+    per_layer = (
+        d * H * Dh  # wq
+        + 2 * d * KV * Dh  # wk, wv
+        + H * Dh * d  # wo
+        + 3 * d * F  # gate, up, down
+        + 2 * d  # norms
+    )
+    total = V * d + d + L * per_layer + d * V  # embed + norm + layers + head
+    return total * dtype_bytes
+
+
+def main():
+    import jax
+
+    from chitu_tpu.config import load_config
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+    from chitu_tpu.utils import get_timers
+
+    BS = 16
+    PROMPT = 128
+    NEW = 64
+    cfg = load_config(
+        overrides=[
+            "models=tiny-llama-debug",
+            "infer.max_seq_len=512",
+            "infer.page_size=64",
+            f"infer.max_reqs={BS}",
+            "infer.stop_with_eos=false",
+            f"infer.decode_buckets={BS}",
+        ]
+    )
+
+    eng = Engine(cfg)
+    rng = np.random.default_rng(0)
+
+    def synthetic_batch(n_new: int):
+        """Fixed-length synthetic prompts (reference: single_req_test.py
+        gen_reqs_fake, :66-83)."""
+        return [
+            eng.submit(
+                "",
+                SampleParams(temperature=0.0, max_new_tokens=n_new),
+                prompt_tokens=rng.integers(
+                    300, cfg.models.vocab_size - 1, PROMPT
+                ).tolist(),
+            )
+            for _ in range(BS)
+        ]
+
+    # warmup: compile prefill + decode buckets
+    synthetic_batch(4)
+    eng.run_until_complete()
+
+    timers = get_timers()
+    timers.reset()
+    reqs = synthetic_batch(NEW)
+    t0 = time.perf_counter()
+    eng.run_until_complete()
+    wall = time.perf_counter() - t0
+    assert all(len(r.async_stream.tokens) == NEW for r in reqs)
+
+    dec = timers.timers.get("decode")
+    decode_s = dec.elapsed_ if dec else wall
+    decode_steps = dec.count if dec else NEW
+    tokens = BS * NEW
+    tok_per_s = tokens / decode_s
+
+    # roofline: per decode step reads all weights once + the live KV prefix
+    backend = jax.default_backend()
+    hbm_bw = 819e9 if backend == "tpu" else 50e9  # v5e spec; CPU nominal
+    wbytes = model_bytes(cfg.models)
+    avg_ctx = PROMPT + NEW / 2
+    kv_bytes = (
+        cfg.models.n_layers
+        * 2
+        * BS
+        * avg_ctx
+        * cfg.models.n_kv_heads
+        * (cfg.models.dim // cfg.models.n_heads)
+        * 2
+    )
+    ideal_steps = hbm_bw / (wbytes + kv_bytes)
+    ideal_tok = ideal_steps * BS
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_tok_per_s_tinyllama1.1b_bf16_bs{BS}",
+                "value": round(tok_per_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_per_s / ideal_tok, 4),
+                "detail": {
+                    "backend": backend,
+                    "decode_steps": decode_steps,
+                    "decode_s": round(decode_s, 3),
+                    "wall_s": round(wall, 3),
+                    "roofline_tok_per_s": round(ideal_tok, 1),
+                    "weight_gib": round(wbytes / 2**30, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

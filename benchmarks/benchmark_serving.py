@@ -1,0 +1,132 @@
+"""HTTP serving benchmark client.
+
+Capability parity with the reference's benchmark tool
+(reference: benchmarks/benchmark_serving.py:62-228): drives
+`/v1/chat/completions` with concurrent requests, measures TTFT / per-token
+latency / output tokens-per-second / request throughput, prints a JSON
+summary.
+
+Usage:
+    python benchmarks/benchmark_serving.py --host 127.0.0.1 --port 21002 \
+        --num-requests 32 --concurrency 8 --max-tokens 64 [--stream]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as futures
+import json
+import time
+from typing import List
+
+import requests
+
+
+def one_request(url: str, prompt: str, max_tokens: int, stream: bool):
+    t0 = time.perf_counter()
+    body = {
+        "messages": prompt,
+        "temperature": 0.0,
+        "stream": stream,
+        "max_tokens": max_tokens,
+    }
+    ttft = None
+    ntok = 0
+    if stream:
+        with requests.post(url, json=body, stream=True, timeout=600) as r:
+            r.raise_for_status()
+            for line in r.iter_lines():
+                if not line or not line.startswith(b"data: "):
+                    continue
+                payload = line[6:]
+                if payload == b"[DONE]":
+                    break
+                chunk = json.loads(payload)
+                delta = chunk["choices"][0].get("delta", {})
+                if delta.get("content") or delta.get("reasoning_content"):
+                    if ttft is None:
+                        ttft = time.perf_counter() - t0
+                    ntok += 1
+                if chunk.get("usage"):
+                    ntok = chunk["usage"]["completion_tokens"]
+    else:
+        r = requests.post(url, json=body, timeout=600)
+        r.raise_for_status()
+        data = r.json()
+        ttft = time.perf_counter() - t0
+        ntok = data["usage"]["completion_tokens"]
+    total = time.perf_counter() - t0
+    return dict(ttft=ttft or total, total=total, output_tokens=ntok)
+
+
+def run_benchmark(
+    host: str,
+    port: int,
+    num_requests: int,
+    concurrency: int,
+    max_tokens: int,
+    stream: bool,
+    prompt: str,
+    warmup: int = 2,
+):
+    url = f"http://{host}:{port}/v1/chat/completions"
+    for _ in range(warmup):
+        one_request(url, prompt, 4, stream)
+
+    t0 = time.perf_counter()
+    results: List[dict] = []
+    with futures.ThreadPoolExecutor(max_workers=concurrency) as ex:
+        futs = [
+            ex.submit(one_request, url, prompt, max_tokens, stream)
+            for _ in range(num_requests)
+        ]
+        for f in futures.as_completed(futs):
+            results.append(f.result())
+    wall = time.perf_counter() - t0
+
+    out_tokens = sum(r["output_tokens"] for r in results)
+    ttfts = sorted(r["ttft"] for r in results)
+    totals = sorted(r["total"] for r in results)
+
+    def pct(xs, p):
+        return xs[min(int(len(xs) * p), len(xs) - 1)]
+
+    summary = {
+        "num_requests": num_requests,
+        "concurrency": concurrency,
+        "wall_s": round(wall, 3),
+        "output_tokens": out_tokens,
+        "output_tok_per_s": round(out_tokens / wall, 2),
+        "req_per_s": round(num_requests / wall, 3),
+        "ttft_p50_s": round(pct(ttfts, 0.5), 4),
+        "ttft_p99_s": round(pct(ttfts, 0.99), 4),
+        "latency_p50_s": round(pct(totals, 0.5), 4),
+        "latency_p99_s": round(pct(totals, 0.99), 4),
+    }
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--num-requests", type=int, default=32)
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--max-tokens", type=int, default=64)
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--prompt", default="Tell me about high performance computing.")
+    args = ap.parse_args()
+    summary = run_benchmark(
+        args.host,
+        args.port,
+        args.num_requests,
+        args.concurrency,
+        args.max_tokens,
+        args.stream,
+        args.prompt,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

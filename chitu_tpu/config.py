@@ -172,6 +172,10 @@ class InferArgs:
     max_reqs: int = 16
     # decode jit batch buckets (CUDA-graph analogue; reference: model.py:547-622)
     decode_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    # tokens decoded per jitted call with on-device sampling feedback; the
+    # host syncs once per window (amortizes dispatch/fetch latency the way
+    # the reference's CUDA graphs amortize kernel launches)
+    decode_window: int = 8
     prefill_chunk: int = 512  # prefill token-count bucket granularity
     pp_layer_partition: Tuple[int, ...] = ()
 

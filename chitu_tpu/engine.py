@@ -46,6 +46,10 @@ class Engine:
         init_logger()
         self.cfg = cfg
         self.state = EngineState.RUNNING
+        if mesh is None:
+            from chitu_tpu.parallel import mesh_from_config
+
+            mesh = mesh_from_config(cfg)
         self.mesh = mesh
 
         self.tokenizer = build_tokenizer(cfg.models, cfg.infer)
@@ -76,12 +80,35 @@ class Engine:
             self.params = quantize_params(
                 self.params, cfg.quant, self.model
             )
+        if self.mesh is not None:
+            from chitu_tpu.parallel import shard_params
+
+            self.params = shard_params(
+                self.params,
+                self.model.param_partition_specs(self.params),
+                self.mesh,
+            )
         logger.info("params ready in %.1fs", time.time() - t0)
 
         spec = self.model.kv_cache_spec()
         num_pages = PagedKVCache.num_pages_for(
             cfg.infer.max_reqs, cfg.infer.max_seq_len, cfg.infer.page_size
         )
+        cache_sharding = None
+        if self.mesh is not None:
+            from chitu_tpu.parallel import safe_named_sharding
+
+            kv_heads = spec["kv_heads"] or 1
+            pool_shape = (
+                spec["n_layers"],
+                num_pages,
+                cfg.infer.page_size,
+                kv_heads,
+                spec["head_dim"] or spec.get("kv_dim", 0),
+            )
+            cache_sharding = safe_named_sharding(
+                self.mesh, self.model.kv_cache_partition_spec(), pool_shape
+            )
         self.cache = PagedKVCache(
             spec["n_layers"],
             num_pages,
@@ -90,6 +117,7 @@ class Engine:
             spec["head_dim"],
             dtype=jnp.bfloat16,
             kv_dim=spec.get("kv_dim", 0),
+            sharding=cache_sharding,
         )
         logger.info(
             "KV cache: %d pages x %d tokens (%.1f MiB)",

@@ -121,8 +121,15 @@ class Executor:
             self._jit_prefill[key] = fn
         return fn
 
-    def _decode_fn(self, B: int, mp: int):
-        key = (B, mp)
+    def _decode_fn(self, B: int, mp: int, window: int):
+        """K decode+sample steps fused into one jitted program with
+        on-device token feedback — the TPU replacement for the reference's
+        CUDA-graph decode (reference: models/model.py:537-622), extended to
+        amortize host dispatch/fetch latency over `window` tokens.
+
+        Returns tokens [window, B] with -1 for steps where a row had
+        already finished (EOS / budget) inside the window."""
+        key = (B, mp, window)
         fn = self._jit_decode.get(key)
         if fn is None:
             model, page, impl = self.model, self.page, self.attn_impl
@@ -140,24 +147,60 @@ class Executor:
                 top_ks,
                 top_ps,
                 pens,
+                remaining,
+                stop_ids,
+                check_stop,
                 rng,
             ):
-                logits, cache = model.decode(
-                    params,
-                    cache,
-                    tokens,
-                    seq_lens,
-                    block_tables,
-                    valid,
-                    page_size=page,
-                    attn_impl=impl,
+                def body(carry, _):
+                    tokens, seq_lens, remaining, done, cache, counts, rng = carry
+                    live = valid & ~done
+                    logits, cache = model.decode(
+                        params,
+                        cache,
+                        tokens,
+                        seq_lens,
+                        block_tables,
+                        live,
+                        page_size=page,
+                        attn_impl=impl,
+                    )
+                    logits = sampling.apply_frequency_penalty(
+                        logits, counts, slots, pens
+                    )
+                    rng, sub = jax.random.split(rng)
+                    new = sampling.sample_tokens(
+                        logits, sub, temps, top_ks, top_ps
+                    )
+                    counts = sampling.update_counts(counts, slots, new, live)
+                    is_stop = check_stop & jnp.any(
+                        new[:, None] == stop_ids[None, :], axis=-1
+                    )
+                    remaining = remaining - live.astype(jnp.int32)
+                    done = done | (live & (is_stop | (remaining <= 0)))
+                    seq_lens = seq_lens + live.astype(jnp.int32)
+                    tokens = jnp.where(live, new, tokens)
+                    out = jnp.where(live, new, -1)
+                    return (
+                        tokens,
+                        seq_lens,
+                        remaining,
+                        done,
+                        cache,
+                        counts,
+                        rng,
+                    ), out
+
+                done0 = ~valid
+                (tokens, seq_lens, remaining, done, cache, counts, rng), outs = (
+                    jax.lax.scan(
+                        body,
+                        (tokens, seq_lens, remaining, done0, cache, counts, rng),
+                        None,
+                        length=window,
+                    )
                 )
-                logits = sampling.apply_frequency_penalty(
-                    logits, counts, slots, pens
-                )
-                toks = sampling.sample_tokens(logits, rng, temps, top_ks, top_ps)
-                counts = sampling.update_counts(counts, slots, toks, valid)
-                return toks, cache, counts
+                return outs, cache, counts
 
             fn = jax.jit(run, donate_argnums=(1, 2))
             self._jit_decode[key] = fn
@@ -294,13 +337,20 @@ class Executor:
         return logits
 
     def decode_step(self, tasks: List[Task]):
-        """(reference: executor.py:133-148)"""
+        """One decode window: up to `decode_window` tokens per live task in
+        a single device call (reference: executor.py:133-148, with the
+        CUDA-graph replay replaced by an in-jit sampled scan)."""
         timers = get_timers()
         timers("decode").start()
-        # grow page lists before stepping (reference: cache_manager.py:196-209)
+        window = max(1, self.cfg.infer.decode_window)
+        # cap the window so no task can overrun max_seq_len inside the scan
+        for t in tasks:
+            window = min(window, max(1, t.max_seq_len - t.seq_len))
+        # grow page lists to cover the whole window up front
+        # (reference: cache_manager.py:196-209)
         live = []
         for t in tasks:
-            if self.cache.allocator.ensure(t.task_id, t.seq_len + 1):
+            if self.cache.allocator.ensure(t.task_id, t.seq_len + window):
                 live.append(t)
             else:
                 logger.warning("KV pool exhausted during decode of %s", t.task_id)
@@ -310,15 +360,20 @@ class Executor:
         B = _bucket(len(live), self.decode_buckets)
         tokens = np.zeros((B,), np.int32)
         seq_lens = np.zeros((B,), np.int32)
+        remaining = np.ones((B,), np.int32)
+        check_stop = np.zeros((B,), bool)
         for i, t in enumerate(live):
             tokens[i] = t.response_tokens[-1] if t.response_tokens else t.tokens[-1]
             seq_lens[i] = t.seq_len
+            remaining[i] = max(t.max_new_tokens - len(t.response_tokens), 1)
+            check_stop[i] = t.stop_with_eos
         bts = np.full((B, self.mp_full), -1, np.int32)
         bts[: len(live)] = self.cache.allocator.block_table(
             [t.task_id for t in live], self.mp_full
         )
+        stop_ids = self._stop_ids(live)
         temps, tks, tps, pens, slots, valid = self._sampling_arrays(live, B)
-        fn = self._decode_fn(B, self.mp_full)
+        fn = self._decode_fn(B, self.mp_full, window)
         toks, self.cache.arrays, self.counts = fn(
             self.params,
             self.cache.arrays,
@@ -332,12 +387,32 @@ class Executor:
             tks,
             tps,
             pens,
+            jnp.asarray(remaining),
+            stop_ids,
+            jnp.asarray(check_stop),
             self._next_key(),
         )
-        toks_host = np.asarray(toks)
+        toks_host = np.asarray(toks)  # [window, B]
         for i, t in enumerate(live):
-            t.append_token(int(toks_host[i]))
+            for k in range(toks_host.shape[0]):
+                tok = int(toks_host[k, i])
+                if tok < 0:
+                    break
+                t.append_token(tok)
+                if t.need_remove():
+                    break
         timers("decode").stop()
+
+    def _stop_ids(self, tasks: List[Task]) -> jnp.ndarray:
+        """Union of stop-token ids across the batch, padded to a static
+        width (all tasks share one tokenizer in practice)."""
+        ids = set()
+        for t in tasks:
+            ids |= set(t.stop_tokens)
+        out = np.full((8,), -2, np.int32)
+        for i, tok in enumerate(sorted(ids)[:8]):
+            out[i] = tok
+        return jnp.asarray(out)
 
     # -- lifecycle ----------------------------------------------------------
 

@@ -1,0 +1,4 @@
+from chitu_tpu.quantize.transforms import (
+    quantize_params,
+    quantize_weight,
+)

@@ -1,0 +1,156 @@
+"""Quantization as parameter-pytree transforms.
+
+Capability parity with the reference's quantization ladder
+(reference SURVEY.md §2.6: chitu/quantize/quantizer.py module-tree rewrite,
+chitu/quantize/{w8a16,w8a8}.py, chitu/awq/qmodule.py W4A16 group-128,
+DeepSeek native FP8 blockwise model_deepseek_v3.py:109-226). The torch
+module rewrite becomes a pure function over the parameter tree: eligible
+weight leaves are replaced by `QTensor`s and `chitu_tpu.ops.linear`
+dispatches to fused dequant+matmul kernels.
+
+Schemes:
+- soft_fp8: fp8(e4m3) storage + [in/128, out/128] blockwise f32 scales,
+  dequant inside the GEMM (the reference's headline feature,
+  docs/en/FAQ.md:3-11)
+- fp8: same storage; activations are also quantized at runtime (W8A8-fp8)
+- w8a16: int8 weight, per-out-channel scale (reference: quantize/w8a16.py)
+- w8a8: int8 weight per-out-channel + dynamic per-token int8 activations
+  (reference: quantize/w8a8.py:18-35)
+- w4a16: 4-bit weight, group-128 scale+zero along the in dim (AWQ/GPTQ
+  checkpoint layout; reference: awq/qmodule.py:123-278)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Set
+
+import jax
+import jax.numpy as jnp
+
+from chitu_tpu.ops.qtensor import QTensor, QuantKind
+
+F8_MAX = 448.0  # float8_e4m3fn max normal
+BLOCK = 128
+
+
+def _block_pad(n: int, b: int) -> int:
+    return (n + b - 1) // b * b
+
+
+def quantize_weight(
+    w: jnp.ndarray, kind: QuantKind, block: int = BLOCK
+) -> QTensor:
+    """Quantize one [..., in, out] weight. Leading dims (stacked layers,
+    stacked experts) are treated blockwise-independently."""
+    wf = w.astype(jnp.float32)
+    *lead, fin, fout = wf.shape
+
+    if kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
+        bi = _block_pad(fin, block) // block
+        bo = _block_pad(fout, block) // block
+        pad = [(0, 0)] * len(lead) + [
+            (0, bi * block - fin),
+            (0, bo * block - fout),
+        ]
+        wp = jnp.pad(wf, pad)
+        blocks = wp.reshape(*lead, bi, block, bo, block)
+        absmax = jnp.max(jnp.abs(blocks), axis=(-3, -1))  # [..., bi, bo]
+        scale = jnp.maximum(absmax, 1e-8) / F8_MAX
+        q = blocks / scale[..., :, None, :, None]
+        q = q.reshape(*lead, bi * block, bo * block)[..., :fin, :fout]
+        data = q.astype(jnp.float8_e4m3fn)
+        return QTensor(data=data, scale=scale, kind=kind, block=block)
+
+    if kind in (QuantKind.W8A16, QuantKind.W8A8):
+        absmax = jnp.max(jnp.abs(wf), axis=-2)  # [..., out]
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127)
+        return QTensor(data=q.astype(jnp.int8), scale=scale, kind=kind)
+
+    if kind == QuantKind.W4A16:
+        g = block
+        ng = _block_pad(fin, g) // g
+        pad = [(0, 0)] * len(lead) + [(0, ng * g - fin), (0, 0)]
+        wp = jnp.pad(wf, pad).reshape(*lead, ng, g, fout)
+        wmax = jnp.max(wp, axis=-2)  # [..., ng, out]
+        wmin = jnp.min(wp, axis=-2)
+        scale = jnp.maximum(wmax - wmin, 1e-8) / 15.0
+        zeros = -wmin / scale  # zero-point in quantized units
+        q = jnp.clip(
+            jnp.round(wp / scale[..., :, None, :] + zeros[..., :, None, :]),
+            0,
+            15,
+        )
+        data = q.reshape(*lead, ng * g, fout)[..., :fin, :].astype(jnp.uint8)
+        return QTensor(
+            data=data, scale=scale, zeros=zeros, kind=kind, block=g
+        )
+
+    raise ValueError(f"unknown quant kind {kind}")
+
+
+_KIND_BY_METHOD = {
+    "soft_fp8": QuantKind.SOFT_FP8,
+    "fp8": QuantKind.FP8,
+    "w8a16": QuantKind.W8A16,
+    "w8a8": QuantKind.W8A8,
+    "simple_w8a8": QuantKind.W8A8,
+    "w4a16": QuantKind.W4A16,
+    "w4a16_awq": QuantKind.W4A16,
+    "w4a16_gptq": QuantKind.W4A16,
+    "awq": QuantKind.W4A16,
+    "gptq": QuantKind.W4A16,
+    # llmint8 maps onto the int8 weight-only kernel (the reference uses
+    # bitsandbytes' outlier decomposition; per-channel int8 covers the
+    # storage/bandwidth capability, quantizer.py:14-50)
+    "llmint8": QuantKind.W8A16,
+}
+
+
+def quantize_params(
+    params: Any,
+    quant_args,
+    model,
+    keys: Optional[Set[str]] = None,
+) -> Any:
+    """Replace eligible weight leaves with QTensors.
+
+    Eligibility follows the reference policy (quantizer.py:277-291): linear
+    projection weights only — never norms, embeddings, biases, or lm_head.
+    Model adapters may narrow/extend via `quantizable_keys()`.
+    """
+    method = quant_args.method
+    if method in ("none", ""):
+        return params
+    kind = _KIND_BY_METHOD.get(method)
+    if kind is None:
+        raise ValueError(f"unknown quant method {method!r}")
+    block = quant_args.group_size or BLOCK
+
+    if keys is None:
+        keys = getattr(model, "quantizable_keys", lambda: None)()
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(
+                walk(v, path + (str(i),)) for i, v in enumerate(tree)
+            )
+        name = path[-1] if path else ""
+        under_layers = any(p in ("layers", "experts") for p in path[:-1])
+        eligible = (
+            isinstance(tree, jnp.ndarray)
+            and tree.ndim >= 2
+            and under_layers
+            and "norm" not in name
+            and not name.startswith("b")
+            and name not in ("embed", "lm_head")
+        )
+        if keys is not None:
+            eligible = eligible and name in keys
+        if eligible:
+            return quantize_weight(tree, kind, block)
+        return tree
+
+    return walk(params)

@@ -1,0 +1,277 @@
+"""OpenAI-compatible HTTP serving layer (aiohttp).
+
+Capability parity with the reference's server (reference: chitu/serve.py:
+1-237): `/v1/chat/completions` (streaming SSE + full JSON),
+`/ping` `/health` `/status` `/load_status` for load balancers, admission
+rejection on overload (403), engine warmup before serving, a worker thread
+driving the engine loop, and quiet access logs for probe endpoints.
+
+The reference uses FastAPI+uvicorn; this build uses aiohttp (what the image
+provides) with pydantic request validation — the HTTP contract is the same.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import threading
+import time
+from typing import List, Optional, Union
+
+from aiohttp import web
+from pydantic import BaseModel, ValidationError
+
+from chitu_tpu.async_response import AsyncResponse
+from chitu_tpu.config import EngineConfig, load_config
+from chitu_tpu.engine import Engine, EngineState
+from chitu_tpu.task import SampleParams, TaskLoad
+from chitu_tpu.utils import get_logger
+
+logger = get_logger()
+
+
+class ChatMessage(BaseModel):
+    role: str
+    content: str
+
+
+class ChatRequest(BaseModel):
+    """Request schema (reference: serve.py:45-53)."""
+
+    messages: Union[str, List[ChatMessage]]
+    model: Optional[str] = None
+    temperature: float = 1.0
+    top_p: float = 0.9
+    top_k: int = -1
+    frequency_penalty: float = 0.0
+    stream: bool = False
+    max_tokens: Optional[int] = None
+
+
+class ServerContext:
+    """Engine + worker-thread lifecycle shared by the endpoints."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.engine: Optional[Engine] = None
+        self.worker: Optional[threading.Thread] = None
+        self.stop_flag = threading.Event()
+        self.wake = threading.Event()
+
+    def start(self, warmup: bool = True):
+        self.engine = Engine(self.cfg)
+        if warmup:
+            warmup_engine(self.engine)
+        self.stop_flag.clear()
+        self.worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self.worker.start()
+
+    def _worker_loop(self):
+        """Busy loop running engine steps whenever work exists
+        (reference: serve.py:167-176)."""
+        while not self.stop_flag.is_set():
+            if self.engine is not None and len(self.engine.pool):
+                try:
+                    self.engine.step()
+                except Exception:
+                    logger.exception("engine step failed")
+                    time.sleep(0.05)
+            else:
+                self.wake.wait(timeout=0.005)
+                self.wake.clear()
+
+    def stop(self):
+        self.stop_flag.set()
+        if self.worker is not None:
+            self.worker.join(timeout=5)
+        if self.engine is not None:
+            self.engine.terminate()
+
+
+def warmup_engine(engine: Engine):
+    """Push max_reqs dummy requests through the engine so every decode
+    bucket is compiled before serving (reference: serve.py:183-212; the
+    CUDA-graph-capture warmup becomes jit warmup)."""
+    t0 = time.time()
+    n = engine.cfg.infer.max_reqs
+    for _ in range(n):
+        engine.submit(
+            "warmup " * 4, SampleParams(temperature=0.0, max_new_tokens=4)
+        )
+    engine.run_until_complete()
+    engine.generate("warmup", SampleParams(temperature=0.0, max_new_tokens=2))
+    logger.info("warmup done in %.1fs (%d reqs)", time.time() - t0, n)
+
+
+def _json_error(status: int, detail: str) -> web.Response:
+    return web.json_response({"detail": detail}, status=status)
+
+
+def build_app(ctx: ServerContext) -> web.Application:
+    app = web.Application()
+
+    async def create_chat_completion(request: web.Request) -> web.StreamResponse:
+        engine = ctx.engine
+        if engine is None or engine.state != EngineState.RUNNING:
+            return _json_error(503, "engine not running")
+        # admission control (reference: serve.py:61-67)
+        if TaskLoad.get_num_reqs() >= 4 * ctx.cfg.infer.max_reqs:
+            return _json_error(403, "engine overloaded")
+        try:
+            body = ChatRequest.model_validate(await request.json())
+        except (ValidationError, json.JSONDecodeError) as e:
+            return _json_error(422, str(e))
+        params = SampleParams(
+            temperature=body.temperature,
+            top_p=body.top_p,
+            top_k=body.top_k,
+            frequency_penalty=body.frequency_penalty,
+            max_new_tokens=body.max_tokens or ctx.cfg.request.max_new_tokens,
+        )
+        message = (
+            body.messages
+            if isinstance(body.messages, str)
+            else [{"role": m.role, "content": m.content} for m in body.messages]
+        )
+        try:
+            req = engine.submit(message, params)
+        except ValueError as e:
+            return _json_error(400, str(e))
+        ctx.wake.set()
+        resp_fmt = AsyncResponse(req)
+        if body.stream:
+            sse = web.StreamResponse(
+                status=200,
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                },
+            )
+            await sse.prepare(request)
+            async for chunk in resp_fmt.stream_generator():
+                await sse.write(chunk.encode())
+            await sse.write_eof()
+            return sse
+        return web.json_response(await resp_fmt.full_response())
+
+    async def ping(_):
+        return web.json_response({"message": "pong"})
+
+    async def health(_):
+        ok = ctx.engine is not None and ctx.engine.state == EngineState.RUNNING
+        return web.json_response(
+            {"status": "ok" if ok else "down"}, status=200 if ok else 503
+        )
+
+    async def status(_):
+        eng = ctx.engine
+        return web.json_response(
+            {
+                "engine": eng.state.name if eng else "absent",
+                "model": ctx.cfg.models.name,
+                "live_tasks": len(eng.pool) if eng else 0,
+            }
+        )
+
+    async def load_status(_):
+        """Load-balancer endpoint (reference: serve.py:137-143)."""
+        return web.json_response(
+            {
+                "load": TaskLoad.get_load(),
+                "num_reqs": TaskLoad.get_num_reqs(),
+                "max_reqs": ctx.cfg.infer.max_reqs,
+            }
+        )
+
+    async def stop(_):
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, ctx.stop)
+        return web.json_response({"message": "stopped"})
+
+    app.router.add_post("/v1/chat/completions", create_chat_completion)
+    app.router.add_get("/ping", ping)
+    app.router.add_get("/health", health)
+    app.router.add_get("/status", status)
+    app.router.add_get("/load_status", load_status)
+    app.router.add_post("/stop", stop)
+    return app
+
+
+class BackgroundServer:
+    """Run the app in a background thread on an ephemeral port (tests,
+    embedded usage, benchmark drivers)."""
+
+    def __init__(self, cfg: EngineConfig, warmup: bool = False):
+        self.ctx = ServerContext(cfg)
+        self.warmup = warmup
+        self.port: Optional[int] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+
+    def start(self) -> int:
+        self.ctx.start(warmup=self.warmup)
+        app = build_app(self.ctx)
+        self._loop = asyncio.new_event_loop()
+
+        def run():
+            asyncio.set_event_loop(self._loop)
+
+            async def boot():
+                runner = web.AppRunner(app)
+                await runner.setup()
+                site = web.TCPSite(runner, "127.0.0.1", self.ctx.cfg.serve.port)
+                await site.start()
+                self.port = site._server.sockets[0].getsockname()[1]
+                self._started.set()
+
+            self._loop.run_until_complete(boot())
+            self._loop.run_forever()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=60):
+            raise RuntimeError("server failed to start")
+        return self.port
+
+    def stop(self):
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.ctx.stop()
+
+
+class _ProbeFilter(logging.Filter):
+    """Silence access logs for probe endpoints (reference: serve.py:156-164)."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return "/ping" not in msg and "/load_status" not in msg
+
+
+def serve_forever(cfg: EngineConfig, warmup: bool = True):
+    ctx = ServerContext(cfg)
+    ctx.start(warmup=warmup)
+    logging.getLogger("aiohttp.access").addFilter(_ProbeFilter())
+    app = build_app(ctx)
+    logger.info("serving on %s:%d", cfg.serve.host, cfg.serve.port)
+    web.run_app(
+        app, host=cfg.serve.host, port=cfg.serve.port, print=None
+    )
+    ctx.stop()
+
+
+def main(argv: Optional[List[str]] = None):
+    """`python -m chitu_tpu.serve key=value ...`
+    (reference hydra entry: serve.py:215-218)."""
+    import sys
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(overrides=overrides)
+    serve_forever(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -212,8 +212,9 @@ def build_tokenizer(model_args, infer_args=None) -> BaseTokenizer:
             return TokenizerTiktoken(path)
         except ImportError:
             raise RuntimeError("tiktoken unavailable for .model tokenizer")
-    if os.path.isdir(path) or os.path.exists(
-        os.path.join(path, "tokenizer_config.json")
+    if os.path.isdir(path) and any(
+        os.path.exists(os.path.join(path, f))
+        for f in ("tokenizer_config.json", "tokenizer.json", "tokenizer.model")
     ):
         return TokenizerHF(path)
     return ByteTokenizer(max(model_args.vocab_size, 512))

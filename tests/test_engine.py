@@ -12,7 +12,9 @@ from helpers import tiny_cfg
 
 @pytest.fixture(scope="module")
 def engine():
-    return Engine(tiny_cfg())
+    # exact-length assertions need EOS-stop off: with random weights any
+    # sampled token can be EOS
+    return Engine(tiny_cfg(**{"infer.stop_with_eos": False}))
 
 
 def test_greedy_deterministic(engine):
@@ -62,7 +64,7 @@ def test_frequency_penalty_changes_output(engine):
 
 
 def test_max_seq_len_stop():
-    cfg = tiny_cfg()
+    cfg = tiny_cfg(**{"infer.stop_with_eos": False})
     eng = Engine(cfg)
     toks = eng.generate(
         "x" * 100, SampleParams(temperature=0.0, max_new_tokens=1000)
@@ -72,14 +74,14 @@ def test_max_seq_len_stop():
 
 
 def test_long_prompt_chunked_prefill():
-    cfg = tiny_cfg(**{"infer.prefill_chunk": 32})
+    cfg = tiny_cfg(**{"infer.prefill_chunk": 32, "infer.stop_with_eos": False})
     eng = Engine(cfg)
     p = SampleParams(temperature=0.0, max_new_tokens=4)
     long_prompt = "word " * 18  # ~90 tokens > chunk of 32
     toks = eng.generate(long_prompt, p)
     assert len(toks) == 4
     # same tokens with chunking disabled
-    eng2 = Engine(tiny_cfg())
+    eng2 = Engine(tiny_cfg(**{"infer.stop_with_eos": False}))
     toks2 = eng2.generate(long_prompt, p)
     assert toks == toks2
 
@@ -88,7 +90,7 @@ def test_long_prompt_chunked_prefill():
     "policy", ["fcfs", "prefill_first", "stride", "deadline", "prefix_align", "balance"]
 )
 def test_scheduler_policies_complete(policy):
-    cfg = tiny_cfg(**{"scheduler.policy": policy})
+    cfg = tiny_cfg(**{"scheduler.policy": policy, "infer.stop_with_eos": False})
     eng = Engine(cfg)
     reqs = [
         eng.submit(f"prompt {i}", SampleParams(temperature=0.0, max_new_tokens=4))
@@ -100,7 +102,7 @@ def test_scheduler_policies_complete(policy):
 
 
 def test_admission_beyond_max_reqs():
-    cfg = tiny_cfg()
+    cfg = tiny_cfg(**{"infer.stop_with_eos": False})
     eng = Engine(cfg)
     reqs = [
         eng.submit(f"p{i}", SampleParams(temperature=0.5, max_new_tokens=3))
@@ -111,3 +113,19 @@ def test_admission_beyond_max_reqs():
     # all pages and slots returned
     assert eng.cache.allocator.num_free() == eng.cache.num_pages
     assert len(eng.executor.slots.free) == cfg.infer.max_reqs
+
+
+def test_eos_stop_token():
+    """A sampled stop token must end the request with finish_reason=stop,
+    including mid-decode-window."""
+    eng = Engine(tiny_cfg())
+    p = SampleParams(temperature=0.0, max_new_tokens=10)
+    probe = eng.generate("eos probe", p)
+    assert len(probe) >= 3
+    # make the 3rd greedy token a stop token for the next request
+    req = eng.submit("eos probe", p)
+    task = eng.pool[f"task-{req.request_id}"]
+    task.stop_tokens = frozenset({probe[2]})
+    eng.run_until_complete()
+    assert req.finish_reason == "stop"
+    assert list(req.async_stream.tokens) == probe[:3]

@@ -1,0 +1,67 @@
+"""TP via GSPMD on the virtual CPU mesh: sharded engine must produce the
+same greedy tokens as the single-device engine (reference scaling contract:
+docs/Development.md one binary from 1 GPU to TP to PP via config)."""
+
+import dataclasses
+
+import jax
+import pytest
+
+from chitu_tpu.engine import Engine
+from chitu_tpu.parallel import make_mesh
+from chitu_tpu.task import SampleParams
+
+from helpers import tiny_cfg
+
+
+def _tp_friendly_cfg(tp=1, dp=1):
+    cfg = tiny_cfg()
+    m = dataclasses.replace(
+        cfg.models,
+        n_layers=2,
+        dim=256,
+        n_heads=8,
+        n_kv_heads=4,
+        inter_dim=512,
+        vocab_size=512,
+    )
+    infer = dataclasses.replace(cfg.infer, tp_size=tp, dp_size=dp)
+    return dataclasses.replace(cfg, models=m, infer=infer)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_tp4_matches_single_device():
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_tp_friendly_cfg())
+    want = base.generate("the quick brown fox jumps", p)
+
+    eng = Engine(_tp_friendly_cfg(tp=4))
+    assert eng.mesh is not None and eng.mesh.shape["tp"] == 4
+    got = eng.generate("the quick brown fox jumps", p)
+    assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp2_tp4_batch():
+    eng = Engine(_tp_friendly_cfg(tp=4, dp=2))
+    reqs = [
+        eng.submit(f"prompt {i}", SampleParams(temperature=0.0, max_new_tokens=4))
+        for i in range(4)
+    ]
+    eng.run_until_complete()
+    for r in reqs:
+        assert len(r.async_stream.tokens) == 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_param_shardings_applied():
+    eng = Engine(_tp_friendly_cfg(tp=4))
+    wq = eng.params["layers"]["wq"]
+    # column-parallel: out dim sharded 4-ways
+    shard_shape = wq.sharding.shard_shape(wq.shape)
+    assert shard_shape[-1] == wq.shape[-1] // 4
+    wo = eng.params["layers"]["wo"]
+    assert wo.sharding.shard_shape(wo.shape)[-2] == wo.shape[-2] // 4
+    # KV pool sharded over kv heads
+    k = eng.cache.arrays["k"]
+    assert k.sharding.shard_shape(k.shape)[-2] == k.shape[-2] // 4

