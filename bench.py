@@ -58,7 +58,8 @@ def main():
         overrides=[
             "models=tiny-llama-debug",
             "infer.max_seq_len=512",
-            "infer.page_size=64",
+            "infer.page_size=256",
+            "infer.decode_window=32",
             f"infer.max_reqs={BS}",
             "infer.stop_with_eos=false",
             f"infer.decode_buckets={BS}",

@@ -96,18 +96,23 @@ class Engine:
         )
         cache_sharding = None
         if self.mesh is not None:
+            from chitu_tpu.models.common import pad_kv_minor
             from chitu_tpu.parallel import safe_named_sharding
 
-            kv_heads = spec["kv_heads"] or 1
+            minor = pad_kv_minor(
+                spec["kv_heads"] or 1,
+                spec["head_dim"] or spec.get("kv_dim", 0),
+            )
             pool_shape = (
                 spec["n_layers"],
                 num_pages,
                 cfg.infer.page_size,
-                kv_heads,
-                spec["head_dim"] or spec.get("kv_dim", 0),
+                minor,
             )
             cache_sharding = safe_named_sharding(
-                self.mesh, self.model.kv_cache_partition_spec(), pool_shape
+                self.mesh,
+                self.model.kv_cache_partition_spec(self.mesh.shape["tp"]),
+                pool_shape,
             )
         self.cache = PagedKVCache(
             spec["n_layers"],
@@ -118,6 +123,7 @@ class Engine:
             dtype=jnp.bfloat16,
             kv_dim=spec.get("kv_dim", 0),
             sharding=cache_sharding,
+            layer_groups=spec.get("layer_groups"),
         )
         logger.info(
             "KV cache: %d pages x %d tokens (%.1f MiB)",

@@ -86,6 +86,10 @@ class Executor:
             return "xla"
         if at == "pallas":
             return "pallas"
+        if self.mesh is not None:
+            # pallas_call is not auto-partitioned by GSPMD; multi-chip runs
+            # use the XLA path until the kernels are shard_map-wrapped
+            return "xla"
         # auto: pallas kernels once available on TPU, else the XLA oracle
         if jax.default_backend() == "tpu":
             try:

@@ -97,8 +97,10 @@ class SlotAllocator:
 class PagedKVCache:
     """Device pools + allocator for one model.
 
-    kv_heads == 0 selects the merged-MLA layout with `kv_dim` floats/token
-    shared across heads (reference: backend.py:186-197).
+    Pool layout: [L, num_pages, page, C] with C = pad128(KV*D) — each page
+    is a contiguous lane-aligned row block (TPU DMA tiling), shared with
+    the MLA merged layout where kv_heads == 0 and C = pad128(kv_dim)
+    (reference: backend.py:186-197).
     """
 
     def __init__(
@@ -111,7 +113,10 @@ class PagedKVCache:
         dtype=jnp.bfloat16,
         kv_dim: int = 0,
         sharding=None,
+        layer_groups: Optional[Dict[str, int]] = None,
     ):
+        from chitu_tpu.models.common import pad_kv_minor
+
         self.n_layers = n_layers
         self.num_pages = num_pages
         self.page_size = page_size
@@ -121,14 +126,19 @@ class PagedKVCache:
         self.allocator = PageAllocator(num_pages, page_size)
 
         if self.merged:
-            shape = (n_layers, num_pages, page_size, 1, kv_dim)
-            self.arrays = {"kv": jnp.zeros(shape, dtype=dtype)}
-        else:
-            shape = (n_layers, num_pages, page_size, kv_heads, head_dim)
+            self.minor = pad_kv_minor(1, kv_dim)
+            groups = layer_groups or {"kv": n_layers}
             self.arrays = {
-                "k": jnp.zeros(shape, dtype=dtype),
-                "v": jnp.zeros(shape, dtype=dtype),
+                name: jnp.zeros(
+                    (n, num_pages, page_size, self.minor), dtype=dtype
+                )
+                for name, n in groups.items()
             }
+        else:
+            # packed [K || V] page rows: one DMA per page fetches both
+            self.minor = 2 * pad_kv_minor(kv_heads, head_dim)
+            shape = (n_layers, num_pages, page_size, self.minor)
+            self.arrays = {"kv": jnp.zeros(shape, dtype=dtype)}
         if sharding is not None:
             self.arrays = {
                 k: jax.device_put(v, sharding) for k, v in self.arrays.items()

@@ -201,28 +201,42 @@ def paged_flat_index(
     return jnp.where(blk < 0, jnp.iinfo(jnp.int32).max, idx)
 
 
+def pad_kv_minor(kv_heads: int, head_dim: int, lane: int = 128) -> int:
+    """Pool minor-dim size: KV*D padded up to a lane multiple so pages are
+    contiguous 128-aligned rows (TPU DMA tiling requirement)."""
+    c = max(kv_heads, 1) * head_dim
+    return (c + lane - 1) // lane * lane
+
+
 def paged_append(
-    pool: jnp.ndarray,  # [num_pages, page, KV, D]
-    values: jnp.ndarray,  # [N, KV, D]
+    pool: jnp.ndarray,  # [num_pages, page, C]
+    values: jnp.ndarray,  # [N, KV, D] (or [N, C_valid])
     flat_idx: jnp.ndarray,  # [N] int32 (OOB = drop)
 ) -> jnp.ndarray:
-    P, page, KV, D = pool.shape
-    flat = pool.reshape(P * page, KV, D)
-    flat = flat.at[flat_idx].set(values.astype(pool.dtype), mode="drop")
-    return flat.reshape(P, page, KV, D)
+    P, page, C = pool.shape
+    N = values.shape[0]
+    vals = values.reshape(N, -1)
+    if vals.shape[-1] < C:
+        vals = jnp.pad(vals, ((0, 0), (0, C - vals.shape[-1])))
+    flat = pool.reshape(P * page, C)
+    flat = flat.at[flat_idx].set(vals.astype(pool.dtype), mode="drop")
+    return flat.reshape(P, page, C)
 
 
 def paged_gather(
-    pool: jnp.ndarray,  # [num_pages, page, KV, D]
+    pool: jnp.ndarray,  # [num_pages, page, C]
     block_table: jnp.ndarray,  # [B, max_pages] int32
+    kv_heads: int,
+    head_dim: int,
 ) -> jnp.ndarray:
     """Materialize per-request KV: [B, max_pages*page, KV, D].
 
     The XLA reference decode path; the Pallas paged-decode kernel reads
-    pages directly from HBM instead (ops/pallas_paged_decode.py).
+    pages directly from HBM instead (ops/pallas_attention.py).
     """
     B, MP = block_table.shape
-    P, page, KV, D = pool.shape
+    P, page, C = pool.shape
     safe = jnp.maximum(block_table, 0)
-    out = pool[safe]  # [B, MP, page, KV, D]
-    return out.reshape(B, MP * page, KV, D)
+    out = pool[safe]  # [B, MP, page, C]
+    out = out.reshape(B, MP * page, C)[..., : kv_heads * head_dim]
+    return out.reshape(B, MP * page, kv_heads, head_dim)

@@ -1,0 +1,454 @@
+"""DeepSeek-V3 / R1: MLA attention + group-limited sparse MoE.
+
+Capability parity with the reference's flagship model
+(reference: chitu/models/model_deepseek_v3.py, 1445 LoC):
+
+- **MLA absorb** (reference: :475-536, :564-602): queries are absorbed
+  through W_uk so the KV cache holds only kv_lora_rank(512) + rope(64)
+  floats per token, *shared across all 128 heads*; both prefill and decode
+  then run as 1-head MQA over the merged cache with head dim 576 (padded
+  to 640 lanes). This is the FlashMLA-equivalent formulation and uses the
+  same paged kernels as every other model.
+- **MoE** (reference: :774-1061): sigmoid gate with score-correction bias,
+  group-limited top-k (n_groups/topk_groups), route_scale, one shared
+  expert fused as a dense FFN + 256 routed experts through the
+  capacity-dispatch MoE (models/moe.py), expert dim shardable over 'tp'
+  (real EP; the reference hardcodes moe_world_size=1, :870-879).
+- **YaRN rope** with correction range + mscale softmax scaling
+  (reference: :1353-1445) via models/common.rope_tables.
+- First n_dense_layers use a dense SwiGLU FFN (reference model card).
+
+Weight dtype: bf16 natively; FP8/soft-FP8 checkpoints map onto QTensor
+leaves (quantize/transforms.py) with blockwise scales, matching the
+reference's native-fp8 LinearDeepSeekV3 (:109-226).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from chitu_tpu.models import register_model
+from chitu_tpu.models.common import (
+    apply_rope,
+    pad_kv_minor,
+    rms_norm,
+    rope_tables,
+)
+from chitu_tpu.models.moe import expert_capacity, moe_ffn, route
+from chitu_tpu.ops import attention as attn_ops
+from chitu_tpu.ops.linear import linear
+
+
+@register_model("deepseek-v3")
+class DeepSeekV3ForCausalLM:
+    def __init__(self, args, cfg):
+        assert args.mla is not None and args.moe is not None
+        self.args = args
+        self.cfg = cfg
+        self.mla = args.mla
+        self.moe = args.moe
+        m = self.mla
+        self.qk_head_dim = m.qk_nope_head_dim + m.qk_rope_head_dim  # 192
+        self.kv_dim = m.kv_lora_rank + m.qk_rope_head_dim  # 576
+        self.kv_minor = pad_kv_minor(1, self.kv_dim)  # 640
+        self.n_dense = self.moe.n_dense_layers
+        self.n_moe = args.n_layers - self.n_dense
+
+        # softmax scale with yarn mscale correction
+        # (reference: model_deepseek_v3.py:1420-1445)
+        scale = 1.0 / math.sqrt(self.qk_head_dim)
+        rs = args.rope_scaling
+        if (
+            rs is not None
+            and rs.kind == "yarn"
+            and cfg.infer.max_seq_len > rs.original_max_position
+            and rs.factor > 1.0
+            and rs.mscale_all_dim > 0
+        ):
+            ms = 0.1 * rs.mscale_all_dim * math.log(rs.factor) + 1.0
+            scale = scale * ms * ms
+        self.attn_scale = scale
+        self.cos, self.sin = rope_tables(
+            m.qk_rope_head_dim, cfg.infer.max_seq_len, args.rope_theta, rs
+        )
+        self.rotary_layout = "llama"  # deepseek uses interleaved pairs
+
+    # -- cache geometry -----------------------------------------------------
+
+    def kv_cache_spec(self) -> Dict[str, Any]:
+        # merged-MLA cache: 576 floats/token shared across heads
+        # (reference: backend.py:186-197)
+        return dict(
+            n_layers=self.args.n_layers,
+            kv_heads=0,
+            head_dim=0,
+            kv_dim=self.kv_dim,
+            layer_groups={
+                "kv_dense": self.n_dense,
+                "kv_moe": self.n_moe,
+            },
+        )
+
+    def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
+        # latent cache is head-shared: replicate (TP shards heads via wq_b)
+        return P(None, None, None, None)
+
+    def quantizable_keys(self):
+        return {
+            "wq",
+            "wq_a",
+            "wq_b",
+            "wkv_a",
+            "wkv_b",
+            "wo",
+            "w_gate",
+            "w_up",
+            "w_down",
+            "shared_gate",
+            "shared_up",
+            "shared_down",
+            "exp_gate",
+            "exp_up",
+            "exp_down",
+        }
+
+    # -- parameters ---------------------------------------------------------
+
+    def _init_attn(self, key, L, dtype):
+        a, m = self.args, self.mla
+        D, H = a.dim, a.n_heads
+        ks = jax.random.split(key, 8)
+
+        def init(k, shape, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(
+                dtype
+            )
+
+        p = {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "ffn_norm": jnp.ones((L, D), dtype),
+            "wkv_a": init(ks[0], (L, D, self.kv_dim)),
+            "kv_norm": jnp.ones((L, m.kv_lora_rank), dtype),
+            "wkv_b": init(
+                ks[1],
+                (L, m.kv_lora_rank, H * (m.qk_nope_head_dim + m.v_head_dim)),
+            ),
+            "wo": init(ks[2], (L, H * m.v_head_dim, D)),
+        }
+        if m.q_lora_rank > 0:
+            p["wq_a"] = init(ks[3], (L, D, m.q_lora_rank))
+            p["q_norm"] = jnp.ones((L, m.q_lora_rank), dtype)
+            p["wq_b"] = init(ks[4], (L, m.q_lora_rank, H * self.qk_head_dim))
+        else:
+            p["wq"] = init(ks[5], (L, D, H * self.qk_head_dim))
+        return p
+
+    def init_params(self, key: jax.Array, dtype=jnp.bfloat16):
+        a = self.args
+        mo = self.moe
+        D, V = a.dim, a.vocab_size
+        ks = jax.random.split(key, 12)
+
+        def init(k, shape, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(
+                dtype
+            )
+
+        dense = self._init_attn(ks[0], self.n_dense, dtype)
+        dense["w_gate"] = init(ks[1], (self.n_dense, D, a.inter_dim))
+        dense["w_up"] = init(ks[2], (self.n_dense, D, a.inter_dim))
+        dense["w_down"] = init(ks[3], (self.n_dense, a.inter_dim, D))
+
+        Lm = self.n_moe
+        E, Fm = mo.n_routed_experts, mo.moe_inter_dim
+        Fs = mo.moe_inter_dim * max(mo.n_shared_experts, 1)
+        moe_l = self._init_attn(ks[4], Lm, dtype)
+        moe_l["moe_gate"] = init(ks[5], (Lm, D, E))
+        moe_l["gate_bias"] = jnp.zeros((Lm, E), jnp.float32)
+        if mo.n_shared_experts > 0:
+            moe_l["shared_gate"] = init(ks[6], (Lm, D, Fs))
+            moe_l["shared_up"] = init(ks[7], (Lm, D, Fs))
+            moe_l["shared_down"] = init(ks[8], (Lm, Fs, D))
+        moe_l["exp_gate"] = init(ks[9], (Lm, E, D, Fm))
+        moe_l["exp_up"] = init(ks[10], (Lm, E, D, Fm))
+        moe_l["exp_down"] = init(ks[11], (Lm, E, Fm, D))
+
+        return {
+            "embed": init(jax.random.fold_in(key, 100), (V, D)),
+            "norm": jnp.ones((D,), dtype),
+            "lm_head": init(jax.random.fold_in(key, 101), (D, V)),
+            "dense_layers": dense,
+            "moe_layers": moe_l,
+        }
+
+    def param_partition_specs(self, params) -> Any:
+        def attn_specs(p):
+            out = {
+                "attn_norm": P(None, None),
+                "ffn_norm": P(None, None),
+                "wkv_a": P(None, None, None),  # latent: replicated
+                "kv_norm": P(None, None),
+                "wkv_b": P(None, None, "tp"),  # shard heads
+                "wo": P(None, "tp", None),
+            }
+            if "wq_a" in p:
+                out["wq_a"] = P(None, None, None)
+                out["q_norm"] = P(None, None)
+                out["wq_b"] = P(None, None, "tp")
+            else:
+                out["wq"] = P(None, None, "tp")
+            return out
+
+        dense = attn_specs(params["dense_layers"])
+        dense["w_gate"] = P(None, None, "tp")
+        dense["w_up"] = P(None, None, "tp")
+        dense["w_down"] = P(None, "tp", None)
+
+        moe_l = attn_specs(params["moe_layers"])
+        moe_l["moe_gate"] = P(None, None, None)
+        moe_l["gate_bias"] = P(None, None)
+        if "shared_gate" in params["moe_layers"]:
+            moe_l["shared_gate"] = P(None, None, "tp")
+            moe_l["shared_up"] = P(None, None, "tp")
+            moe_l["shared_down"] = P(None, "tp", None)
+        # expert parallelism over 'tp'
+        moe_l["exp_gate"] = P(None, "tp", None, None)
+        moe_l["exp_up"] = P(None, "tp", None, None)
+        moe_l["exp_down"] = P(None, "tp", None, None)
+
+        return {
+            "embed": P("tp", None),
+            "norm": P(None),
+            "lm_head": P(None, "tp"),
+            "dense_layers": dense,
+            "moe_layers": moe_l,
+        }
+
+    # -- attention ----------------------------------------------------------
+
+    def _mla(self, x, lp, kv_pool, cos, sin, append, attend):
+        """MLA absorb forward for a [T, D] slab.
+
+        (reference absorb paths: model_deepseek_v3.py:475-536 decode,
+        :564-602 prefill-as-MQA)"""
+        a, m = self.args, self.mla
+        T = x.shape[0]
+        H = a.n_heads
+        dn, dr, dv, dc = (
+            m.qk_nope_head_dim,
+            m.qk_rope_head_dim,
+            m.v_head_dim,
+            m.kv_lora_rank,
+        )
+
+        if m.q_lora_rank > 0:
+            q = linear(
+                rms_norm(linear(x, lp["wq_a"]), lp["q_norm"], a.norm_eps),
+                lp["wq_b"],
+            )
+        else:
+            q = linear(x, lp["wq"])
+        q = q.reshape(T, H, self.qk_head_dim)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
+
+        kv_a = linear(x, lp["wkv_a"])  # [T, 576]
+        c_kv = rms_norm(kv_a[:, :dc], lp["kv_norm"], a.norm_eps)
+        k_pe = apply_rope(
+            kv_a[:, None, dc:], cos, sin, self.rotary_layout
+        )[:, 0]  # [T, 64]
+
+        # absorb: q' = q_nope @ W_uk  -> [T, H, 512]
+        wkv_b = lp["wkv_b"]
+        from chitu_tpu.ops.qtensor import QTensor
+
+        wkv_b_d = (
+            wkv_b.dequantize(x.dtype)
+            if isinstance(wkv_b, QTensor)
+            else wkv_b.astype(x.dtype)
+        )
+        w_b = wkv_b_d.reshape(dc, H, dn + dv)
+        w_uk = w_b[..., :dn]  # [512, H, 128]
+        w_uv = w_b[..., dn:]  # [512, H, 128]
+        q_abs = jnp.einsum(
+            "thd,chd->thc", q_nope.astype(jnp.float32),
+            w_uk.astype(jnp.float32),
+        ).astype(x.dtype)  # [T, H, 512]
+
+        # merged cache row: [c_kv || k_pe], one shared "kv head"
+        new_kv = jnp.concatenate([c_kv, k_pe], axis=-1)[:, None, :]  # [T,1,576]
+        kv_pool = append(kv_pool, new_kv)
+
+        # MQA over the merged cache with padded head dim
+        q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, H, 576]
+        pad = self.kv_minor - self.kv_dim
+        if pad:
+            q_full = jnp.pad(q_full, ((0, 0), (0, 0), (0, pad)))
+        o = attend(q_full, kv_pool)  # [T, H, kv_minor]
+        out_c = o[..., :dc].astype(jnp.float32)  # latent-weighted sum
+
+        v_out = jnp.einsum(
+            "thc,chd->thd", out_c, w_uv.astype(jnp.float32)
+        ).astype(x.dtype)  # [T, H, 128]
+        return linear(v_out.reshape(T, H * dv), lp["wo"]), kv_pool
+
+    # -- FFNs ---------------------------------------------------------------
+
+    def _dense_ffn(self, x, lp):
+        gate = linear(x, lp["w_gate"])
+        up = linear(x, lp["w_up"])
+        return linear(jax.nn.silu(gate) * up, lp["w_down"])
+
+    def _moe_ffn(self, x, lp):
+        y = jnp.zeros_like(x)
+        if "shared_gate" in lp:
+            g = linear(x, lp["shared_gate"])
+            u = linear(x, lp["shared_up"])
+            y = linear(jax.nn.silu(g) * u, lp["shared_down"])
+        weights, sel = route(
+            x, lp["moe_gate"], self.moe, gate_bias=lp["gate_bias"]
+        )
+        cap = expert_capacity(
+            x.shape[0], self.moe.n_routed_experts, self.moe.n_activated_experts
+        )
+        y = y + moe_ffn(
+            x, lp["exp_gate"], lp["exp_up"], lp["exp_down"], weights, sel, cap
+        )
+        return y
+
+    # -- stacks -------------------------------------------------------------
+
+    def _run_stack(self, stack_params, kv_pools, h, cos, sin, append, attend, ffn):
+        a = self.args
+
+        def body(carry, xs):
+            h = carry
+            lp, pool = xs
+            x = rms_norm(h, lp["attn_norm"], a.norm_eps)
+            attn_out, pool = self._mla(x, lp, pool, cos, sin, append, attend)
+            h = h + attn_out
+            x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
+            h = h + ffn(x, lp)
+            return h, pool
+
+        h, kv_pools = jax.lax.scan(body, h, (stack_params, kv_pools))
+        return h, kv_pools
+
+    def _forward(self, params, cache, h, cos, sin, append, attend):
+        h, kv_dense = self._run_stack(
+            params["dense_layers"],
+            cache["kv_dense"],
+            h,
+            cos,
+            sin,
+            append,
+            attend,
+            self._dense_ffn,
+        )
+        h, kv_moe = self._run_stack(
+            params["moe_layers"],
+            cache["kv_moe"],
+            h,
+            cos,
+            sin,
+            append,
+            attend,
+            self._moe_ffn,
+        )
+        return h, {"kv_dense": kv_dense, "kv_moe": kv_moe}
+
+    def _logits(self, params, h):
+        return linear(h, params["lm_head"], out_dtype=jnp.float32)
+
+    # -- public forwards (same contract as LlamaForCausalLM) ----------------
+
+    def prefill(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        tokens: jnp.ndarray,  # [T]
+        block_table: jnp.ndarray,  # [mp]
+        start_pos: jnp.ndarray,
+        valid_len: jnp.ndarray,
+        page_size: int,
+        attn_impl: str = "xla",
+        return_all_logits: bool = False,
+    ):
+        T = tokens.shape[0]
+        pos = start_pos + jnp.arange(T, dtype=jnp.int32)
+        total_len = start_pos + valid_len
+        h = jnp.take(params["embed"], tokens, axis=0)
+        idx = jnp.minimum(pos, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+
+        def append(pool, new_kv):
+            return attn_ops.append_prefill(
+                pool, new_kv, None, block_table, pos, valid_len, page_size
+            )
+
+        def attend(q, pool):
+            return attn_ops.attend_prefill(
+                q,
+                pool,
+                block_table,
+                jnp.where(jnp.arange(T) < valid_len, pos, 0),
+                total_len,
+                page_size,
+                1,
+                self.kv_minor,
+                split_kv=False,
+                scale=self.attn_scale,
+                impl=attn_impl,
+            )
+
+        h, cache = self._forward(params, cache, h, cos, sin, append, attend)
+        h = rms_norm(h, params["norm"], self.args.norm_eps)
+        if return_all_logits:
+            return self._logits(params, h), cache
+        last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
+        return self._logits(params, last), cache
+
+    def decode(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        tokens: jnp.ndarray,  # [B]
+        seq_lens: jnp.ndarray,
+        block_tables: jnp.ndarray,
+        valid: jnp.ndarray,
+        page_size: int,
+        attn_impl: str = "xla",
+    ):
+        h = jnp.take(params["embed"], tokens, axis=0)
+        idx = jnp.minimum(seq_lens, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+
+        def append(pool, new_kv):
+            return attn_ops.append_decode(
+                pool, new_kv, None, block_tables, seq_lens, valid, page_size
+            )
+
+        def attend(q, pool):
+            return attn_ops.attend_decode(
+                q,
+                pool,
+                block_tables,
+                seq_lens,
+                page_size,
+                1,
+                self.kv_minor,
+                split_kv=False,
+                scale=self.attn_scale,
+                impl=attn_impl,
+            )
+
+        h, cache = self._forward(params, cache, h, cos, sin, append, attend)
+        h = rms_norm(h, params["norm"], self.args.norm_eps)
+        return self._logits(params, h), cache

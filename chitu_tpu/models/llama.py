@@ -147,9 +147,11 @@ class LlamaForCausalLM:
             specs["lm_head"] = P(None, "tp")
         return specs
 
-    def kv_cache_partition_spec(self) -> P:
-        # shard KV heads over tp when divisible, else replicate
-        return P(None, None, None, "tp", None)
+    def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
+        # the packed [K||V] minor interleaves K and V halves, so a plain
+        # minor-dim shard would split them across devices; replicate until
+        # the shard_map kernel phase shards each half on head boundaries
+        return P(None, None, None, None)
 
     # -- forward ------------------------------------------------------------
 
@@ -157,12 +159,11 @@ class LlamaForCausalLM:
         self,
         h: jnp.ndarray,  # [T, D]
         lp: Dict[str, jnp.ndarray],
-        k_pool: jnp.ndarray,
-        v_pool: jnp.ndarray,
+        pool: jnp.ndarray,  # [P, page, 2C] packed K||V pages
         cos: jnp.ndarray,  # [T, R/2]
         sin: jnp.ndarray,
-        attend,  # fn(q, k_pool, v_pool) -> [T, H, Dv]
-        append,  # fn(k_pool, v_pool, k, v) -> (k_pool, v_pool)
+        attend,  # fn(q, pool) -> [T, H, Dv]
+        append,  # fn(pool, k, v) -> pool
     ):
         a = self.args
         T = h.shape[0]
@@ -174,27 +175,29 @@ class LlamaForCausalLM:
         v = linear(x, lp["wv"], lp.get("bv")).reshape(T, KV, Dh)
         q = apply_rope(q, cos, sin, self.rotary_layout)
         k = apply_rope(k, cos, sin, self.rotary_layout)
-        k_pool, v_pool = append(k_pool, v_pool, k, v)
-        o = attend(q, k_pool, v_pool)
+        pool = append(pool, k, v)
+        o = attend(q, pool)
         h = h + linear(o.reshape(T, H * Dh), lp["wo"])
 
         x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
+        h = h + self._ffn(x, lp)
+        return h, pool
+
+    def _ffn(self, x: jnp.ndarray, lp: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """SwiGLU FFN; MoE families override (mixtral, deepseek)."""
         gate = linear(x, lp["w_gate"])
         up = linear(x, lp["w_up"])
-        h = h + linear(jax.nn.silu(gate) * up, lp["w_down"])
-        return h, (k_pool, v_pool)
+        return linear(jax.nn.silu(gate) * up, lp["w_down"])
 
-    def _run_layers(self, params, k_pools, v_pools, h, cos, sin, attend, append):
+    def _run_layers(self, params, pools, h, cos, sin, attend, append):
         def body(carry, xs):
             h = carry
-            lp, kp, vp = xs
-            h, (kp, vp) = self._layer(h, lp, kp, vp, cos, sin, attend, append)
-            return h, (kp, vp)
+            lp, pool = xs
+            h, pool = self._layer(h, lp, pool, cos, sin, attend, append)
+            return h, pool
 
-        h, (k_pools, v_pools) = jax.lax.scan(
-            body, h, (params["layers"], k_pools, v_pools)
-        )
-        return h, k_pools, v_pools
+        h, pools = jax.lax.scan(body, h, (params["layers"], pools))
+        return h, pools
 
     def _logits(self, params, h: jnp.ndarray) -> jnp.ndarray:
         head = (
@@ -227,26 +230,28 @@ class LlamaForCausalLM:
         cos = jnp.take(self.cos, jnp.minimum(pos, self.cos.shape[0] - 1), 0)
         sin = jnp.take(self.sin, jnp.minimum(pos, self.sin.shape[0] - 1), 0)
 
-        def append(kp, vp, k, v):
+        def append(pool, k, v):
             return attn_ops.append_prefill(
-                kp, vp, k, v, block_table, pos, valid_len, page_size
+                pool, k, v, block_table, pos, valid_len, page_size
             )
 
-        def attend(q, kp, vp):
+        def attend(q, pool):
             return attn_ops.attend_prefill(
                 q,
-                kp,
-                vp,
+                pool,
                 block_table,
                 jnp.where(jnp.arange(T) < valid_len, pos, 0),
                 total_len,
                 page_size,
+                self.args.n_kv_heads,
+                self.head_dim,
+                split_kv=True,
                 scale=self.attn_scale,
                 impl=attn_impl,
             )
 
-        h, k_pools, v_pools = self._run_layers(
-            params, cache["k"], cache["v"], h, cos, sin, attend, append
+        h, pools = self._run_layers(
+            params, cache["kv"], h, cos, sin, attend, append
         )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         if return_all_logits:
@@ -254,7 +259,7 @@ class LlamaForCausalLM:
         else:
             last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
             logits = self._logits(params, last)
-        return logits, {"k": k_pools, "v": v_pools}
+        return logits, {"kv": pools}
 
     def decode(
         self,
@@ -280,28 +285,30 @@ class LlamaForCausalLM:
         cos = jnp.take(self.cos, idx, 0)  # [B, R/2]
         sin = jnp.take(self.sin, idx, 0)
 
-        def append(kp, vp, k, v):
+        def append(pool, k, v):
             return attn_ops.append_decode(
-                kp, vp, k, v, block_tables, seq_lens, valid, page_size
+                pool, k, v, block_tables, seq_lens, valid, page_size
             )
 
-        def attend(q, kp, vp):
+        def attend(q, pool):
             return attn_ops.attend_decode(
                 q,
-                kp,
-                vp,
+                pool,
                 block_tables,
                 seq_lens,
                 page_size,
+                self.args.n_kv_heads,
+                self.head_dim,
+                split_kv=True,
                 scale=self.attn_scale,
                 impl=attn_impl,
             )
 
         # _layer treats the batch dim as the "token" dim; rope tables are
         # per-row so the [T, 1, R/2] broadcast in apply_rope still applies.
-        h, k_pools, v_pools = self._run_layers(
-            params, cache["k"], cache["v"], h, cos, sin, attend, append
+        h, pools = self._run_layers(
+            params, cache["kv"], h, cos, sin, attend, append
         )
         h = rms_norm(h, params["norm"], a.norm_eps)
         logits = self._logits(params, h)
-        return logits, {"k": k_pools, "v": v_pools}
+        return logits, {"kv": pools}

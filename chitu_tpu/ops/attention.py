@@ -12,6 +12,12 @@ implementations selected by `op_impl`:
   (ops/pallas_attention.py), the FlashAttn/FlashMLA/Triton-decode
   equivalents (reference: attn_backend.py:167-243,504-572,687-774).
 
+KV pool layout: ONE pool per layer, [num_pages, page, M].
+- GQA/MHA models: M = 2*C with C = pad128(KV*D); a page row holds
+  [K || V] so one DMA fetches both (split_kv=True).
+- MLA models: M = pad128(kv_dim); K and V are the same latent rows
+  (split_kv=False; reference merged cache: backend.py:181-217).
+
 Contract notes: causal alignment is bottom-right (query token i in a chunk
 starting at absolute position p attends to absolute positions <= p+i),
 matching flash-attn semantics the reference documents
@@ -20,69 +26,103 @@ matching flash-attn semantics the reference documents
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from chitu_tpu.models.common import (
-    NEG_INF,
     grouped_attention,
+    pad_kv_minor,
     paged_append,
     paged_flat_index,
-    paged_gather,
 )
 
 
+def pack_kv(k: jnp.ndarray, v: Optional[jnp.ndarray], minor: int) -> jnp.ndarray:
+    """[N, KV, D] k (+v) -> [N, minor] page-row values.
+
+    split layout: [k_flat | pad | v_flat | pad] with each half pad128-sized;
+    merged (v=None): [k_flat | pad]."""
+    N = k.shape[0]
+    kf = k.reshape(N, -1)
+    if v is None:
+        if kf.shape[-1] < minor:
+            kf = jnp.pad(kf, ((0, 0), (0, minor - kf.shape[-1])))
+        return kf
+    C = minor // 2
+    vf = v.reshape(N, -1)
+    kf = jnp.pad(kf, ((0, 0), (0, C - kf.shape[-1])))
+    vf = jnp.pad(vf, ((0, 0), (0, C - vf.shape[-1])))
+    return jnp.concatenate([kf, vf], axis=-1)
+
+
+def unpack_pool(
+    gathered: jnp.ndarray,  # [B, S, M]
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool,
+):
+    """-> (k [B, S, KV, D], v [B, S, KV, D])."""
+    B, S, M = gathered.shape
+    n = kv_heads * head_dim
+    if split_kv:
+        C = M // 2
+        k = gathered[..., :n].reshape(B, S, kv_heads, head_dim)
+        v = gathered[..., C : C + n].reshape(B, S, kv_heads, head_dim)
+        return k, v
+    k = gathered[..., :n].reshape(B, S, kv_heads, head_dim)
+    return k, k
+
+
+def _gather(pool, block_table):
+    safe = jnp.maximum(block_table, 0)
+    out = pool[safe]  # [B, MP, page, M]
+    B, MP, page, M = out.shape
+    return out.reshape(B, MP * page, M)
+
+
 def append_prefill(
-    k_pool: jnp.ndarray,  # [P, page, KV, D]
-    v_pool: Optional[jnp.ndarray],
+    pool: jnp.ndarray,  # [P, page, M]
     k: jnp.ndarray,  # [T, KV, D]
     v: Optional[jnp.ndarray],
     block_table: jnp.ndarray,  # [mp] int32
-    q_pos: jnp.ndarray,  # [T] absolute positions (pad rows -> OOB dropped)
-    valid_len: jnp.ndarray,  # scalar: number of valid rows in this chunk
+    q_pos: jnp.ndarray,  # [T] absolute positions
+    valid_len: jnp.ndarray,
     page_size: int,
-):
-    """Write a prefill chunk's K/V into the pools."""
+) -> jnp.ndarray:
     T = k.shape[0]
     pos = jnp.where(jnp.arange(T) < valid_len, q_pos, -1)
     bt = jnp.broadcast_to(block_table, (T, block_table.shape[0]))
     flat = paged_flat_index(bt, jnp.maximum(pos, 0), page_size)
     flat = jnp.where(pos >= 0, flat, jnp.iinfo(jnp.int32).max)
-    k_pool = paged_append(k_pool, k, flat)
-    if v_pool is not None:
-        v_pool = paged_append(v_pool, v, flat)
-    return k_pool, v_pool
+    return paged_append(pool, pack_kv(k, v, pool.shape[-1]), flat)
 
 
 def append_decode(
-    k_pool: jnp.ndarray,
-    v_pool: Optional[jnp.ndarray],
+    pool: jnp.ndarray,
     k: jnp.ndarray,  # [B, KV, D]
     v: Optional[jnp.ndarray],
     block_tables: jnp.ndarray,  # [B, mp]
-    seq_lens: jnp.ndarray,  # [B] context length (new token's position)
-    valid: jnp.ndarray,  # [B] bool — padded batch rows are dropped
+    seq_lens: jnp.ndarray,  # [B]
+    valid: jnp.ndarray,  # [B] bool
     page_size: int,
-):
+) -> jnp.ndarray:
     flat = paged_flat_index(block_tables, seq_lens, page_size)
     flat = jnp.where(valid, flat, jnp.iinfo(jnp.int32).max)
-    k_pool = paged_append(k_pool, k, flat)
-    if v_pool is not None:
-        v_pool = paged_append(v_pool, v, flat)
-    return k_pool, v_pool
+    return paged_append(pool, pack_kv(k, v, pool.shape[-1]), flat)
 
 
 def attend_prefill(
     q: jnp.ndarray,  # [T, H, D]
-    k_pool: jnp.ndarray,  # [P, page, KV, D]
-    v_pool: jnp.ndarray,
+    pool: jnp.ndarray,  # [P, page, M]
     block_table: jnp.ndarray,  # [mp]
-    q_pos: jnp.ndarray,  # [T] absolute positions
-    total_len: jnp.ndarray,  # scalar: sequence length incl. this chunk
+    q_pos: jnp.ndarray,  # [T]
+    total_len: jnp.ndarray,
     page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
     scale: Optional[float] = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
@@ -91,24 +131,26 @@ def attend_prefill(
         from chitu_tpu.ops import pallas_attention
 
         return pallas_attention.attend_prefill(
-            q, k_pool, v_pool, block_table, q_pos, total_len, page_size, scale
+            q, pool, block_table, q_pos, total_len,
+            page_size, kv_heads, head_dim, split_kv, scale=scale,
         )
-    mp = block_table.shape[0]
-    kv = paged_gather(k_pool, block_table[None])[0]  # [mp*page, KV, D]
-    vv = paged_gather(v_pool, block_table[None])[0]
-    S = mp * page_size
+    gathered = _gather(pool, block_table[None])
+    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+    S = k.shape[1]
     cols = jnp.arange(S)[None, :]
     mask = (cols <= q_pos[:, None]) & (cols < total_len)
-    return grouped_attention(q, kv, vv, mask, scale=scale)
+    return grouped_attention(q, k[0], v[0], mask, scale=scale)
 
 
 def attend_decode(
     q: jnp.ndarray,  # [B, H, D]
-    k_pool: jnp.ndarray,
-    v_pool: jnp.ndarray,
+    pool: jnp.ndarray,
     block_tables: jnp.ndarray,  # [B, mp]
-    seq_lens: jnp.ndarray,  # [B] context length EXCLUDING the new token
+    seq_lens: jnp.ndarray,  # [B] context EXCLUDING the new token
     page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
     scale: Optional[float] = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
@@ -117,16 +159,16 @@ def attend_decode(
         from chitu_tpu.ops import pallas_attention
 
         return pallas_attention.attend_decode(
-            q, k_pool, v_pool, block_tables, seq_lens, page_size, scale
+            q, pool, block_tables, seq_lens,
+            page_size, kv_heads, head_dim, split_kv, scale=scale,
         )
-    B, H, D = q.shape
-    kv = paged_gather(k_pool, block_tables)  # [B, S, KV, D]
-    vv = paged_gather(v_pool, block_tables)
-    S = kv.shape[1]
+    gathered = _gather(pool, block_tables)
+    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+    S = k.shape[1]
     cols = jnp.arange(S)[None, :]
-    mask = cols <= seq_lens[:, None]  # [B, S]
+    mask = cols <= seq_lens[:, None]
 
     def one(qb, kb, vb, mb):
         return grouped_attention(qb[None], kb, vb, mb[None], scale=scale)[0]
 
-    return jax.vmap(one)(q, kv, vv, mask)
+    return jax.vmap(one)(q, k, v, mask)

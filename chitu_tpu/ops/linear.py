@@ -57,6 +57,7 @@ def linear(
 def _quantized_matmul(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     impl = get_op_impl()
     if impl == "pallas":
+        from chitu_tpu.ops import pallas_quant_gemm  # registers kernels
         from chitu_tpu.ops import quant_gemm
 
         fn = quant_gemm.PALLAS_GEMMS.get(w.kind)

@@ -1,0 +1,398 @@
+"""Pallas TPU attention kernels over the paged KV cache.
+
+The TPU-native replacement for the reference's attention-backend zoo
+(reference: chitu/attn_backend.py — flash_attn / FlashMLA / flashinfer /
+triton split-KV decode, chitu/triton_decode_attention.py:20-291):
+
+- `attend_decode`: flash-decoding style batched one-token attention. One
+  grid step per batch row; pages stream HBM->VMEM through a ring of
+  in-flight DMAs (depth 8) with a *dynamic* page-count loop, so only the
+  live context is read and DMA latency is hidden behind compute.
+- `attend_prefill`: chunked prefill attention against the paged context
+  with causal masking by absolute position (flash-attn varlen semantics,
+  reference: attn_backend.py:88-101).
+
+Layouts (see ops/attention.py): one pool per layer, [P, page, M].
+split_kv=True packs [K || V] in each page row (one DMA fetches both);
+split_kv=False is the merged-MLA latent cache where V rows are the K rows
+(reference: backend.py:181-217 MLA-absorb shapes).
+
+GQA is handled with an *expanded query*: head h's D query lanes are placed
+into its KV head's block (zeros elsewhere), so Q@K^T over the packed row
+computes every head against its own KV head in one MXU matmul — no
+per-head slicing inside the kernel (64-wide head slices break Mosaic's
+128-lane tiling). The PV product runs against the full row and folds back
+to D with a block mask + constant fold matrix.
+
+Both kernels match the jnp oracle in ops/attention.py
+(tests/test_pallas_attention.py: CPU interpret mode + real TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DMA_RING = 8  # in-flight page fetches
+Q_BLOCK = 64  # prefill query tokens per grid step
+
+
+def _expand_q(q: jnp.ndarray, kv_heads: int, C: int) -> jnp.ndarray:
+    """[..., H, D] -> [..., H, C]: head h occupies its KV head's D-block."""
+    *lead, H, D = q.shape
+    G = H // kv_heads
+    out = jnp.zeros((*lead, H, kv_heads, D), q.dtype)
+    h_idx = jnp.arange(H)
+    kv_idx = h_idx // G
+    out = out.at[..., h_idx, kv_idx, :].set(q)
+    out = out.reshape(*lead, H, kv_heads * D)
+    if kv_heads * D < C:
+        pad = [(0, 0)] * (len(lead) + 1) + [(0, C - kv_heads * D)]
+        out = jnp.pad(out, pad)
+    return out
+
+
+def _head_block_mask(H: int, kv_heads: int, D: int, C: int) -> np.ndarray:
+    """[H, C] 1.0 where column belongs to head h's KV block."""
+    G = H // kv_heads
+    m = np.zeros((H, C), np.float32)
+    for h in range(H):
+        k = h // G
+        m[h, k * D : (k + 1) * D] = 1.0
+    return m
+
+
+def _fold_matrix(kv_heads: int, D: int, C: int) -> np.ndarray:
+    """[C, D]: sums the KV blocks of a masked [_, C] row into D columns."""
+    f = np.zeros((C, D), np.float32)
+    for k in range(kv_heads):
+        f[k * D : (k + 1) * D, :] = np.eye(D, dtype=np.float32)
+    return f
+
+
+def _halves(buf, split_kv: bool):
+    """VMEM page row -> (k part [page, C], v part [page, C])."""
+    if split_kv:
+        C = buf.shape[-1] // 2
+        return buf[:, :C], buf[:, C:]
+    return buf, buf
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    block_tables_ref,  # [B, mp] int32 (SMEM, scalar prefetch)
+    seq_lens_ref,  # [B] int32
+    q_ref,  # [1, H, C] VMEM block
+    pool_ref,  # [P, page, M] ANY/HBM
+    mask_ref,  # [H, C] VMEM
+    fold_ref,  # [C, D] VMEM
+    o_ref,  # [1, H, D] VMEM block
+    buf,  # [W, page, M] VMEM
+    sems,  # [W] DMA semaphores
+    *,
+    page: int,
+    scale: float,
+    split_kv: bool,
+    ring: int,
+):
+    b = pl.program_id(0)
+    total = seq_lens_ref[b] + 1  # new token's K/V already appended
+    n_pages = jax.lax.div(total + page - 1, page)
+    H = q_ref.shape[1]
+    D = fold_ref.shape[1]
+
+    def dma(slot, i):
+        pid = jnp.maximum(block_tables_ref[b, i], 0)
+        return pltpu.make_async_copy(
+            pool_ref.at[pid], buf.at[slot], sems.at[slot]
+        )
+
+    # fill the ring
+    for w in range(ring):
+        @pl.when(w < n_pages)
+        def _():
+            dma(w, w).start()
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
+
+    def body(i, carry):
+        m, l, acc = carry  # [H, 1], [H, 1], [H, D]
+        slot = jax.lax.rem(i, ring)
+        dma(slot, i).wait()
+
+        kpage, vpage = _halves(buf[slot].astype(jnp.float32), split_kv)
+        pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        valid = pos < total
+
+        s = jax.lax.dot_general(
+            q, kpage, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, page]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        pv_full = jax.lax.dot_general(
+            p, vpage, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, C]
+        pv = jax.lax.dot_general(
+            pv_full * mask_ref[...], fold_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, D]
+
+        # refill the ring slot we just freed
+        @pl.when(i + ring < n_pages)
+        def _():
+            dma(slot, i + ring).start()
+
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    acc0 = jnp.zeros((H, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "head_dim", "split_kv", "scale", "interpret"
+    ),
+)
+def attend_decode(
+    q: jnp.ndarray,  # [B, H, D]
+    pool: jnp.ndarray,  # [P, page, M]
+    block_tables: jnp.ndarray,  # [B, mp] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (context excluding the new token)
+    page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, D = q.shape
+    P, page, M = pool.shape
+    C = M // 2 if split_kv else M
+    assert page == page_size and D == head_dim
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    ring = min(DMA_RING, max(block_tables.shape[-1], 2))
+
+    q_exp = _expand_q(q, kv_heads, C)
+    mask = jnp.asarray(_head_block_mask(H, kv_heads, D, C))
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H, C), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ring, page, M), pool.dtype),
+            pltpu.SemaphoreType.DMA((ring,)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, page=page, scale=scale, split_kv=split_kv, ring=ring
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(block_tables, seq_lens, q_exp, pool, mask, fold)
+
+
+# ---------------------------------------------------------------------------
+# Prefill kernel
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(
+    block_table_ref,  # [mp] int32
+    info_ref,  # [2] int32: (total_len, q_start)
+    q_ref,  # [Tq, H, C] VMEM block
+    pool_ref,
+    mask_ref,  # [H, C]
+    fold_ref,  # [C, D]
+    o_ref,  # [Tq, H, D] VMEM block
+    buf,
+    sems,
+    *,
+    page: int,
+    heads: int,
+    scale: float,
+    split_kv: bool,
+    ring: int,
+):
+    qb = pl.program_id(0)
+    total = info_ref[0]
+    Tq = q_ref.shape[0]
+    q_start = info_ref[1] + qb * Tq
+    H = heads
+    D = fold_ref.shape[1]
+    C = q_ref.shape[2]
+
+    # causal: this q block only needs pages up to its last row's position
+    last_pos = jnp.minimum(q_start + Tq, total)
+    n_pages = jax.lax.div(last_pos + page - 1, page)
+
+    def dma(slot, i):
+        pid = jnp.maximum(block_table_ref[i], 0)
+        return pltpu.make_async_copy(
+            pool_ref.at[pid], buf.at[slot], sems.at[slot]
+        )
+
+    for w in range(ring):
+        @pl.when(w < n_pages)
+        def _():
+            dma(w, w).start()
+
+    q = q_ref[...].astype(jnp.float32).reshape(Tq * H, C) * scale
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
+    q_pos = q_start + row_t  # [Tq*H, 1]
+    mask_tc = jnp.broadcast_to(
+        mask_ref[...][None, :, :], (Tq, H, C)
+    ).reshape(Tq * H, C)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, ring)
+        dma(slot, i).wait()
+
+        kpage, vpage = _halves(buf[slot].astype(jnp.float32), split_kv)
+        kpos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        keep = (kpos < total) & (kpos <= q_pos)  # [Tq*H, page]
+
+        s = jax.lax.dot_general(
+            q, kpage, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(keep, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv_full = jax.lax.dot_general(
+            p, vpage, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pv = jax.lax.dot_general(
+            pv_full * mask_tc, fold_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i + ring < n_pages)
+        def _():
+            dma(slot, i + ring).start()
+
+        return m_new, l_new, acc * alpha + pv
+
+    TH = Tq * H
+    m0 = jnp.full((TH, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((TH, 1), jnp.float32)
+    acc0 = jnp.zeros((TH, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[...] = out.reshape(Tq, H, D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "head_dim", "split_kv", "scale", "interpret"
+    ),
+)
+def attend_prefill(
+    q: jnp.ndarray,  # [T, H, D]
+    pool: jnp.ndarray,
+    block_table: jnp.ndarray,  # [mp]
+    q_pos: jnp.ndarray,  # [T] absolute positions (consecutive from q_pos[0])
+    total_len: jnp.ndarray,  # scalar
+    page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, H, D = q.shape
+    P, page, M = pool.shape
+    C = M // 2 if split_kv else M
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    Tq = min(T, Q_BLOCK)
+    assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
+    ring = min(DMA_RING, max(block_table.shape[-1], 2))
+
+    q_exp = _expand_q(q, kv_heads, C)
+    mask = jnp.asarray(_head_block_mask(H, kv_heads, D, C))
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
+    info = jnp.stack(
+        [jnp.asarray(total_len, jnp.int32), q_pos[0].astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // Tq,),
+        in_specs=[
+            pl.BlockSpec(
+                (Tq, H, C), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Tq, H, D), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ring, page, M), pool.dtype),
+            pltpu.SemaphoreType.DMA((ring,)),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel,
+        page=page,
+        heads=H,
+        scale=scale,
+        split_kv=split_kv,
+        ring=ring,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, H, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(block_table, info, q_exp, pool, mask, fold)

@@ -1,0 +1,191 @@
+"""Pallas fused dequant+matmul kernels (the quantization ladder's hot path).
+
+Capability parity with the reference's quantized GEMM zoo
+(reference: soft-fp8 Triton GEMM with inline-PTX byte unpacking,
+chitu/triton_kernels.py:368-508; fp8 blockwise GEMM :290-365; EETQ W8A16,
+AWQ W4A16, W8A8 — SURVEY.md §2.6). TPU-native design: weights stay packed
+(fp8 / int8 / int4-in-uint8) in HBM and are dequantized to bf16 *inside the
+GEMM's K-loop* in VMEM, right before feeding the MXU — the memory pipeline
+only ever moves packed bytes, which is the entire point of weight-only
+quantization for bandwidth-bound decode (reference: docs/en/FAQ.md:3-11).
+
+Scale handling: blockwise / per-channel scales are pre-expanded to rowwise
+[K_blocks, N] (a <=3% extra read) so every grid step multiplies a [1, bn]
+row — no sub-128-lane scale tiles.
+
+All kernels match QTensor.dequantize + jnp.dot within bf16 tolerance
+(tests/test_pallas_quant_gemm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chitu_tpu.ops.qtensor import QTensor, QuantKind
+from chitu_tpu.ops.quant_gemm import register
+
+BM_MAX = 256
+BN = 512
+BK = 128  # = quant block size along K
+
+
+def _pad_to(x: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _gemm_kernel(
+    x_ref,  # [bm, BK] activation block
+    w_ref,  # [BK, bn] packed weights
+    s_ref,  # [1, bn] rowwise scale for this K-block
+    z_ref,  # [1, bn] rowwise zero for this K-block (zeros if unused)
+    o_ref,  # [bm, bn]
+    acc,  # [bm, bn] f32 scratch
+    *,
+    n_k: int,
+    asym: bool,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    w = w_ref[...].astype(jnp.float32)
+    if asym:
+        w = w - z_ref[...]
+    w = (w * s_ref[...]).astype(jnp.bfloat16)
+    x = x_ref[...].astype(jnp.bfloat16)
+    acc[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("asym", "interpret", "out_dtype"))
+def _quant_gemm(
+    x: jnp.ndarray,  # [T, K]
+    data: jnp.ndarray,  # [K, N] packed
+    scale_rows: jnp.ndarray,  # [K//BK, N] f32
+    zero_rows: jnp.ndarray,  # [K//BK, N] f32
+    asym: bool = False,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+):
+    T, K = x.shape
+    N = data.shape[1]
+    bm = min(BM_MAX, max(8, (T + 7) // 8 * 8))
+    bn = min(BN, N)
+
+    xp = _pad_to(_pad_to(x, bm, 0), BK, 1)
+    dp = _pad_to(_pad_to(data, BK, 0), bn, 1)
+    sp = _pad_to(scale_rows, bn, 1)
+    zp = _pad_to(zero_rows, bn, 1)
+    Tp, Kp = xp.shape
+    Np = dp.shape[1]
+    n_k = Kp // BK
+    if sp.shape[0] < n_k:  # K padding added a block
+        sp = _pad_to(sp, n_k, 0)
+        zp = _pad_to(zp, n_k, 0)
+
+    grid = (Tp // bm, Np // bn, n_k)
+    out = pl.pallas_call(
+        functools.partial(_gemm_kernel, n_k=n_k, asym=asym),
+        out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(xp, dp, sp, zp)
+    return out[:T, :N]
+
+
+def _expand_scale_rows(q: QTensor) -> jnp.ndarray:
+    """Per-scheme scales -> rowwise [K//BK, N] f32."""
+    K, N = q.data.shape[-2], q.data.shape[-1]
+    nk = (K + BK - 1) // BK
+    if q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
+        # [K/B, N/B] -> repeat along N
+        s = jnp.repeat(q.scale, q.block, axis=-1)[..., :N]
+        return s.astype(jnp.float32)
+    if q.kind in (QuantKind.W8A16, QuantKind.W8A8):
+        # [N] per-out-channel -> same for every K block
+        return jnp.broadcast_to(q.scale[None, :], (nk, N)).astype(jnp.float32)
+    if q.kind == QuantKind.W4A16:
+        # group == BK along K: scale already [K/G, N]
+        return q.scale.astype(jnp.float32)
+    raise ValueError(q.kind)
+
+
+def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K)
+    scale_rows = _expand_scale_rows(q)
+    if q.kind == QuantKind.W4A16:
+        zero_rows = q.zeros.astype(jnp.float32)  # (w - z) * s
+        asym = True
+    else:
+        zero_rows = jnp.zeros_like(scale_rows)
+        asym = False
+    y = _quant_gemm(
+        x2, q.data, scale_rows, zero_rows, asym=asym, interpret=interpret
+    )
+    return y.reshape(*lead, -1)
+
+
+def _wrap(kind):
+    def fn(x, q: QTensor):
+        if q.data.ndim != 2 or q.block != BK:
+            # stacked/odd-block weights fall back to XLA dequant
+            return jnp.dot(
+                x,
+                q.dequantize(jnp.bfloat16).astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        interpret = jax.default_backend() != "tpu"
+        return _matmul_impl(x, q, interpret=interpret)
+
+    return fn
+
+
+for _kind in (
+    QuantKind.SOFT_FP8,
+    QuantKind.FP8,
+    QuantKind.W8A16,
+    QuantKind.W8A8,
+    QuantKind.W4A16,
+):
+    register(_kind)(_wrap(_kind))

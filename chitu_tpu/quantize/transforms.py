@@ -138,7 +138,7 @@ def quantize_params(
                 walk(v, path + (str(i),)) for i, v in enumerate(tree)
             )
         name = path[-1] if path else ""
-        under_layers = any(p in ("layers", "experts") for p in path[:-1])
+        under_layers = any("layers" in p or "experts" in p for p in path[:-1])
         eligible = (
             isinstance(tree, jnp.ndarray)
             and tree.ndim >= 2

@@ -1,0 +1,129 @@
+"""DeepSeek-V3: MLA absorb consistency + engine end-to-end
+(reference: chitu/models/model_deepseek_v3.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chitu_tpu.config import load_config
+from chitu_tpu.engine import Engine
+from chitu_tpu.kvcache import PagedKVCache
+from chitu_tpu.models import build_model
+from chitu_tpu.task import SampleParams
+
+
+def _ds_cfg(**over):
+    overrides = [
+        "models=tiny-deepseek-debug",
+        "infer.max_seq_len=128",
+        "infer.max_reqs=4",
+        "infer.page_size=16",
+        "infer.stop_with_eos=false",
+    ] + [f"{k}={v}" for k, v in over.items()]
+    return load_config(overrides=overrides)
+
+
+@pytest.fixture(scope="module")
+def ds_model():
+    cfg = _ds_cfg()
+    model = build_model(cfg.models, cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def _cache(model, cfg):
+    spec = model.kv_cache_spec()
+    return PagedKVCache(
+        spec["n_layers"],
+        16,
+        cfg.infer.page_size,
+        spec["kv_heads"],
+        spec["head_dim"],
+        kv_dim=spec["kv_dim"],
+        layer_groups=spec["layer_groups"],
+    )
+
+
+def test_mla_decode_matches_prefill(ds_model):
+    cfg, model, params = ds_model
+    page = cfg.infer.page_size
+    bt = jnp.array([0, 1, 2, 3, -1, -1, -1, -1], jnp.int32)
+    tokens = jnp.arange(10, dtype=jnp.int32) % 7
+
+    cache = _cache(model, cfg)
+    _, arrs = model.prefill(
+        params,
+        cache.arrays,
+        jnp.pad(tokens, (0, 6)),
+        bt,
+        jnp.int32(0),
+        jnp.int32(10),
+        page,
+    )
+    dec, _ = model.decode(
+        params,
+        arrs,
+        jnp.array([5], jnp.int32),
+        jnp.array([10], jnp.int32),
+        bt[None],
+        jnp.array([True]),
+        page,
+    )
+    cache2 = _cache(model, cfg)
+    tok11 = jnp.pad(jnp.concatenate([tokens, jnp.array([5], jnp.int32)]), (0, 5))
+    pre, _ = model.prefill(
+        params, cache2.arrays, tok11, bt, jnp.int32(0), jnp.int32(11), page
+    )
+    assert int(jnp.argmax(dec[0])) == int(jnp.argmax(pre))
+    np.testing.assert_allclose(
+        np.asarray(dec[0]), np.asarray(pre), atol=0.08, rtol=0.08
+    )
+
+
+def test_mla_cache_is_compact(ds_model):
+    """MLA cache must hold kv_dim (576-equivalent) floats/token, not
+    per-head KV (the reference's headline memory win, backend.py:186-197)."""
+    cfg, model, params = ds_model
+    cache = _cache(model, cfg)
+    m = cfg.models.mla
+    # layer groups partition layers; per-token cost is the (padded) minor
+    assert sum(a.shape[0] for a in cache.arrays.values()) == cfg.models.n_layers
+    per_token = cache.minor
+    assert per_token <= 2 * (m.kv_lora_rank + m.qk_rope_head_dim)
+    # well below per-head caching (n_heads * (nope+rope+v))
+    full_kv = cfg.models.n_heads * (
+        m.qk_nope_head_dim + m.qk_rope_head_dim + m.v_head_dim
+    )
+    assert per_token < full_kv / 4
+
+
+def test_deepseek_engine_end_to_end():
+    eng = Engine(_ds_cfg())
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    t1 = eng.generate("deepseek check", p)
+    t2 = eng.generate("deepseek check", p)
+    assert t1 == t2 and len(t1) == 6
+
+
+def test_deepseek_soft_fp8_engine():
+    cfg = _ds_cfg(**{"quant.method": "soft_fp8", "quant.quant_on_load": "true"})
+    eng = Engine(cfg)
+    from chitu_tpu.ops.qtensor import QTensor
+
+    assert isinstance(eng.params["moe_layers"]["exp_gate"], QTensor)
+    assert isinstance(eng.params["moe_layers"]["wkv_b"], QTensor)
+    t = eng.generate("fp8 deepseek", SampleParams(temperature=0.0, max_new_tokens=4))
+    assert len(t) == 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_deepseek_tp4_matches():
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    base = Engine(_ds_cfg())
+    want = base.generate("tensor parallel mla", p)
+    eng = Engine(_ds_cfg(**{"infer.tp_size": 4}))
+    got = eng.generate("tensor parallel mla", p)
+    assert got == want

@@ -1,0 +1,53 @@
+"""Pallas dequant-GEMM kernels vs QTensor.dequantize + jnp.dot
+(reference contract: chitu/triton_kernels.py soft-fp8/fp8 GEMMs,
+quantize/w8a16, awq W4A16)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chitu_tpu.ops import pallas_quant_gemm as pqg
+from chitu_tpu.ops.qtensor import QuantKind
+from chitu_tpu.quantize import quantize_weight
+
+
+@pytest.mark.parametrize(
+    "kind", [QuantKind.SOFT_FP8, QuantKind.W8A16, QuantKind.W4A16]
+)
+@pytest.mark.parametrize("T,K,N", [(16, 256, 384), (100, 300, 200), (1, 128, 128)])
+def test_gemm_matches_dequant(kind, T, K, N):
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = (jax.random.normal(kx, (T, K)) * 0.5).astype(jnp.bfloat16)
+    w = jax.random.normal(kw, (K, N)) * 0.05
+    q = quantize_weight(w, kind)
+
+    want = jnp.dot(
+        x, q.dequantize(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    got = pqg._matmul_impl(x, q, interpret=jax.default_backend() != "tpu")
+    rel = float(
+        jnp.linalg.norm(got - want)
+        / jnp.maximum(jnp.linalg.norm(want), 1e-6)
+    )
+    assert rel < 2e-2, f"{kind} T={T} rel={rel}"
+
+
+def test_linear_dispatch_uses_kernel():
+    from chitu_tpu.ops.linear import linear, set_op_impl
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = (jax.random.normal(kx, (8, 256)) * 0.5).astype(jnp.bfloat16)
+    w = jax.random.normal(kw, (256, 128)) * 0.05
+    q = quantize_weight(w, QuantKind.SOFT_FP8)
+    try:
+        set_op_impl("pallas")
+        y_pallas = linear(x, q, out_dtype=jnp.float32)
+    finally:
+        set_op_impl("auto")
+    y_ref = jnp.dot(x.astype(jnp.float32), w)
+    rel = float(
+        jnp.linalg.norm(y_pallas - y_ref)
+        / jnp.maximum(jnp.linalg.norm(y_ref), 1e-6)
+    )
+    assert rel < 0.1

