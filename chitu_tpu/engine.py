@@ -91,40 +91,51 @@ class Engine:
         logger.info("params ready in %.1fs", time.time() - t0)
 
         spec = self.model.kv_cache_spec()
-        num_pages = PagedKVCache.num_pages_for(
-            cfg.infer.max_reqs, cfg.infer.max_seq_len, cfg.infer.page_size
-        )
+        # cache_type (reference: backend.py:218-258 normal/paged/skew/nop):
+        # - "paged": block pool (PagedKVCacheManager equivalent)
+        # - "dense": one max_seq_len page per request = the contiguous
+        #   slot-per-request layout of KVCacheManagerSkewAware — same code
+        #   paths, one DMA per row
+        # - "nop": single shared page, garbage outputs (perf debugging,
+        #   KVCacheManagerNop equivalent)
+        cache_type = cfg.infer.cache_type
+        page_size = cfg.infer.page_size
+        if cache_type in ("dense", "skew"):
+            page_size = cfg.infer.max_seq_len
+            num_pages = cfg.infer.max_reqs
+        elif cache_type == "nop":
+            page_size = cfg.infer.max_seq_len
+            num_pages = 1
+        else:
+            num_pages = PagedKVCache.num_pages_for(
+                cfg.infer.max_reqs, cfg.infer.max_seq_len, page_size
+            )
+        if page_size != cfg.infer.page_size:
+            infer = dataclasses.replace(cfg.infer, page_size=page_size)
+            cfg = dataclasses.replace(cfg, infer=infer)
+            self.cfg = cfg
         cache_sharding = None
         if self.mesh is not None:
-            from chitu_tpu.models.common import pad_kv_minor
-            from chitu_tpu.parallel import safe_named_sharding
-
-            minor = pad_kv_minor(
-                spec["kv_heads"] or 1,
-                spec["head_dim"] or spec.get("kv_dim", 0),
-            )
-            pool_shape = (
-                spec["n_layers"],
-                num_pages,
-                cfg.infer.page_size,
-                minor,
-            )
-            cache_sharding = safe_named_sharding(
+            cache_sharding = (
                 self.mesh,
                 self.model.kv_cache_partition_spec(self.mesh.shape["tp"]),
-                pool_shape,
             )
         self.cache = PagedKVCache(
             spec["n_layers"],
             num_pages,
-            cfg.infer.page_size,
+            page_size,
             spec["kv_heads"],
             spec["head_dim"],
             dtype=jnp.bfloat16,
             kv_dim=spec.get("kv_dim", 0),
             sharding=cache_sharding,
             layer_groups=spec.get("layer_groups"),
+            max_slots=cfg.infer.max_reqs,
         )
+        if cache_type == "nop":
+            from chitu_tpu.kvcache.paged import NopAllocator
+
+            self.cache.allocator = NopAllocator(page_size)
         logger.info(
             "KV cache: %d pages x %d tokens (%.1f MiB)",
             num_pages,

@@ -1,1 +1,6 @@
-from chitu_tpu.kvcache.paged import PageAllocator, PagedKVCache, SlotAllocator
+from chitu_tpu.kvcache.paged import (
+    NativeBackedPageAllocator,
+    PageAllocator,
+    PagedKVCache,
+    SlotAllocator,
+)

@@ -67,6 +67,67 @@ class PageAllocator:
         return bt
 
 
+class NativeBackedPageAllocator:
+    """PageAllocator-compatible facade over the C++ host runtime
+    (chitu_tpu/native.py). Request-id strings map to bounded integer
+    handles (only resident requests hold pages, so max_slots = max_reqs
+    bounds live handles)."""
+
+    def __init__(self, num_pages: int, page_size: int, max_slots: int):
+        from chitu_tpu.native import NativePageAllocator
+
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.native = NativePageAllocator(num_pages, page_size, max_slots)
+        self._free_handles: List[int] = list(range(max_slots - 1, -1, -1))
+        self._handle: Dict[str, int] = {}
+
+    def num_free(self) -> int:
+        return self.native.num_free()
+
+    def ensure(self, req_id: str, total_tokens: int) -> bool:
+        h = self._handle.get(req_id)
+        if h is None:
+            if not self._free_handles:
+                return False
+            h = self._free_handles.pop()
+            self._handle[req_id] = h
+        return self.native.ensure(h, total_tokens)
+
+    def free(self, req_id: str):
+        h = self._handle.pop(req_id, None)
+        if h is not None:
+            self.native.release(h)
+            self._free_handles.append(h)
+
+    def block_table(self, req_ids: Sequence[str], max_pages: int) -> np.ndarray:
+        slots = [self._handle.get(r, -1) for r in req_ids]
+        return self.native.block_table(slots, max_pages)
+
+
+class NopAllocator:
+    """Everything maps to page 0; never exhausts (cache_type=nop,
+    reference: cache_manager.py:655-732 — perf debugging only)."""
+
+    def __init__(self, page_size: int):
+        self.page_size = page_size
+        self.num_pages = 1
+
+    def num_free(self) -> int:
+        return 1 << 30
+
+    def ensure(self, req_id: str, total_tokens: int) -> bool:
+        return True
+
+    def free(self, req_id: str):
+        pass
+
+    def block_table(self, req_ids: Sequence[str], max_pages: int) -> np.ndarray:
+        bt = np.full((len(req_ids), max_pages), -1, dtype=np.int32)
+        bt[:, 0] = 0
+        return bt
+
+
 class SlotAllocator:
     """Fixed slots for per-request device-resident state (sampling counts).
 
@@ -114,6 +175,7 @@ class PagedKVCache:
         kv_dim: int = 0,
         sharding=None,
         layer_groups: Optional[Dict[str, int]] = None,
+        max_slots: int = 0,
     ):
         from chitu_tpu.models.common import pad_kv_minor
 
@@ -123,7 +185,7 @@ class PagedKVCache:
         self.kv_heads = kv_heads
         self.head_dim = head_dim
         self.merged = kv_heads == 0
-        self.allocator = PageAllocator(num_pages, page_size)
+        self.allocator = self._make_allocator(num_pages, page_size, max_slots)
 
         if self.merged:
             self.minor = pad_kv_minor(1, kv_dim)
@@ -140,9 +202,30 @@ class PagedKVCache:
             shape = (n_layers, num_pages, page_size, self.minor)
             self.arrays = {"kv": jnp.zeros(shape, dtype=dtype)}
         if sharding is not None:
+            # sharding = (mesh, PartitionSpec); divisibility checked per
+            # array (layer groups differ in size)
+            from chitu_tpu.parallel import safe_named_sharding
+
+            mesh, spec = sharding
             self.arrays = {
-                k: jax.device_put(v, sharding) for k, v in self.arrays.items()
+                k: jax.device_put(v, safe_named_sharding(mesh, spec, v.shape))
+                for k, v in self.arrays.items()
             }
+
+    @staticmethod
+    def _make_allocator(num_pages: int, page_size: int, max_slots: int):
+        """Native C++ allocator when the toolchain is available
+        (env CHITU_TPU_NATIVE=0 forces the python fallback)."""
+        import os
+
+        if max_slots > 0 and os.environ.get("CHITU_TPU_NATIVE", "1") != "0":
+            try:
+                return NativeBackedPageAllocator(
+                    num_pages, page_size, max_slots
+                )
+            except (RuntimeError, OSError):
+                pass
+        return PageAllocator(num_pages, page_size)
 
     @property
     def max_pages_per_seq(self) -> int:

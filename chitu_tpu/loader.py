@@ -156,10 +156,27 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
     # staging: name -> np array (per-layer pieces buffered then stacked)
     flat: Dict[str, np.ndarray] = {}
     staged: Dict[str, List[Optional[np.ndarray]]] = {}
+    # AWQ/GPTQ packed projections: (layer, our_name) -> {qweight,...}
+    packed: Dict[Tuple[int, str], Dict[str, np.ndarray]] = {}
 
     t0 = time.time()
     n = 0
     for key, tensor in iter_checkpoint(ckpt_dir):
+        pm = re.fullmatch(
+            r"model\.layers\.(\d+)\.(self_attn|mlp)\.(\w+)\.(qweight|qzeros|scales)",
+            key,
+        )
+        if pm:
+            layer, proj, part = int(pm.group(1)), pm.group(3), pm.group(4)
+            ours = {
+                "q_proj": "wq", "k_proj": "wk", "v_proj": "wv",
+                "o_proj": "wo", "gate_proj": "w_gate", "up_proj": "w_up",
+                "down_proj": "w_down",
+            }.get(proj)
+            if ours is not None:
+                packed.setdefault((layer, ours), {})[part] = tensor
+                n += 1
+                continue
         path, layer, transpose = _match_rules(rules, key)
         if path is None:
             # glm4 fused tensors handled by the glm4 adapter; others skipped
@@ -174,6 +191,31 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
         n += 1
     logger.info("read %d tensors in %.1fs", n, time.time() - t0)
 
+    if packed:
+        # offline-quantized checkpoint (AWQ / GPTQ; reference load paths:
+        # backend.py:321-347) — unpack into W4A16 QTensors and stack
+        from chitu_tpu.loaders_moe import _stack
+        from chitu_tpu.quantize.packed import unpack_awq, unpack_gptq
+
+        by_name: Dict[str, List[Optional[Any]]] = {}
+        for (layer, ours), parts in packed.items():
+            qw, scales = parts["qweight"], parts["scales"]
+            # AWQ packs the out dim ([in, out/8]); GPTQ the in dim ([in/8, out])
+            if qw.shape[1] * 8 == scales.shape[1]:
+                group = qw.shape[0] // scales.shape[0]
+                q = unpack_awq(qw, parts["qzeros"], scales, group_size=group)
+            else:
+                group = qw.shape[0] * 8 // scales.shape[0]
+                q = unpack_gptq(qw, parts["qzeros"], scales, group_size=group)
+            by_name.setdefault(ours, [None] * L)[layer] = q
+        for name, vals in by_name.items():
+            missing = [i for i, v in enumerate(vals) if v is None]
+            if missing:
+                raise ValueError(f"packed ckpt missing {name} layers {missing}")
+            staged.pop(name, None)
+            # stash as pre-built leaves (stacked below with flat params)
+            flat[f"__packed__{name}"] = _stack(vals)
+
     def to_dev(x, name):
         dt = _target_dtype(cfg, name)
         out = jnp.asarray(x)
@@ -185,7 +227,10 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
 
     params: Dict[str, Any] = {"layers": {}}
     for name, arr in flat.items():
-        params[name] = to_dev(arr, name)
+        if name.startswith("__packed__"):
+            params["layers"][name[len("__packed__"):]] = arr
+        else:
+            params[name] = to_dev(arr, name)
     for name, pieces in staged.items():
         missing = [i for i, p in enumerate(pieces) if p is None]
         if missing:
@@ -224,7 +269,8 @@ def save_preprocessed(params: Any, out_dir: str):
     meta = []
     for path, leaf in leaves:
         key = "/".join(str(getattr(p, "key", p)) for p in path)
-        arr = np.asarray(leaf)
+        # C-order guard: safetensors writes raw buffers
+        arr = np.ascontiguousarray(np.asarray(leaf))
         if arr.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
             pass
         if str(arr.dtype) == "bfloat16":

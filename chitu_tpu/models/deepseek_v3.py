@@ -95,8 +95,9 @@ class DeepSeekV3ForCausalLM:
         )
 
     def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
-        # latent cache is head-shared: replicate (TP shards heads via wq_b)
-        return P(None, None, None, None)
+        # latent cache is head-shared: replicated over tp (TP shards heads
+        # via wq_b); layer dim follows the PP stage layout
+        return P("pp", None, None, None)
 
     def quantizable_keys(self):
         return {
@@ -189,37 +190,37 @@ class DeepSeekV3ForCausalLM:
     def param_partition_specs(self, params) -> Any:
         def attn_specs(p):
             out = {
-                "attn_norm": P(None, None),
-                "ffn_norm": P(None, None),
-                "wkv_a": P(None, None, None),  # latent: replicated
-                "kv_norm": P(None, None),
-                "wkv_b": P(None, None, "tp"),  # shard heads
-                "wo": P(None, "tp", None),
+                "attn_norm": P("pp", None),
+                "ffn_norm": P("pp", None),
+                "wkv_a": P("pp", None, None),  # latent: replicated over tp
+                "kv_norm": P("pp", None),
+                "wkv_b": P("pp", None, "tp"),  # shard heads
+                "wo": P("pp", "tp", None),
             }
             if "wq_a" in p:
-                out["wq_a"] = P(None, None, None)
-                out["q_norm"] = P(None, None)
-                out["wq_b"] = P(None, None, "tp")
+                out["wq_a"] = P("pp", None, None)
+                out["q_norm"] = P("pp", None)
+                out["wq_b"] = P("pp", None, "tp")
             else:
-                out["wq"] = P(None, None, "tp")
+                out["wq"] = P("pp", None, "tp")
             return out
 
         dense = attn_specs(params["dense_layers"])
-        dense["w_gate"] = P(None, None, "tp")
-        dense["w_up"] = P(None, None, "tp")
-        dense["w_down"] = P(None, "tp", None)
+        dense["w_gate"] = P("pp", None, "tp")
+        dense["w_up"] = P("pp", None, "tp")
+        dense["w_down"] = P("pp", "tp", None)
 
         moe_l = attn_specs(params["moe_layers"])
-        moe_l["moe_gate"] = P(None, None, None)
-        moe_l["gate_bias"] = P(None, None)
+        moe_l["moe_gate"] = P("pp", None, None)
+        moe_l["gate_bias"] = P("pp", None)
         if "shared_gate" in params["moe_layers"]:
-            moe_l["shared_gate"] = P(None, None, "tp")
-            moe_l["shared_up"] = P(None, None, "tp")
-            moe_l["shared_down"] = P(None, "tp", None)
+            moe_l["shared_gate"] = P("pp", None, "tp")
+            moe_l["shared_up"] = P("pp", None, "tp")
+            moe_l["shared_down"] = P("pp", "tp", None)
         # expert parallelism over 'tp'
-        moe_l["exp_gate"] = P(None, "tp", None, None)
-        moe_l["exp_up"] = P(None, "tp", None, None)
-        moe_l["exp_down"] = P(None, "tp", None, None)
+        moe_l["exp_gate"] = P("pp", "tp", None, None)
+        moe_l["exp_up"] = P("pp", "tp", None, None)
+        moe_l["exp_down"] = P("pp", "tp", None, None)
 
         return {
             "embed": P("tp", None),
@@ -228,6 +229,11 @@ class DeepSeekV3ForCausalLM:
             "dense_layers": dense,
             "moe_layers": moe_l,
         }
+
+    def load_params(self, cfg, mesh=None):
+        from chitu_tpu.loaders_moe import load_deepseek_params
+
+        return load_deepseek_params(self, cfg, mesh)
 
     # -- attention ----------------------------------------------------------
 

@@ -120,24 +120,30 @@ class LlamaForCausalLM:
         return params
 
     def param_partition_specs(self, params) -> Any:
-        """PartitionSpec tree for TP sharding over mesh axis 'tp'
-        (sharding algebra of reference: tensor_parallel.py:20-208)."""
+        """PartitionSpec tree for TP x PP sharding.
+
+        TP: column-parallel = shard out-dim, row-parallel = shard in-dim
+        (sharding algebra of reference: tensor_parallel.py:20-208).
+        PP: the stacked layer dim shards over 'pp' — each stage owns a
+        contiguous slice of layers, XLA moves the activations between
+        stages inside the scan (the GSPMD replacement for the reference's
+        isend/recv stage relay, executor.py:179-299)."""
         a = self.args
         layer_specs = {
-            "attn_norm": P(None, None),
-            "ffn_norm": P(None, None),
-            "wq": P(None, None, "tp"),
-            "wk": P(None, None, "tp"),
-            "wv": P(None, None, "tp"),
-            "wo": P(None, "tp", None),
-            "w_gate": P(None, None, "tp"),
-            "w_up": P(None, None, "tp"),
-            "w_down": P(None, "tp", None),
+            "attn_norm": P("pp", None),
+            "ffn_norm": P("pp", None),
+            "wq": P("pp", None, "tp"),
+            "wk": P("pp", None, "tp"),
+            "wv": P("pp", None, "tp"),
+            "wo": P("pp", "tp", None),
+            "w_gate": P("pp", None, "tp"),
+            "w_up": P("pp", None, "tp"),
+            "w_down": P("pp", "tp", None),
         }
         if a.attn_bias:
-            layer_specs["bq"] = P(None, "tp")
-            layer_specs["bk"] = P(None, "tp")
-            layer_specs["bv"] = P(None, "tp")
+            layer_specs["bq"] = P("pp", "tp")
+            layer_specs["bk"] = P("pp", "tp")
+            layer_specs["bv"] = P("pp", "tp")
         specs = {
             "embed": P("tp", None),  # vocab-parallel embedding
             "norm": P(None),
@@ -148,10 +154,20 @@ class LlamaForCausalLM:
         return specs
 
     def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
-        # the packed [K||V] minor interleaves K and V halves, so a plain
-        # minor-dim shard would split them across devices; replicate until
-        # the shard_map kernel phase shards each half on head boundaries
-        return P(None, None, None, None)
+        # layer dim follows the PP stage layout; the packed [K||V] minor
+        # interleaves K and V halves, so a plain minor-dim shard would
+        # split them across devices — replicated until the shard_map
+        # kernel phase shards each half on head boundaries
+        return P("pp", None, None, None)
+
+    def load_params(self, cfg, mesh=None):
+        if self.args.rotary_type == "glm4":
+            from chitu_tpu.loaders_moe import load_glm4_params
+
+            return load_glm4_params(self, cfg, mesh)
+        from chitu_tpu.loader import load_llama_params
+
+        return load_llama_params(self, cfg, mesh)
 
     # -- forward ------------------------------------------------------------
 

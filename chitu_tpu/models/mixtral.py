@@ -57,11 +57,16 @@ class MixtralForCausalLM(LlamaForCausalLM):
         ls = specs["layers"]
         # expert parallelism: shard the expert dim over 'tp'
         # (realizes the EP the reference stubbed, SURVEY.md §2.7)
-        ls["moe_gate"] = P(None, None, None)
-        ls["w_gate"] = P(None, "tp", None, None)
-        ls["w_up"] = P(None, "tp", None, None)
-        ls["w_down"] = P(None, "tp", None, None)
+        ls["moe_gate"] = P("pp", None, None)
+        ls["w_gate"] = P("pp", "tp", None, None)
+        ls["w_up"] = P("pp", "tp", None, None)
+        ls["w_down"] = P("pp", "tp", None, None)
         return specs
+
+    def load_params(self, cfg, mesh=None):
+        from chitu_tpu.loaders_moe import load_mixtral_params
+
+        return load_mixtral_params(self, cfg, mesh)
 
     def _ffn(self, x: jnp.ndarray, lp: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         weights, sel = route(x, lp["moe_gate"], self.moe)

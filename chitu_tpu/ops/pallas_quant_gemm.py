@@ -32,7 +32,9 @@ from chitu_tpu.ops.quant_gemm import register
 
 BM_MAX = 256
 BN = 512
-BK = 128  # = quant block size along K
+QBLK = 128  # quant block size along K
+BK = 512  # GEMM K-tile (= GROUPS quant blocks)
+GROUPS = BK // QBLK
 
 
 def _pad_to(x: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
@@ -48,8 +50,8 @@ def _pad_to(x: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
 def _gemm_kernel(
     x_ref,  # [bm, BK] activation block
     w_ref,  # [BK, bn] packed weights
-    s_ref,  # [1, bn] rowwise scale for this K-block
-    z_ref,  # [1, bn] rowwise zero for this K-block (zeros if unused)
+    s_ref,  # [1, GROUPS, bn] per-quant-block rowwise scales
+    z_ref,  # [1, GROUPS, bn] rowwise zeros (unused unless asym)
     o_ref,  # [bm, bn]
     acc,  # [bm, bn] f32 scratch
     *,
@@ -62,14 +64,20 @@ def _gemm_kernel(
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    w = w_ref[...].astype(jnp.float32)
-    if asym:
-        w = w - z_ref[...]
-    w = (w * s_ref[...]).astype(jnp.bfloat16)
-    x = x_ref[...].astype(jnp.bfloat16)
-    acc[...] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    bk, bn = w_ref.shape
+    groups = bk // QBLK
+    # per-quant-block dequant+matmul: lane-aligned slices, [1, bn] scale
+    # broadcast over sublanes — no cross-sublane reshapes (those relayout)
+    for g in range(groups):
+        wg = w_ref[g * QBLK : (g + 1) * QBLK, :].astype(jnp.float32)
+        if asym:
+            wg = wg - z_ref[0, g : g + 1, :]
+        wg = (wg * s_ref[0, g : g + 1, :]).astype(jnp.bfloat16)
+        xg = x_ref[:, g * QBLK : (g + 1) * QBLK].astype(jnp.bfloat16)
+        acc[...] += jax.lax.dot_general(
+            xg, wg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == n_k - 1)
     def _():
@@ -98,9 +106,13 @@ def _quant_gemm(
     Tp, Kp = xp.shape
     Np = dp.shape[1]
     n_k = Kp // BK
-    if sp.shape[0] < n_k:  # K padding added a block
-        sp = _pad_to(sp, n_k, 0)
-        zp = _pad_to(zp, n_k, 0)
+    n_qb = n_k * GROUPS
+    if sp.shape[0] < n_qb:  # K padding added quant blocks
+        sp = _pad_to(sp, n_qb, 0)
+        zp = _pad_to(zp, n_qb, 0)
+    # [n_k, GROUPS, N]: middle dim full so (1, GROUPS, bn) obeys tiling
+    sp = sp.reshape(n_k, GROUPS, -1)
+    zp = zp.reshape(n_k, GROUPS, -1)
 
     grid = (Tp // bm, Np // bn, n_k)
     out = pl.pallas_call(
@@ -115,10 +127,14 @@ def _quant_gemm(
                 (BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                (1, GROUPS, bn),
+                lambda i, j, k: (k, 0, j),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                (1, GROUPS, bn),
+                lambda i, j, k: (k, 0, j),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -136,7 +152,7 @@ def _quant_gemm(
 def _expand_scale_rows(q: QTensor) -> jnp.ndarray:
     """Per-scheme scales -> rowwise [K//BK, N] f32."""
     K, N = q.data.shape[-2], q.data.shape[-1]
-    nk = (K + BK - 1) // BK
+    nk = (K + QBLK - 1) // QBLK
     if q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
         # [K/B, N/B] -> repeat along N
         s = jnp.repeat(q.scale, q.block, axis=-1)[..., :N]
@@ -168,7 +184,7 @@ def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
 
 def _wrap(kind):
     def fn(x, q: QTensor):
-        if q.data.ndim != 2 or q.block != BK:
+        if q.data.ndim != 2 or q.block != QBLK:
             # stacked/odd-block weights fall back to XLA dequant
             return jnp.dot(
                 x,

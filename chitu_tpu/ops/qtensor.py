@@ -49,9 +49,9 @@ class QTensor:
     - SOFT_FP8 / FP8: data [in, out] float8_e4m3fn, scale
       [ceil(in/B), ceil(out/B)] f32 (B = block, 128)
     - W8A16 / W8A8: data [in, out] int8, scale [out] f32
-    - W4A16: data [in, out] uint8 holding one nibble each (packing to 2/byte
-      is a storage optimization applied at load), scale [in/G, out] f32,
-      zeros [in/G, out] f32 (G = group, 128)
+    - W4A16: data [in, out] int8 holding one nibble value each (packing to
+      2/byte is a storage optimization applied at load), scale [in/G, out]
+      f32, zeros [in/G, out] f32 (G = group, 128)
     """
 
     data: jnp.ndarray

@@ -81,7 +81,8 @@ def quantize_weight(
             0,
             15,
         )
-        data = q.reshape(*lead, ng * g, fout)[..., :fin, :].astype(jnp.uint8)
+        # int8 storage: values 0..15; Mosaic lacks uint8->f32 casts
+        data = q.reshape(*lead, ng * g, fout)[..., :fin, :].astype(jnp.int8)
         return QTensor(
             data=data, scale=scale, zeros=zeros, kind=kind, block=g
         )

@@ -92,6 +92,36 @@ class Timers:
             t.reset()
 
 
+class ProfilerSession:
+    """jax.profiler trace capture around engine sections
+    (the TPU replacement for the reference's torch-level tracing,
+    SURVEY.md §5: Timers + tensorboard scaffold)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.active = False
+
+    def start(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        self.active = True
+
+    def stop(self):
+        import jax
+
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
 _GLOBAL_TIMERS: Optional[Timers] = None
 
 

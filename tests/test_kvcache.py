@@ -40,3 +40,38 @@ def test_slot_allocator():
     assert s.alloc("r1") == a  # idempotent
     s.release("r1")
     assert s.alloc("r3") == a
+
+
+def test_dense_cache_type_matches_paged():
+    """cache_type=dense (the skew-aware contiguous layout) must produce
+    identical tokens to the paged cache."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_cfg
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    paged = Engine(tiny_cfg(**{"infer.stop_with_eos": False}))
+    want = paged.generate("dense cache check", p)
+    dense = Engine(
+        tiny_cfg(**{"infer.stop_with_eos": False, "infer.cache_type": "dense"})
+    )
+    assert dense.cache.num_pages == dense.cfg.infer.max_reqs
+    assert dense.cache.page_size == dense.cfg.infer.max_seq_len
+    got = dense.generate("dense cache check", p)
+    assert got == want
+
+
+def test_nop_cache_type_runs():
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_cfg
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+
+    eng = Engine(
+        tiny_cfg(**{"infer.stop_with_eos": False, "infer.cache_type": "nop"})
+    )
+    toks = eng.generate("nop", SampleParams(temperature=0.0, max_new_tokens=4))
+    assert len(toks) == 4

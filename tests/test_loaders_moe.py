@@ -1,0 +1,226 @@
+"""Checkpoint adapters for Mixtral / GLM-4 / DeepSeek (incl. native FP8)
+via synthetic HF-layout checkpoints (reference transforms:
+backend.py:449-477, model_hf_llama.py:577-596, model_hf_mixtral.py:171-178)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chitu_tpu.config import load_config
+from chitu_tpu.engine import Engine
+from chitu_tpu.models import build_model
+from chitu_tpu.ops.qtensor import QTensor
+from chitu_tpu.task import SampleParams
+
+
+def _save(tensors, tmpdir):
+    from safetensors.numpy import save_file
+
+    # safetensors 0.8 writes the raw buffer: F-contiguous arrays (e.g.
+    # concat of transposes) silently corrupt unless C-ordered first
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
+    save_file(tensors, str(tmpdir / "model.safetensors"))
+
+
+def _f32(x):
+    return np.asarray(x.astype(jnp.float32))
+
+
+def test_mixtral_checkpoint_roundtrip(tmp_path):
+    cfg = load_config(
+        overrides=[
+            "models=tiny-mixtral-debug",
+            "infer.max_seq_len=128",
+            "infer.page_size=16",
+            "infer.stop_with_eos=false",
+        ]
+    )
+    cfg = dataclasses.replace(
+        cfg, models=dataclasses.replace(cfg.models, n_layers=2)
+    )
+    base = Engine(cfg)
+    params = base.params
+
+    tensors = {
+        "model.embed_tokens.weight": _f32(params["embed"]),
+        "model.norm.weight": _f32(params["norm"]),
+        "lm_head.weight": _f32(params["lm_head"]).T.copy(),
+    }
+    L = cfg.models.n_layers
+    E = cfg.models.moe.n_routed_experts
+    for i in range(L):
+        lp = {k: v[i] for k, v in params["layers"].items()}
+        pre = f"model.layers.{i}"
+        tensors[f"{pre}.input_layernorm.weight"] = _f32(lp["attn_norm"])
+        tensors[f"{pre}.post_attention_layernorm.weight"] = _f32(lp["ffn_norm"])
+        for ours, hf in (("wq", "q_proj"), ("wk", "k_proj"), ("wv", "v_proj"), ("wo", "o_proj")):
+            tensors[f"{pre}.self_attn.{hf}.weight"] = _f32(lp[ours]).T.copy()
+        tensors[f"{pre}.block_sparse_moe.gate.weight"] = _f32(lp["moe_gate"]).T.copy()
+        for e in range(E):
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w1.weight"] = _f32(lp["w_gate"][e]).T.copy()
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w3.weight"] = _f32(lp["w_up"][e]).T.copy()
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w2.weight"] = _f32(lp["w_down"][e]).T.copy()
+    _save(tensors, tmp_path)
+
+    margs = dataclasses.replace(cfg.models, ckpt_dir=str(tmp_path))
+    cfg2 = dataclasses.replace(
+        cfg,
+        models=margs,
+        infer=dataclasses.replace(cfg.infer, do_load=True),
+    )
+    eng = Engine(cfg2)
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    assert eng.generate("mixtral ckpt", p) == base.generate("mixtral ckpt", p)
+
+
+def test_glm4_checkpoint_roundtrip(tmp_path):
+    cfg = load_config(
+        overrides=[
+            "models=glm-4-9b-chat",
+            "infer.max_seq_len=128",
+            "infer.page_size=16",
+            "infer.stop_with_eos=false",
+        ]
+    )
+    m = dataclasses.replace(
+        cfg.models, n_layers=2, dim=128, n_heads=4, n_kv_heads=2,
+        inter_dim=256, vocab_size=512,
+    )
+    cfg = dataclasses.replace(cfg, models=m)
+    base = Engine(cfg)
+    params = base.params
+    model = base.model
+    H, KV, Dh = m.n_heads, m.n_kv_heads, model.head_dim
+
+    tensors = {
+        "transformer.embedding.word_embeddings.weight": _f32(params["embed"]),
+        "transformer.encoder.final_layernorm.weight": _f32(params["norm"]),
+        "transformer.output_layer.weight": _f32(params["lm_head"]).T.copy(),
+    }
+    for i in range(m.n_layers):
+        lp = {k: v[i] for k, v in params["layers"].items()}
+        pre = f"transformer.encoder.layers.{i}"
+        tensors[f"{pre}.input_layernorm.weight"] = _f32(lp["attn_norm"])
+        tensors[f"{pre}.post_attention_layernorm.weight"] = _f32(lp["ffn_norm"])
+        qkv = np.concatenate(
+            [_f32(lp["wq"]).T, _f32(lp["wk"]).T, _f32(lp["wv"]).T], axis=0
+        )
+        tensors[f"{pre}.self_attention.query_key_value.weight"] = qkv
+        qkv_b = np.concatenate([_f32(lp["bq"]), _f32(lp["bk"]), _f32(lp["bv"])])
+        tensors[f"{pre}.self_attention.query_key_value.bias"] = qkv_b
+        tensors[f"{pre}.self_attention.dense.weight"] = _f32(lp["wo"]).T.copy()
+        h4h = np.concatenate([_f32(lp["w_gate"]).T, _f32(lp["w_up"]).T], axis=0)
+        tensors[f"{pre}.mlp.dense_h_to_4h.weight"] = h4h
+        tensors[f"{pre}.mlp.dense_4h_to_h.weight"] = _f32(lp["w_down"]).T.copy()
+    _save(tensors, tmp_path)
+
+    margs = dataclasses.replace(m, ckpt_dir=str(tmp_path))
+    cfg2 = dataclasses.replace(
+        cfg, models=margs, infer=dataclasses.replace(cfg.infer, do_load=True)
+    )
+    eng = Engine(cfg2)
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    assert eng.generate("glm ckpt", p) == base.generate("glm ckpt", p)
+
+
+def _write_deepseek_ckpt(cfg, params, model, tmp_path, fp8=False):
+    from chitu_tpu.quantize import quantize_weight
+    from chitu_tpu.ops.qtensor import QuantKind
+
+    a = cfg.models
+    tensors = {
+        "model.embed_tokens.weight": _f32(params["embed"]),
+        "model.norm.weight": _f32(params["norm"]),
+        "lm_head.weight": _f32(params["lm_head"]).T.copy(),
+    }
+
+    def put_linear(key, w):
+        if fp8:
+            q = quantize_weight(jnp.asarray(w), QuantKind.SOFT_FP8)
+            tensors[key + ".weight"] = np.asarray(q.data.T).view(np.uint8)
+            tensors[key + ".weight_scale_inv"] = np.asarray(q.scale.T)
+        else:
+            tensors[key + ".weight"] = np.asarray(w, np.float32).T.copy()
+
+    def put_plain(key, w):
+        tensors[key + ".weight"] = np.asarray(w, np.float32)
+
+    nd = a.moe.n_dense_layers
+    for li in range(a.n_layers):
+        group = "dense_layers" if li < nd else "moe_layers"
+        gi = li if li < nd else li - nd
+        lp = {k: v[gi] for k, v in params[group].items()}
+        pre = f"model.layers.{li}"
+        put_plain(f"{pre}.input_layernorm", _f32(lp["attn_norm"]))
+        put_plain(f"{pre}.post_attention_layernorm", _f32(lp["ffn_norm"]))
+        sa = f"{pre}.self_attn"
+        put_linear(f"{sa}.q_a_proj", _f32(lp["wq_a"]))
+        put_plain(f"{sa}.q_a_layernorm", _f32(lp["q_norm"]))
+        put_linear(f"{sa}.q_b_proj", _f32(lp["wq_b"]))
+        put_linear(f"{sa}.kv_a_proj_with_mqa", _f32(lp["wkv_a"]))
+        put_plain(f"{sa}.kv_a_layernorm", _f32(lp["kv_norm"]))
+        put_linear(f"{sa}.kv_b_proj", _f32(lp["wkv_b"]))
+        put_linear(f"{sa}.o_proj", _f32(lp["wo"]))
+        if li < nd:
+            for ours, hf in (("w_gate", "gate_proj"), ("w_up", "up_proj"), ("w_down", "down_proj")):
+                put_linear(f"{pre}.mlp.{hf}", _f32(lp[ours]))
+        else:
+            tensors[f"{pre}.mlp.gate.weight"] = _f32(lp["moe_gate"]).T.copy()
+            tensors[f"{pre}.mlp.gate.e_score_correction_bias"] = np.asarray(
+                lp["gate_bias"], np.float32
+            )
+            for ours, hf in (("shared_gate", "gate_proj"), ("shared_up", "up_proj"), ("shared_down", "down_proj")):
+                put_linear(f"{pre}.mlp.shared_experts.{hf}", _f32(lp[ours]))
+            for e in range(a.moe.n_routed_experts):
+                for ours, hf in (("exp_gate", "gate_proj"), ("exp_up", "up_proj"), ("exp_down", "down_proj")):
+                    put_linear(f"{pre}.mlp.experts.{e}.{hf}", _f32(lp[ours][e]))
+    _save(tensors, tmp_path)
+
+
+def _ds_cfg():
+    cfg = load_config(
+        overrides=[
+            "models=tiny-deepseek-debug",
+            "infer.max_seq_len=128",
+            "infer.page_size=16",
+            "infer.stop_with_eos=false",
+        ]
+    )
+    return cfg
+
+
+def test_deepseek_checkpoint_roundtrip_bf16(tmp_path):
+    cfg = _ds_cfg()
+    model = build_model(cfg.models, cfg)
+    base = Engine(cfg)
+    _write_deepseek_ckpt(cfg, base.params, model, tmp_path, fp8=False)
+
+    margs = dataclasses.replace(cfg.models, ckpt_dir=str(tmp_path))
+    cfg2 = dataclasses.replace(
+        cfg, models=margs, infer=dataclasses.replace(cfg.infer, do_load=True)
+    )
+    eng = Engine(cfg2)
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    assert eng.generate("ds ckpt", p) == base.generate("ds ckpt", p)
+
+
+def test_deepseek_checkpoint_fp8_loads_as_qtensors(tmp_path):
+    cfg = _ds_cfg()
+    model = build_model(cfg.models, cfg)
+    base = Engine(cfg)
+    _write_deepseek_ckpt(cfg, base.params, model, tmp_path, fp8=True)
+
+    margs = dataclasses.replace(cfg.models, ckpt_dir=str(tmp_path))
+    cfg2 = dataclasses.replace(
+        cfg, models=margs, infer=dataclasses.replace(cfg.infer, do_load=True)
+    )
+    eng = Engine(cfg2)
+    assert isinstance(eng.params["moe_layers"]["exp_gate"], QTensor)
+    assert isinstance(eng.params["moe_layers"]["wkv_b"], QTensor)
+    # fp8 engine still generates; greedy tokens near the bf16 engine's
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    got = eng.generate("ds fp8 ckpt", p)
+    assert len(got) == 5

@@ -64,3 +64,26 @@ def test_param_shardings_applied():
     assert wo.sharding.shard_shape(wo.shape)[-2] == wo.shape[-2] // 4
     # KV pool exists in the packed single-pool layout
     assert set(eng.cache.arrays) == {"kv"}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_pp2_tp2_matches_single_device():
+    """Layer-stack sharding over 'pp' + weight sharding over 'tp' must be
+    numerically identical to the single-device engine."""
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    base = Engine(_tp_friendly_cfg())
+    want = base.generate("pipeline stages check", p)
+
+    eng = Engine(_tp_friendly_cfg(tp=2, dp=1))
+    import dataclasses
+    cfg = _tp_friendly_cfg()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, tp_size=2, pp_size=2)
+    )
+    eng = Engine(cfg)
+    assert eng.mesh is not None and eng.mesh.shape["pp"] == 2
+    # layers sharded across pp stages
+    wq = eng.params["layers"]["wq"]
+    assert wq.sharding.shard_shape(wq.shape)[0] == wq.shape[0] // 2
+    got = eng.generate("pipeline stages check", p)
+    assert got == want
