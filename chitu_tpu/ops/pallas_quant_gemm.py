@@ -49,7 +49,7 @@ def _pad_to(x: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
 
 def _gemm_kernel(
     x_ref,  # [bm, BK] activation block
-    w_ref,  # [BK, bn] packed weights
+    w_ref,  # [BK, bn] packed weights (int8: raw or fp8 bit pattern)
     s_ref,  # [1, GROUPS, bn] per-quant-block rowwise scales
     z_ref,  # [1, GROUPS, bn] rowwise zeros (unused unless asym)
     o_ref,  # [bm, bn]
@@ -57,6 +57,7 @@ def _gemm_kernel(
     *,
     n_k: int,
     asym: bool,
+    fp8_bits: bool,
 ):
     k = pl.program_id(2)
 
@@ -69,7 +70,18 @@ def _gemm_kernel(
     # per-quant-block dequant+matmul: lane-aligned slices, [1, bn] scale
     # broadcast over sublanes — no cross-sublane reshapes (those relayout)
     for g in range(groups):
-        wg = w_ref[g * QBLK : (g + 1) * QBLK, :].astype(jnp.float32)
+        raw = w_ref[g * QBLK : (g + 1) * QBLK, :]
+        if fp8_bits:
+            # e4m3 bytes -> f32 by bit placement: sign to bit 31,
+            # exp+mantissa to bits 20..26; the 2^120 exponent re-bias is
+            # folded into the scales (the reference's 0x7b800000 trick,
+            # chitu/triton_kernels.py:250-287, done with VPU integer ops
+            # instead of the slow fp8 cast path)
+            u = raw.astype(jnp.int32) & 0xFF
+            bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
+            wg = pltpu.bitcast(bits, jnp.float32)
+        else:
+            wg = raw.astype(jnp.float32)
         if asym:
             wg = wg - z_ref[0, g : g + 1, :]
         wg = (wg * s_ref[0, g : g + 1, :]).astype(jnp.bfloat16)
@@ -84,13 +96,16 @@ def _gemm_kernel(
         o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("asym", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("asym", "fp8_bits", "interpret", "out_dtype")
+)
 def _quant_gemm(
     x: jnp.ndarray,  # [T, K]
     data: jnp.ndarray,  # [K, N] packed
     scale_rows: jnp.ndarray,  # [K//BK, N] f32
     zero_rows: jnp.ndarray,  # [K//BK, N] f32
     asym: bool = False,
+    fp8_bits: bool = False,
     interpret: bool = False,
     out_dtype=jnp.float32,
 ):
@@ -116,7 +131,9 @@ def _quant_gemm(
 
     grid = (Tp // bm, Np // bn, n_k)
     out = pl.pallas_call(
-        functools.partial(_gemm_kernel, n_k=n_k, asym=asym),
+        functools.partial(
+            _gemm_kernel, n_k=n_k, asym=asym, fp8_bits=fp8_bits
+        ),
         out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
         grid=grid,
         in_specs=[
@@ -170,6 +187,13 @@ def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     scale_rows = _expand_scale_rows(q)
+    data = q.data
+    fp8_bits = False
+    if q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
+        # ship raw bytes; fold the exponent re-bias 2^120 into the scales
+        data = jax.lax.bitcast_convert_type(data, jnp.int8)
+        scale_rows = scale_rows * jnp.float32(2.0**120)
+        fp8_bits = True
     if q.kind == QuantKind.W4A16:
         zero_rows = q.zeros.astype(jnp.float32)  # (w - z) * s
         asym = True
@@ -177,13 +201,97 @@ def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
         zero_rows = jnp.zeros_like(scale_rows)
         asym = False
     y = _quant_gemm(
-        x2, q.data, scale_rows, zero_rows, asym=asym, interpret=interpret
+        x2, data, scale_rows, zero_rows, asym=asym, fp8_bits=fp8_bits,
+        interpret=interpret,
     )
     return y.reshape(*lead, -1)
 
 
+# ---------------------------------------------------------------------------
+# W8A8: dynamic per-token int8 activations + int8 weights on the int8 MXU
+# (reference: quantize/w8a8.py:18-35 per-token dynamic quant + int8 GEMM)
+# ---------------------------------------------------------------------------
+
+
+def _w8a8_kernel(
+    x_ref,  # [bm, BK] int8 activations
+    w_ref,  # [BK, bn] int8 weights
+    o_ref,  # [bm, bn] int32 partial
+    acc,  # [bm, bn] int32 scratch
+    *,
+    n_k: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...],
+        w_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w8a8_matmul(x: jnp.ndarray, q: QTensor, interpret: bool = False):
+    """y = dequant(int8(x) @ int8(w)): per-token dynamic act scales x
+    per-out-channel weight scales."""
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    T = x2.shape[0]
+    N = q.data.shape[-1]
+    # per-token symmetric quant
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2 / x_scale[:, None]), -127, 127).astype(jnp.int8)
+
+    bm = min(BM_MAX, max(32, (T + 31) // 32 * 32))  # int8 sublane tile = 32
+    bn = min(BN, N)
+    xp = _pad_to(_pad_to(xq, bm, 0), BK, 1)
+    dp = _pad_to(_pad_to(q.data, BK, 0), bn, 1)
+    Tp, Kp = xp.shape
+    Np = dp.shape[1]
+    n_k = Kp // BK
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((Tp, Np), jnp.int32),
+        grid=(Tp // bm, Np // bn, n_k),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(xp, dp)
+    y = (
+        out[:T, :N].astype(jnp.float32)
+        * x_scale[:, None]
+        * q.scale[None, :].astype(jnp.float32)
+    )
+    return y.reshape(*lead, N)
+
+
 def _wrap(kind):
     def fn(x, q: QTensor):
+        interpret = jax.default_backend() != "tpu"
+        if kind == QuantKind.W8A8 and q.data.ndim == 2:
+            return _w8a8_matmul(x, q, interpret=interpret)
         if q.data.ndim != 2 or q.block != QBLK:
             # stacked/odd-block weights fall back to XLA dequant
             return jnp.dot(
@@ -191,7 +299,6 @@ def _wrap(kind):
                 q.dequantize(jnp.bfloat16).astype(x.dtype),
                 preferred_element_type=jnp.float32,
             )
-        interpret = jax.default_backend() != "tpu"
         return _matmul_impl(x, q, interpret=interpret)
 
     return fn

@@ -51,3 +51,18 @@ def test_linear_dispatch_uses_kernel():
         / jnp.maximum(jnp.linalg.norm(y_ref), 1e-6)
     )
     assert rel < 0.1
+
+
+def test_w8a8_dynamic_activation_path():
+    """int8 x int8 MXU GEMM with per-token act scales
+    (reference: quantize/w8a8.py)."""
+    from chitu_tpu.ops.pallas_quant_gemm import _w8a8_matmul
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(4))
+    x = (jax.random.normal(kx, (12, 256)) * 0.5).astype(jnp.bfloat16)
+    w = jax.random.normal(kw, (256, 192)) * 0.05
+    q = quantize_weight(w, QuantKind.W8A8)
+    got = _w8a8_matmul(x, q, interpret=jax.default_backend() != "tpu")
+    want = jnp.dot(x.astype(jnp.float32), w)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 3e-2, rel
