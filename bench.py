@@ -43,17 +43,19 @@ def model_bytes(m, dtype_bytes=2) -> int:
     return total * dtype_bytes
 
 
-def main():
-    import jax
+BS = 16
+PROMPT = 128
+NEW = 128
 
+
+def _measure_engine(overrides):
+    """Build an engine, warm it, run one synthetic batch; returns
+    (tok_per_s, decode_s, decode_steps, wall, cfg)."""
     from chitu_tpu.config import load_config
     from chitu_tpu.engine import Engine
     from chitu_tpu.task import SampleParams
     from chitu_tpu.utils import get_timers
 
-    BS = 16
-    PROMPT = 128
-    NEW = 64
     cfg = load_config(
         overrides=[
             "models=tiny-llama-debug",
@@ -64,8 +66,8 @@ def main():
             "infer.stop_with_eos=false",
             f"infer.decode_buckets={BS}",
         ]
+        + overrides
     )
-
     eng = Engine(cfg)
     rng = np.random.default_rng(0)
 
@@ -83,7 +85,6 @@ def main():
             for _ in range(BS)
         ]
 
-    # warmup: compile prefill + decode buckets
     synthetic_batch(4)
     eng.run_until_complete()
 
@@ -94,12 +95,21 @@ def main():
     eng.run_until_complete()
     wall = time.perf_counter() - t0
     assert all(len(r.async_stream.tokens) == NEW for r in reqs)
-
     dec = timers.timers.get("decode")
     decode_s = dec.elapsed_ if dec else wall
     decode_steps = dec.count if dec else NEW
-    tokens = BS * NEW
-    tok_per_s = tokens / decode_s
+    return BS * NEW / decode_s, decode_s, decode_steps, wall, cfg
+
+
+def main():
+    import jax
+
+    tok_per_s, decode_s, decode_steps, wall, cfg = _measure_engine([])
+    # north-star companion (BASELINE.md): soft-fp8 weight-only decode —
+    # the reference's headline is fp8 >= 1.5x bf16 per unit HBM bandwidth
+    fp8_tok_per_s, *_ = _measure_engine(
+        ["quant.method=soft_fp8", "quant.quant_on_load=true"]
+    )
 
     # roofline: per decode step reads all weights once + the live KV prefix
     backend = jax.default_backend()
@@ -131,6 +141,8 @@ def main():
                     "wall_s": round(wall, 3),
                     "roofline_tok_per_s": round(ideal_tok, 1),
                     "weight_gib": round(wbytes / 2**30, 3),
+                    "soft_fp8_tok_per_s": round(fp8_tok_per_s, 2),
+                    "fp8_vs_bf16": round(fp8_tok_per_s / tok_per_s, 3),
                 },
             }
         )

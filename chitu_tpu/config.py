@@ -171,6 +171,10 @@ class InferArgs:
     # (reference: serve_config.yaml:15): "pallas" | "xla"
     op_impl: str = "auto"
     mla_absorb: str = "absorb"  # "none" | "absorb"
+    # fuse qkv and gate+up projections into single GEMMs (reference policy:
+    # backend.py:273-285). "auto" merges when unsharded (merged column
+    # sharding would split across q/k/v segment boundaries under tp)
+    merge_qkv_gate_up: str = "auto"  # auto | on | off
     soft_fp8: bool = False
     max_reqs: int = 16
     # decode jit batch buckets (CUDA-graph analogue; reference: model.py:547-622)

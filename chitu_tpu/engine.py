@@ -200,9 +200,7 @@ class Engine:
             return 0
         tasks = [self.pool[tid] for tid in task_ids if tid in self.pool]
         self.executor.step(tasks)
-        removed = self.scheduler.update(task_ids)
-        for tid in removed:
-            pass  # task already removed from pool by scheduler.update
+        self.scheduler.update(task_ids)
         # executor-side residency cleanup for finished tasks
         for t in tasks:
             if t.task_id not in self.pool:

@@ -16,8 +16,8 @@ frequency penalty) runs inside the same program
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+import time
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,9 +87,11 @@ class Executor:
         if at == "pallas":
             return "pallas"
         if self.mesh is not None:
-            # pallas_call is not auto-partitioned by GSPMD; multi-chip runs
-            # use the XLA path until the kernels are shard_map-wrapped
-            return "xla"
+            # multi-chip: pallas via shard_map (attention.py handles
+            # unsupported layouts by falling back to the oracle in-graph)
+            return (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
         # auto: pallas kernels once available on TPU, else the XLA oracle
         if jax.default_backend() == "tpu":
             try:
@@ -108,6 +110,8 @@ class Executor:
         if fn is None:
             model, page, impl = self.model, self.page, self.attn_impl
 
+            mesh = self.mesh
+
             def run(params, cache, tokens, block_table, start_pos, valid_len):
                 return model.prefill(
                     params,
@@ -119,6 +123,7 @@ class Executor:
                     page_size=page,
                     attn_impl=impl,
                     return_all_logits=all_logits,
+                    mesh=mesh,
                 )
 
             fn = jax.jit(run, donate_argnums=(1,))
@@ -137,6 +142,7 @@ class Executor:
         fn = self._jit_decode.get(key)
         if fn is None:
             model, page, impl = self.model, self.page, self.attn_impl
+            mesh = self.mesh
 
             def run(
                 params,
@@ -146,6 +152,7 @@ class Executor:
                 seq_lens,
                 block_tables,
                 valid,
+                done0,
                 slots,
                 temps,
                 top_ks,
@@ -168,6 +175,7 @@ class Executor:
                         live,
                         page_size=page,
                         attn_impl=impl,
+                        mesh=mesh,
                     )
                     logits = sampling.apply_frequency_penalty(
                         logits, counts, slots, pens
@@ -195,16 +203,17 @@ class Executor:
                         rng,
                     ), out
 
-                done0 = ~valid
+                start = (~valid) | done0
                 (tokens, seq_lens, remaining, done, cache, counts, rng), outs = (
                     jax.lax.scan(
                         body,
-                        (tokens, seq_lens, remaining, done0, cache, counts, rng),
+                        (tokens, seq_lens, remaining, start, cache, counts, rng),
                         None,
                         length=window,
                     )
                 )
-                return outs, cache, counts
+                # full device-side carry so windows chain without host sync
+                return outs, cache, counts, (tokens, seq_lens, remaining, done)
 
             fn = jax.jit(run, donate_argnums=(1, 2))
             self._jit_decode[key] = fn
@@ -284,7 +293,7 @@ class Executor:
                 logger.warning("KV pool exhausted; deferring %s", t.task_id)
                 continue
             if t.req.prefill_start_time is None:
-                t.req.prefill_start_time = __import__("time").time()
+                t.req.prefill_start_time = time.time()
             admitted.append(t)
 
         logits_rows = []
@@ -341,17 +350,18 @@ class Executor:
         return logits
 
     def decode_step(self, tasks: List[Task]):
-        """One decode window: up to `decode_window` tokens per live task in
-        a single device call (reference: executor.py:133-148, with the
-        CUDA-graph replay replaced by an in-jit sampled scan)."""
+        """One decode group: several `decode_window` scans chained through
+        device-side carry (tokens/seq_lens/done never touch the host between
+        windows), with ONE host sync at the end. The page tables grow
+        speculatively before each dispatch, so the whole group issues
+        back-to-back (reference: executor.py:133-148; the CUDA-graph replay
+        becomes a pipelined chain of jitted windows)."""
         timers = get_timers()
         timers("decode").start()
         window = max(1, self.cfg.infer.decode_window)
         # cap the window so no task can overrun max_seq_len inside the scan
         for t in tasks:
             window = min(window, max(1, t.max_seq_len - t.seq_len))
-        # grow page lists to cover the whole window up front
-        # (reference: cache_manager.py:196-209)
         live = []
         for t in tasks:
             if self.cache.allocator.ensure(t.task_id, t.seq_len + window):
@@ -371,32 +381,60 @@ class Executor:
             seq_lens[i] = t.seq_len
             remaining[i] = max(t.max_new_tokens - len(t.response_tokens), 1)
             check_stop[i] = t.stop_with_eos
-        bts = np.full((B, self.mp_full), -1, np.int32)
-        bts[: len(live)] = self.cache.allocator.block_table(
-            [t.task_id for t in live], self.mp_full
-        )
+        # how many windows can run without any host decision: every live
+        # task still has budget and headroom for the whole group
+        min_remaining = int(remaining[: len(live)].min())
+        min_headroom = min(t.max_seq_len - t.seq_len for t in live)
+        n_windows = max(1, min(min_remaining, min_headroom) // window)
+        n_windows = min(n_windows, 4)
+
         stop_ids = self._stop_ids(live)
         temps, tks, tps, pens, slots, valid = self._sampling_arrays(live, B)
         fn = self._decode_fn(B, self.mp_full, window)
-        toks, self.cache.arrays, self.counts = fn(
-            self.params,
-            self.cache.arrays,
-            self.counts,
-            jnp.asarray(tokens),
-            jnp.asarray(seq_lens),
-            jnp.asarray(bts),
-            valid,
-            slots,
-            temps,
-            tks,
-            tps,
-            pens,
-            jnp.asarray(remaining),
-            stop_ids,
-            jnp.asarray(check_stop),
-            self._next_key(),
-        )
-        toks_host = np.asarray(toks)  # [window, B]
+
+        dev_tokens = jnp.asarray(tokens)
+        dev_seq = jnp.asarray(seq_lens)
+        dev_rem = jnp.asarray(remaining)
+        dev_done = jnp.zeros((B,), bool)
+        outs = []
+        for w in range(n_windows):
+            ok = True
+            for t in live:
+                if not self.cache.allocator.ensure(
+                    t.task_id, t.seq_len + window * (w + 1)
+                ):
+                    ok = False
+            if not ok and w > 0:
+                break  # pool exhausted: settle for the windows issued
+            bts = np.full((B, self.mp_full), -1, np.int32)
+            bts[: len(live)] = self.cache.allocator.block_table(
+                [t.task_id for t in live], self.mp_full
+            )
+            toks_w, self.cache.arrays, self.counts, carry = fn(
+                self.params,
+                self.cache.arrays,
+                self.counts,
+                dev_tokens,
+                dev_seq,
+                jnp.asarray(bts),
+                valid,
+                dev_done,
+                slots,
+                temps,
+                tks,
+                tps,
+                pens,
+                dev_rem,
+                stop_ids,
+                jnp.asarray(check_stop),
+                self._next_key(),
+            )
+            outs.append(toks_w)
+            dev_tokens, dev_seq, dev_rem, dev_done = carry
+
+        toks_host = np.concatenate(
+            [np.asarray(t) for t in outs], axis=0
+        )  # [n*window, B] — single effective host sync
         for i, t in enumerate(live):
             for k in range(toks_host.shape[0]):
                 tok = int(toks_host[k, i])

@@ -240,6 +240,27 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
     if "lm_head" not in params and not a.tie_word_embeddings:
         # tied checkpoints without explicit head
         params["lm_head"] = params["embed"].T
+
+    if getattr(model, "merged", False):
+        # merged-projection layout (reference merge transforms:
+        # model_hf_llama.py:506-566)
+        ly = params["layers"]
+        if all(k in ly for k in ("wq", "wk", "wv")):
+            from chitu_tpu.ops.qtensor import QTensor
+
+            if not any(
+                isinstance(ly[k], QTensor) for k in ("wq", "wk", "wv")
+            ):
+                ly["wqkv"] = jnp.concatenate(
+                    [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], axis=-1
+                )
+                if "bq" in ly:
+                    ly["b_qkv"] = jnp.concatenate(
+                        [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], axis=-1
+                    )
+                ly["w_gate_up"] = jnp.concatenate(
+                    [ly.pop("w_gate"), ly.pop("w_up")], axis=-1
+                )
     return params
 
 

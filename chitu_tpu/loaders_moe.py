@@ -203,6 +203,18 @@ def load_glm4_params(model, cfg, mesh=None) -> Any:
         names += ["bq", "bk", "bv"]
     for name in names:
         params["layers"][name] = st.stack(name, layers)
+    if getattr(model, "merged", False):
+        ly = params["layers"]
+        ly["wqkv"] = jnp.concatenate(
+            [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], axis=-1
+        )
+        if a.attn_bias:
+            ly["b_qkv"] = jnp.concatenate(
+                [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], axis=-1
+            )
+        ly["w_gate_up"] = jnp.concatenate(
+            [ly.pop("w_gate"), ly.pop("w_up")], axis=-1
+        )
     return params
 
 

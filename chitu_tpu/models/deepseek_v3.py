@@ -384,6 +384,7 @@ class DeepSeekV3ForCausalLM:
         page_size: int,
         attn_impl: str = "xla",
         return_all_logits: bool = False,
+        mesh=None,
     ):
         T = tokens.shape[0]
         pos = start_pos + jnp.arange(T, dtype=jnp.int32)
@@ -411,6 +412,7 @@ class DeepSeekV3ForCausalLM:
                 split_kv=False,
                 scale=self.attn_scale,
                 impl=attn_impl,
+                mesh=mesh,
             )
 
         h, cache = self._forward(params, cache, h, cos, sin, append, attend)
@@ -430,6 +432,7 @@ class DeepSeekV3ForCausalLM:
         valid: jnp.ndarray,
         page_size: int,
         attn_impl: str = "xla",
+        mesh=None,
     ):
         h = jnp.take(params["embed"], tokens, axis=0)
         idx = jnp.minimum(seq_lens, self.cos.shape[0] - 1)
@@ -453,6 +456,7 @@ class DeepSeekV3ForCausalLM:
                 split_kv=False,
                 scale=self.attn_scale,
                 impl=attn_impl,
+                mesh=mesh,
             )
 
         h, cache = self._forward(params, cache, h, cos, sin, append, attend)

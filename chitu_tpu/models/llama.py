@@ -52,6 +52,12 @@ class LlamaForCausalLM:
     def __init__(self, args, cfg):
         self.args = args
         self.cfg = cfg
+        # merged qkv/gate-up (reference: backend.py:273-285): single-GEMM
+        # projections; disabled under tp (contiguous column shards would
+        # cut across the q/k/v segments)
+        mq = cfg.infer.merge_qkv_gate_up
+        unsharded = cfg.infer.tp_size * cfg.infer.pp_size * cfg.infer.dp_size <= 1
+        self.merged = mq == "on" or (mq == "auto" and unsharded)
         self.head_dim = args.head_dim_()
         self.inter_dim = _ffn_dim(args)
         self.rot_dim = int(self.head_dim * args.partial_rotary_factor)
@@ -95,21 +101,33 @@ class LlamaForCausalLM:
                 dtype
             )
 
-        layers = {
-            "attn_norm": jnp.ones((L, D), dtype),
-            "ffn_norm": jnp.ones((L, D), dtype),
-            "wq": init(ks[0], (L, D, H * Dh)),
-            "wk": init(ks[1], (L, D, KV * Dh)),
-            "wv": init(ks[2], (L, D, KV * Dh)),
-            "wo": init(ks[3], (L, H * Dh, D)),
-            "w_gate": init(ks[4], (L, D, F)),
-            "w_up": init(ks[5], (L, D, F)),
-            "w_down": init(ks[6], (L, F, D)),
-        }
-        if a.attn_bias:
-            layers["bq"] = jnp.zeros((L, H * Dh), dtype)
-            layers["bk"] = jnp.zeros((L, KV * Dh), dtype)
-            layers["bv"] = jnp.zeros((L, KV * Dh), dtype)
+        if self.merged:
+            layers = {
+                "attn_norm": jnp.ones((L, D), dtype),
+                "ffn_norm": jnp.ones((L, D), dtype),
+                "wqkv": init(ks[0], (L, D, (H + 2 * KV) * Dh)),
+                "wo": init(ks[3], (L, H * Dh, D)),
+                "w_gate_up": init(ks[4], (L, D, 2 * F)),
+                "w_down": init(ks[6], (L, F, D)),
+            }
+            if a.attn_bias:
+                layers["b_qkv"] = jnp.zeros((L, (H + 2 * KV) * Dh), dtype)
+        else:
+            layers = {
+                "attn_norm": jnp.ones((L, D), dtype),
+                "ffn_norm": jnp.ones((L, D), dtype),
+                "wq": init(ks[0], (L, D, H * Dh)),
+                "wk": init(ks[1], (L, D, KV * Dh)),
+                "wv": init(ks[2], (L, D, KV * Dh)),
+                "wo": init(ks[3], (L, H * Dh, D)),
+                "w_gate": init(ks[4], (L, D, F)),
+                "w_up": init(ks[5], (L, D, F)),
+                "w_down": init(ks[6], (L, F, D)),
+            }
+            if a.attn_bias:
+                layers["bq"] = jnp.zeros((L, H * Dh), dtype)
+                layers["bk"] = jnp.zeros((L, KV * Dh), dtype)
+                layers["bv"] = jnp.zeros((L, KV * Dh), dtype)
         params = {
             "embed": init(ks[7], (V, D)),
             "norm": jnp.ones((D,), dtype),
@@ -129,21 +147,34 @@ class LlamaForCausalLM:
         stages inside the scan (the GSPMD replacement for the reference's
         isend/recv stage relay, executor.py:179-299)."""
         a = self.args
-        layer_specs = {
-            "attn_norm": P("pp", None),
-            "ffn_norm": P("pp", None),
-            "wq": P("pp", None, "tp"),
-            "wk": P("pp", None, "tp"),
-            "wv": P("pp", None, "tp"),
-            "wo": P("pp", "tp", None),
-            "w_gate": P("pp", None, "tp"),
-            "w_up": P("pp", None, "tp"),
-            "w_down": P("pp", "tp", None),
-        }
-        if a.attn_bias:
-            layer_specs["bq"] = P("pp", "tp")
-            layer_specs["bk"] = P("pp", "tp")
-            layer_specs["bv"] = P("pp", "tp")
+        if self.merged:
+            # merged weights only exist unsharded; replicate over tp
+            layer_specs = {
+                "attn_norm": P("pp", None),
+                "ffn_norm": P("pp", None),
+                "wqkv": P("pp", None, None),
+                "wo": P("pp", None, None),
+                "w_gate_up": P("pp", None, None),
+                "w_down": P("pp", None, None),
+            }
+            if a.attn_bias:
+                layer_specs["b_qkv"] = P("pp", None)
+        else:
+            layer_specs = {
+                "attn_norm": P("pp", None),
+                "ffn_norm": P("pp", None),
+                "wq": P("pp", None, "tp"),
+                "wk": P("pp", None, "tp"),
+                "wv": P("pp", None, "tp"),
+                "wo": P("pp", "tp", None),
+                "w_gate": P("pp", None, "tp"),
+                "w_up": P("pp", None, "tp"),
+                "w_down": P("pp", "tp", None),
+            }
+            if a.attn_bias:
+                layer_specs["bq"] = P("pp", "tp")
+                layer_specs["bk"] = P("pp", "tp")
+                layer_specs["bv"] = P("pp", "tp")
         specs = {
             "embed": P("tp", None),  # vocab-parallel embedding
             "norm": P(None),
@@ -186,9 +217,15 @@ class LlamaForCausalLM:
         H, KV, Dh = a.n_heads, a.n_kv_heads, self.head_dim
 
         x = rms_norm(h, lp["attn_norm"], a.norm_eps)
-        q = linear(x, lp["wq"], lp.get("bq")).reshape(T, H, Dh)
-        k = linear(x, lp["wk"], lp.get("bk")).reshape(T, KV, Dh)
-        v = linear(x, lp["wv"], lp.get("bv")).reshape(T, KV, Dh)
+        if "wqkv" in lp:
+            qkv = linear(x, lp["wqkv"], lp.get("b_qkv"))
+            q = qkv[:, : H * Dh].reshape(T, H, Dh)
+            k = qkv[:, H * Dh : (H + KV) * Dh].reshape(T, KV, Dh)
+            v = qkv[:, (H + KV) * Dh :].reshape(T, KV, Dh)
+        else:
+            q = linear(x, lp["wq"], lp.get("bq")).reshape(T, H, Dh)
+            k = linear(x, lp["wk"], lp.get("bk")).reshape(T, KV, Dh)
+            v = linear(x, lp["wv"], lp.get("bv")).reshape(T, KV, Dh)
         q = apply_rope(q, cos, sin, self.rotary_layout)
         k = apply_rope(k, cos, sin, self.rotary_layout)
         pool = append(pool, k, v)
@@ -201,8 +238,13 @@ class LlamaForCausalLM:
 
     def _ffn(self, x: jnp.ndarray, lp: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """SwiGLU FFN; MoE families override (mixtral, deepseek)."""
-        gate = linear(x, lp["w_gate"])
-        up = linear(x, lp["w_up"])
+        if "w_gate_up" in lp:
+            gu = linear(x, lp["w_gate_up"])
+            F = gu.shape[-1] // 2
+            gate, up = gu[:, :F], gu[:, F:]
+        else:
+            gate = linear(x, lp["w_gate"])
+            up = linear(x, lp["w_up"])
         return linear(jax.nn.silu(gate) * up, lp["w_down"])
 
     def _run_layers(self, params, pools, h, cos, sin, attend, append):
@@ -234,6 +276,7 @@ class LlamaForCausalLM:
         page_size: int,
         attn_impl: str = "xla",
         return_all_logits: bool = False,
+        mesh=None,
     ):
         """One request's prefill chunk -> (last-token logits [V], cache).
 
@@ -264,6 +307,7 @@ class LlamaForCausalLM:
                 split_kv=True,
                 scale=self.attn_scale,
                 impl=attn_impl,
+                mesh=mesh,
             )
 
         h, pools = self._run_layers(
@@ -287,6 +331,7 @@ class LlamaForCausalLM:
         valid: jnp.ndarray,  # [B] bool
         page_size: int,
         attn_impl: str = "xla",
+        mesh=None,
     ):
         """Batched one-token decode -> (logits [B, V], cache).
 
@@ -318,6 +363,7 @@ class LlamaForCausalLM:
                 split_kv=True,
                 scale=self.attn_scale,
                 impl=attn_impl,
+                mesh=mesh,
             )
 
         # _layer treats the batch dim as the "token" dim; rope tables are

@@ -44,8 +44,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
             )
 
         layers = params["layers"]
-        for k in ("w_gate", "w_up", "w_down"):
-            del layers[k]
+        for k in ("w_gate", "w_up", "w_down", "w_gate_up"):
+            layers.pop(k, None)
         layers["moe_gate"] = init(ks[0], (L, D, E))
         layers["w_gate"] = init(ks[1], (L, E, D, F))
         layers["w_up"] = init(ks[2], (L, E, D, F))
@@ -55,6 +55,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
     def param_partition_specs(self, params) -> Any:
         specs = super().param_partition_specs(params)
         ls = specs["layers"]
+        for k in ("w_gate", "w_up", "w_down", "w_gate_up"):
+            ls.pop(k, None)
         # expert parallelism: shard the expert dim over 'tp'
         # (realizes the EP the reference stubbed, SURVEY.md §2.7)
         ls["moe_gate"] = P("pp", None, None)

@@ -125,8 +125,14 @@ def attend_prefill(
     split_kv: bool = True,
     scale: Optional[float] = None,
     impl: str = "xla",
+    mesh=None,
 ) -> jnp.ndarray:
     """Chunk attention against the paged context (append must precede)."""
+    if impl == "pallas" and mesh is not None:
+        return _shmap_prefill(
+            q, pool, block_table, q_pos, total_len,
+            page_size, kv_heads, head_dim, split_kv, scale, mesh,
+        )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
 
@@ -153,8 +159,14 @@ def attend_decode(
     split_kv: bool = True,
     scale: Optional[float] = None,
     impl: str = "xla",
+    mesh=None,
 ) -> jnp.ndarray:
     """One-token decode attention (new token's K/V already appended)."""
+    if impl == "pallas" and mesh is not None:
+        return _shmap_decode(
+            q, pool, block_tables, seq_lens,
+            page_size, kv_heads, head_dim, split_kv, scale, mesh,
+        )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
 
@@ -172,3 +184,115 @@ def attend_decode(
         return grouped_attention(qb[None], kb, vb, mb[None], scale=scale)[0]
 
     return jax.vmap(one)(q, k, v, mask)
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers: pallas kernels under a mesh. q arrives head-sharded
+# over 'tp' (column-parallel wq); the pool is replicated (cache spec). Each
+# shard runs the kernel on its contiguous head slice, using global
+# head->KV-block mapping via its head offset. GSPMD cannot partition
+# pallas_call itself, so this is the multi-chip kernel path
+# (the NCCL-free analogue of the reference's per-rank flash-attn calls).
+# ---------------------------------------------------------------------------
+
+
+def _supports_shmap(mesh, H: int) -> bool:
+    tp = mesh.shape.get("tp", 1)
+    return (
+        mesh.shape.get("pp", 1) == 1
+        and H % tp == 0
+        and jax.default_backend() in ("tpu", "cpu")
+    )
+
+
+def _shmap_decode(
+    q, pool, block_tables, seq_lens, page_size, kv_heads, head_dim,
+    split_kv, scale, mesh,
+):
+    from jax.sharding import PartitionSpec as P
+
+    from chitu_tpu.ops import pallas_attention
+
+    B, H, D = q.shape
+    tp = mesh.shape["tp"]
+    if not _supports_shmap(mesh, H):
+        # fall back to the oracle path under unsupported layouts
+        gathered = _gather(pool, block_tables)
+        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        S = k.shape[1]
+        cols = jnp.arange(S)[None, :]
+        mask = cols <= seq_lens[:, None]
+
+        def one(qb, kb, vb, mb):
+            return grouped_attention(qb[None], kb, vb, mb[None], scale=scale)[0]
+
+        return jax.vmap(one)(q, k, v, mask)
+
+    group = H // kv_heads
+    interpret = jax.default_backend() != "tpu"
+
+    def local(q_l, pool_l, bt_l, sl_l):
+        off = jax.lax.axis_index("tp") * (H // tp)
+        return pallas_attention.attend_decode(
+            q_l, pool_l, bt_l, sl_l, page_size, kv_heads, head_dim,
+            split_kv, scale=scale, interpret=interpret, group=group,
+            head_offset=off,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "tp", None),
+            P(None, None, None),
+            P(None, None),
+            P(None),
+        ),
+        out_specs=P(None, "tp", None),
+        check_vma=False,
+    )(q, pool, block_tables, seq_lens)
+
+
+def _shmap_prefill(
+    q, pool, block_table, q_pos, total_len, page_size, kv_heads, head_dim,
+    split_kv, scale, mesh,
+):
+    from jax.sharding import PartitionSpec as P
+
+    from chitu_tpu.ops import pallas_attention
+
+    T, H, D = q.shape
+    tp = mesh.shape["tp"]
+    if not _supports_shmap(mesh, H):
+        gathered = _gather(pool, block_table[None])
+        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        S = k.shape[1]
+        cols = jnp.arange(S)[None, :]
+        mask = (cols <= q_pos[:, None]) & (cols < total_len)
+        return grouped_attention(q, k[0], v[0], mask, scale=scale)
+
+    group = H // kv_heads
+    interpret = jax.default_backend() != "tpu"
+    total_arr = jnp.asarray(total_len, jnp.int32).reshape(1)
+
+    def local(q_l, pool_l, bt_l, qp_l, tl_l):
+        off = jax.lax.axis_index("tp") * (H // tp)
+        return pallas_attention.attend_prefill(
+            q_l, pool_l, bt_l, qp_l, tl_l[0], page_size, kv_heads,
+            head_dim, split_kv, scale=scale, interpret=interpret,
+            group=group, head_offset=off,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "tp", None),
+            P(None, None, None),
+            P(None),
+            P(None),
+            P(None),
+        ),
+        out_specs=P(None, "tp", None),
+        check_vma=False,
+    )(q, pool, block_table, q_pos, total_arr)

@@ -45,13 +45,24 @@ DMA_RING = 8  # in-flight page fetches
 Q_BLOCK = 64  # prefill query tokens per grid step
 
 
-def _expand_q(q: jnp.ndarray, kv_heads: int, C: int) -> jnp.ndarray:
-    """[..., H, D] -> [..., H, C]: head h occupies its KV head's D-block."""
+def _expand_q(
+    q: jnp.ndarray,
+    kv_heads: int,
+    C: int,
+    group: Optional[int] = None,
+    head_offset=0,
+) -> jnp.ndarray:
+    """[..., H, D] -> [..., H, C]: head h occupies its KV head's D-block.
+
+    `group` is the GLOBAL heads-per-KV-head ratio and `head_offset` the
+    global index of local head 0 — under shard_map each tp shard holds a
+    contiguous head slice of the full head range.
+    """
     *lead, H, D = q.shape
-    G = H // kv_heads
+    G = group or (H // kv_heads)
     out = jnp.zeros((*lead, H, kv_heads, D), q.dtype)
     h_idx = jnp.arange(H)
-    kv_idx = h_idx // G
+    kv_idx = (head_offset + h_idx) // G
     out = out.at[..., h_idx, kv_idx, :].set(q)
     out = out.reshape(*lead, H, kv_heads * D)
     if kv_heads * D < C:
@@ -60,14 +71,21 @@ def _expand_q(q: jnp.ndarray, kv_heads: int, C: int) -> jnp.ndarray:
     return out
 
 
-def _head_block_mask(H: int, kv_heads: int, D: int, C: int) -> np.ndarray:
+def _head_block_mask(
+    H: int,
+    kv_heads: int,
+    D: int,
+    C: int,
+    group: Optional[int] = None,
+    head_offset=0,
+) -> jnp.ndarray:
     """[H, C] 1.0 where column belongs to head h's KV block."""
-    G = H // kv_heads
-    m = np.zeros((H, C), np.float32)
-    for h in range(H):
-        k = h // G
-        m[h, k * D : (k + 1) * D] = 1.0
-    return m
+    G = group or (H // kv_heads)
+    kv_idx = (head_offset + jnp.arange(H)) // G  # [H]
+    colblk = jnp.arange(C) // D  # [C]
+    return (
+        (colblk[None, :] == kv_idx[:, None]) & (colblk[None, :] < kv_heads)
+    ).astype(jnp.float32)
 
 
 def _fold_matrix(kv_heads: int, D: int, C: int) -> np.ndarray:
@@ -173,7 +191,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "page_size", "kv_heads", "head_dim", "split_kv", "scale", "interpret"
+        "page_size", "kv_heads", "head_dim", "split_kv", "scale",
+        "interpret", "group",
     ),
 )
 def attend_decode(
@@ -187,6 +206,8 @@ def attend_decode(
     split_kv: bool = True,
     scale: Optional[float] = None,
     interpret: bool = False,
+    group: Optional[int] = None,
+    head_offset=0,
 ) -> jnp.ndarray:
     B, H, D = q.shape
     P, page, M = pool.shape
@@ -195,8 +216,8 @@ def attend_decode(
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     ring = min(DMA_RING, max(block_tables.shape[-1], 2))
 
-    q_exp = _expand_q(q, kv_heads, C)
-    mask = jnp.asarray(_head_block_mask(H, kv_heads, D, C))
+    q_exp = _expand_q(q, kv_heads, C, group, head_offset)
+    mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)
     fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -329,7 +350,8 @@ def _prefill_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "page_size", "kv_heads", "head_dim", "split_kv", "scale", "interpret"
+        "page_size", "kv_heads", "head_dim", "split_kv", "scale",
+        "interpret", "group",
     ),
 )
 def attend_prefill(
@@ -344,6 +366,8 @@ def attend_prefill(
     split_kv: bool = True,
     scale: Optional[float] = None,
     interpret: bool = False,
+    group: Optional[int] = None,
+    head_offset=0,
 ) -> jnp.ndarray:
     T, H, D = q.shape
     P, page, M = pool.shape
@@ -353,8 +377,8 @@ def attend_prefill(
     assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
     ring = min(DMA_RING, max(block_table.shape[-1], 2))
 
-    q_exp = _expand_q(q, kv_heads, C)
-    mask = jnp.asarray(_head_block_mask(H, kv_heads, D, C))
+    q_exp = _expand_q(q, kv_heads, C, group, head_offset)
+    mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)
     fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
     info = jnp.stack(
         [jnp.asarray(total_len, jnp.int32), q_pos[0].astype(jnp.int32)]

@@ -50,7 +50,7 @@ def _write_hf_checkpoint(params, tmpdir):
 
 
 def test_hf_safetensors_roundtrip(tmp_path):
-    cfg = tiny_cfg()
+    cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
     model = build_model(cfg.models, cfg)
     params = model.init_params(jax.random.PRNGKey(7))
     _write_hf_checkpoint(params, str(tmp_path))
@@ -78,7 +78,7 @@ def test_hf_safetensors_roundtrip(tmp_path):
 def test_engine_loads_checkpoint_and_matches(tmp_path):
     """do_load=True through the engine reproduces the random-weight
     engine's greedy tokens (same weights via checkpoint)."""
-    cfg = tiny_cfg(**{"infer.stop_with_eos": False})
+    cfg = tiny_cfg(**{"infer.stop_with_eos": False, "infer.merge_qkv_gate_up": "off"})
     base = Engine(cfg)
     _write_hf_checkpoint(base.params, str(tmp_path))
     p = SampleParams(temperature=0.0, max_new_tokens=6)

@@ -33,6 +33,7 @@ def test_mixtral_checkpoint_roundtrip(tmp_path):
     cfg = load_config(
         overrides=[
             "models=tiny-mixtral-debug",
+            "infer.merge_qkv_gate_up=off",
             "infer.max_seq_len=128",
             "infer.page_size=16",
             "infer.stop_with_eos=false",
@@ -80,6 +81,7 @@ def test_glm4_checkpoint_roundtrip(tmp_path):
     cfg = load_config(
         overrides=[
             "models=glm-4-9b-chat",
+            "infer.merge_qkv_gate_up=off",
             "infer.max_seq_len=128",
             "infer.page_size=16",
             "infer.stop_with_eos=false",

@@ -98,6 +98,7 @@ def _mixtral_cfg():
     cfg = load_config(
         overrides=[
             "models=tiny-mixtral-debug",
+            "infer.merge_qkv_gate_up=off",
             "infer.max_seq_len=128",
             "infer.max_reqs=4",
             "infer.page_size=16",

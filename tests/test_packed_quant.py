@@ -77,7 +77,7 @@ def test_awq_checkpoint_loads_into_engine(tmp_path):
     from chitu_tpu.engine import Engine
     from chitu_tpu.task import SampleParams
 
-    cfg = tiny_cfg(**{"infer.stop_with_eos": False})
+    cfg = tiny_cfg(**{"infer.stop_with_eos": False, "infer.merge_qkv_gate_up": "off"})
     base = Engine(cfg)
     params = base.params
 

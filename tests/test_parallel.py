@@ -15,7 +15,7 @@ from helpers import tiny_cfg
 
 
 def _tp_friendly_cfg(tp=1, dp=1):
-    cfg = tiny_cfg()
+    cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
     m = dataclasses.replace(
         cfg.models,
         n_layers=2,
@@ -86,4 +86,24 @@ def test_pp2_tp2_matches_single_device():
     wq = eng.params["layers"]["wq"]
     assert wq.sharding.shard_shape(wq.shape)[0] == wq.shape[0] // 2
     got = eng.generate("pipeline stages check", p)
+    assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_shmap_pallas_attention_tp4():
+    """The shard_map-wrapped pallas kernels (interpret mode on CPU) must
+    produce the same tokens as the XLA oracle under tp=4."""
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    ref = Engine(_tp_friendly_cfg(tp=4))
+    assert ref.executor.attn_impl == "xla"
+    want = ref.generate("shard map kernels", p)
+
+    import dataclasses
+    cfg = _tp_friendly_cfg(tp=4)
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, attn_type="pallas")
+    )
+    eng = Engine(cfg)
+    assert eng.executor.attn_impl == "pallas"
+    got = eng.generate("shard map kernels", p)
     assert got == want

@@ -82,7 +82,8 @@ def test_engine_with_quantized_model(method):
     # params actually quantized
     from chitu_tpu.ops.qtensor import QTensor
 
-    assert isinstance(eng.params["layers"]["wq"], QTensor)
+    wq_key = "wqkv" if "wqkv" in eng.params["layers"] else "wq"
+    assert isinstance(eng.params["layers"][wq_key], QTensor)
     assert not isinstance(eng.params["layers"]["attn_norm"], QTensor)
     assert not isinstance(eng.params["embed"], QTensor)
 
