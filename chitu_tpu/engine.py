@@ -80,6 +80,11 @@ class Engine:
             self.params = quantize_params(
                 self.params, cfg.quant, self.model
             )
+        if jax.default_backend() == "tpu":
+            # v5e fp8 storage fast path (see requantize_fp8_storage)
+            from chitu_tpu.quantize import requantize_fp8_storage
+
+            self.params = requantize_fp8_storage(self.params)
         if self.mesh is not None:
             from chitu_tpu.parallel import shard_params
 
@@ -155,6 +160,7 @@ class Engine:
         params: Optional[SampleParams] = None,
         request_id: Optional[str] = None,
         prompt_tokens: Optional[List[int]] = None,
+        priority: float = 1.0,
     ) -> UserRequest:
         """Create a request+task and enqueue it (reference: serve.py:78-99)."""
         rid = request_id or new_request_id()
@@ -184,6 +190,7 @@ class Engine:
             stop_with_eos=self.cfg.infer.stop_with_eos,
             max_seq_len=self.cfg.infer.max_seq_len,
             prompt_tokens=prompt_tokens,
+            priority=priority,
         )
         self.pool.add(task)
         return req

@@ -219,6 +219,41 @@ class Executor:
             self._jit_decode[key] = fn
         return fn
 
+    def _prefill_batch_fn(self, R: int, T: int, mp: int):
+        """Prefill R same-bucket requests in ONE jitted call: lax.scan over
+        requests carrying the cache (saves a host round trip per request
+        vs dispatching them individually)."""
+        key = ("batch", R, T, mp)
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            model, page, impl = self.model, self.page, self.attn_impl
+            mesh = self.mesh
+
+            def run(params, cache, tokens_r, bts_r, starts_r, lens_r):
+                def body(cache, xs):
+                    tokens, bt, st, vl = xs
+                    logits, cache = model.prefill(
+                        params,
+                        cache,
+                        tokens,
+                        bt,
+                        st,
+                        vl,
+                        page_size=page,
+                        attn_impl=impl,
+                        mesh=mesh,
+                    )
+                    return cache, logits
+
+                cache, logits = jax.lax.scan(
+                    body, cache, (tokens_r, bts_r, starts_r, lens_r)
+                )
+                return logits, cache
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._jit_prefill[key] = fn
+        return fn
+
     def _sample_fn(self, n: int):
         fn = self._jit_sample.get(n)
         if fn is None:
@@ -296,13 +331,58 @@ class Executor:
                 t.req.prefill_start_time = time.time()
             admitted.append(t)
 
-        logits_rows = []
-        for t in admitted:
-            logits_rows.append(self._prefill_one(t))
-
         if not admitted:
             timers("prefill").stop()
             return
+
+        # group one-chunk prompts by (T, mp) bucket -> one jitted scan per
+        # group; long prompts fall back to the chunked per-request path
+        chunk_cap = max(self.cfg.infer.prefill_chunk, 16)
+        logits_by_task = {}
+        groups: Dict[Tuple[int, int], List[Task]] = {}
+        for t in admitted:
+            n_tok = len(t.tokens) - t.prefilled_len
+            if t.prefilled_len == 0 and n_tok <= chunk_cap:
+                T = _bucket(n_tok, self.prefill_buckets)
+                pages_needed = (n_tok + self.page - 1) // self.page
+                mp = min(
+                    _bucket(pages_needed, _pow2_buckets(1, self.mp_full)),
+                    self.mp_full,
+                )
+                groups.setdefault((T, mp), []).append(t)
+            else:
+                logits_by_task[t.task_id] = self._prefill_one(t)
+
+        for (T, mp), tasks_g in groups.items():
+            if len(tasks_g) == 1:
+                logits_by_task[tasks_g[0].task_id] = self._prefill_one(
+                    tasks_g[0]
+                )
+                continue
+            R = len(tasks_g)
+            tokens_r = np.zeros((R, T), np.int32)
+            starts_r = np.zeros((R,), np.int32)
+            lens_r = np.zeros((R,), np.int32)
+            bts_r = np.full((R, mp), -1, np.int32)
+            for i, t in enumerate(tasks_g):
+                n_tok = len(t.tokens)
+                tokens_r[i, :n_tok] = t.tokens
+                lens_r[i] = n_tok
+                bts_r[i] = self.cache.allocator.block_table([t.task_id], mp)[0]
+            fn = self._prefill_batch_fn(R, T, mp)
+            logits_r, self.cache.arrays = fn(
+                self.params,
+                self.cache.arrays,
+                jnp.asarray(tokens_r),
+                jnp.asarray(bts_r),
+                jnp.asarray(starts_r),
+                jnp.asarray(lens_r),
+            )
+            for i, t in enumerate(tasks_g):
+                logits_by_task[t.task_id] = logits_r[i]
+                t.prefilled_len = len(t.tokens)
+
+        logits_rows = [logits_by_task[t.task_id] for t in admitted]
 
         # sample first tokens for the whole group in one jitted call
         n = _bucket(len(admitted), _pow2_buckets(1, self.max_reqs))
@@ -378,7 +458,10 @@ class Executor:
         check_stop = np.zeros((B,), bool)
         for i, t in enumerate(live):
             tokens[i] = t.response_tokens[-1] if t.response_tokens else t.tokens[-1]
-            seq_lens[i] = t.seq_len
+            # context BEFORE the fed token: its KV is appended at this
+            # position inside the step (the fed token is the last response
+            # token, so the cache holds positions 0..seq_len-2)
+            seq_lens[i] = t.seq_len - 1
             remaining[i] = max(t.max_new_tokens - len(t.response_tokens), 1)
             check_stop[i] = t.stop_with_eos
         # how many windows can run without any host decision: every live

@@ -67,8 +67,13 @@ def _gemm_kernel(
 
     bk, bn = w_ref.shape
     groups = bk // QBLK
-    # per-quant-block dequant+matmul: lane-aligned slices, [1, bn] scale
-    # broadcast over sublanes — no cross-sublane reshapes (those relayout)
+    # Per-quant-block dequant+matmul with the scale/zero algebra moved OFF
+    # the weight elements onto the [bm, bn] accumulator: within one quant
+    # block the scale s and zero z are constant along the contraction dim,
+    # so  x @ ((w - z) * s) == (x @ w) * s - rowsum(x) (x) (z * s).
+    # The per-byte VPU work collapses to a single cast feeding the MXU —
+    # that cast is what keeps the pipeline at DMA speed. Lane-aligned
+    # slices only (cross-sublane reshapes relayout).
     for g in range(groups):
         raw = w_ref[g * QBLK : (g + 1) * QBLK, :]
         if fp8_bits:
@@ -79,17 +84,22 @@ def _gemm_kernel(
             # instead of the slow fp8 cast path)
             u = raw.astype(jnp.int32) & 0xFF
             bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
-            wg = pltpu.bitcast(bits, jnp.float32)
+            wg = pltpu.bitcast(bits, jnp.float32).astype(jnp.bfloat16)
         else:
-            wg = raw.astype(jnp.float32)
-        if asym:
-            wg = wg - z_ref[0, g : g + 1, :]
-        wg = (wg * s_ref[0, g : g + 1, :]).astype(jnp.bfloat16)
+            wg = raw.astype(jnp.bfloat16)
         xg = x_ref[:, g * QBLK : (g + 1) * QBLK].astype(jnp.bfloat16)
-        acc[...] += jax.lax.dot_general(
+        partial = jax.lax.dot_general(
             xg, wg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [bm, bn]
+        sg = s_ref[0, g : g + 1, :]  # [1, bn]
+        if asym:
+            xsum = jnp.sum(
+                xg.astype(jnp.float32), axis=1, keepdims=True
+            )  # [bm, 1]
+            acc[...] += partial * sg - xsum * (z_ref[0, g : g + 1, :] * sg)
+        else:
+            acc[...] += partial * sg
 
     @pl.when(k == n_k - 1)
     def _():
@@ -189,8 +199,13 @@ def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
     scale_rows = _expand_scale_rows(q)
     data = q.data
     fp8_bits = False
-    if q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
-        # ship raw bytes; fold the exponent re-bias 2^120 into the scales
+    if (
+        q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
+        and q.data.dtype == jnp.float8_e4m3fn
+    ):
+        # raw fp8 bytes: bit-placement dequant with the 2^120 exponent
+        # re-bias folded into the scales (requantize_fp8_storage converts
+        # to the faster int8 lanes at engine load on v5e)
         data = jax.lax.bitcast_convert_type(data, jnp.int8)
         scale_rows = scale_rows * jnp.float32(2.0**120)
         fp8_bits = True

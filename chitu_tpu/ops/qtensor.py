@@ -90,6 +90,8 @@ class QTensor:
         """Reference (XLA) dequantization to a dense weight."""
         d = self.data
         if self.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
+            # storage is fp8 bytes, or int8 lanes after
+            # quantize.requantize_fp8_storage (v5e fast path)
             w = d.astype(jnp.float32)
             bi, bo = self.block, self.block
             # broadcast blockwise scales [in/B, out/B] -> [in, out]

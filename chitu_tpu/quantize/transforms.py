@@ -90,6 +90,42 @@ def quantize_weight(
     raise ValueError(f"unknown quant kind {kind}")
 
 
+def requantize_fp8_storage(params: Any) -> Any:
+    """fp8-e4m3 QTensor storage -> int8 lanes with rescaled block scales.
+
+    TPU v5e has no native fp8 datapath: Mosaic lowers the fp8->f32 cast to
+    a many-op VPU sequence that caps the dequant-GEMM at ~40% of the int8
+    path's bandwidth. int8 conversion is a single native VPU op, so on
+    load we map each fp8 byte value x -> round(x * 127/448) int8 and fold
+    448/127 into the blockwise scales. Same bytes moved from HBM, same
+    blockwise math; quantization granularity becomes linear-int8 per
+    128x128 block (accuracy gated by the perplexity tests).
+    """
+
+    def walk(leaf):
+        if (
+            isinstance(leaf, QTensor)
+            and leaf.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
+            and leaf.data.dtype == jnp.float8_e4m3fn
+        ):
+            vals = leaf.data.astype(jnp.float32)
+            data = jnp.clip(
+                jnp.round(vals * (127.0 / F8_MAX)), -127, 127
+            ).astype(jnp.int8)
+            return QTensor(
+                data=data,
+                scale=(leaf.scale * (F8_MAX / 127.0)).astype(jnp.float32),
+                zeros=leaf.zeros,
+                kind=leaf.kind,
+                block=leaf.block,
+            )
+        return leaf
+
+    return jax.tree_util.tree_map(
+        walk, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+
+
 _KIND_BY_METHOD = {
     "soft_fp8": QuantKind.SOFT_FP8,
     "fp8": QuantKind.FP8,

@@ -47,6 +47,8 @@ class ChatRequest(BaseModel):
     frequency_penalty: float = 0.0
     stream: bool = False
     max_tokens: Optional[int] = None
+    # scheduler weight for the stride policy (reference: scheduler.py:189-235)
+    priority: float = 1.0
 
 
 class ServerContext:
@@ -135,7 +137,7 @@ def build_app(ctx: ServerContext) -> web.Application:
             else [{"role": m.role, "content": m.content} for m in body.messages]
         )
         try:
-            req = engine.submit(message, params)
+            req = engine.submit(message, params, priority=body.priority)
         except ValueError as e:
             return _json_error(400, str(e))
         ctx.wake.set()
@@ -189,12 +191,32 @@ def build_app(ctx: ServerContext) -> web.Application:
         await loop.run_in_executor(None, ctx.stop)
         return web.json_response({"message": "stopped"})
 
+    async def init(request: web.Request):
+        """(Re)build the engine from config overrides
+        (reference: serve.py /init endpoint)."""
+        if ctx.engine is not None and ctx.engine.state == EngineState.RUNNING:
+            return _json_error(409, "engine already running")
+        try:
+            body = await request.json() if request.can_read_body else {}
+        except json.JSONDecodeError:
+            body = {}
+        overrides = body.get("overrides", [])
+        loop = asyncio.get_running_loop()
+
+        def boot():
+            ctx.cfg = load_config(overrides=overrides)
+            ctx.start(warmup=body.get("warmup", False))
+
+        await loop.run_in_executor(None, boot)
+        return web.json_response({"message": "initialized"})
+
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_get("/ping", ping)
     app.router.add_get("/health", health)
     app.router.add_get("/status", status)
     app.router.add_get("/load_status", load_status)
     app.router.add_post("/stop", stop)
+    app.router.add_post("/init", init)
     return app
 
 

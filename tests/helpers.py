@@ -9,23 +9,14 @@ def tiny_cfg(**overrides):
     """A 2-layer, 128-dim llama for fast CPU tests."""
     cfg = load_config(
         overrides=[
-            "models=tiny-llama-debug",
+            "models=micro-llama-debug",
             "infer.max_seq_len=128",
             "infer.max_reqs=4",
             "infer.page_size=16",
             "request.max_new_tokens=8",
         ]
     )
-    m = dataclasses.replace(
-        cfg.models,
-        n_layers=2,
-        dim=128,
-        n_heads=4,
-        n_kv_heads=2,
-        inter_dim=256,
-        vocab_size=512,
-    )
-    cfg = dataclasses.replace(cfg, models=m)
+    m = cfg.models
     infer = cfg.infer
     sched = cfg.scheduler
     for k, v in overrides.items():

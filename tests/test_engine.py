@@ -122,10 +122,40 @@ def test_eos_stop_token():
     p = SampleParams(temperature=0.0, max_new_tokens=10)
     probe = eng.generate("eos probe", p)
     assert len(probe) >= 3
-    # make the 3rd greedy token a stop token for the next request
+    # choose a stop token whose first occurrence is not at index 0
+    stop_idx = next(
+        (i for i in range(1, len(probe)) if probe[i] not in probe[:i]), None
+    )
+    assert stop_idx is not None, f"degenerate probe {probe}"
     req = eng.submit("eos probe", p)
     task = eng.pool[f"task-{req.request_id}"]
-    task.stop_tokens = frozenset({probe[2]})
+    task.stop_tokens = frozenset({probe[stop_idx]})
     eng.run_until_complete()
     assert req.finish_reason == "stop"
-    assert list(req.async_stream.tokens) == probe[:3]
+    assert list(req.async_stream.tokens) == probe[: stop_idx + 1]
+
+
+def test_decode_positions_match_teacher_forcing():
+    """Greedy continuation must equal teacher-forced re-prefill: generate
+    k tokens, then submit (prompt + first j generated) as a new prompt —
+    the continuation must reproduce the remaining tokens. Catches KV
+    position off-by-ones between the prefill and decode paths."""
+    eng = Engine(tiny_cfg(**{"infer.stop_with_eos": False}))
+    p = SampleParams(temperature=0.0, max_new_tokens=8)
+    prompt = [ord(c) for c in "teacher forcing check"]
+    full = eng.generate("", SampleParams(temperature=0.0, max_new_tokens=8),
+                        ) if False else None
+    req = eng.submit("", p, prompt_tokens=prompt)
+    eng.run_until_complete()
+    full = list(req.async_stream.tokens)
+    assert len(full) == 8
+
+    for j in (1, 4):
+        req2 = eng.submit(
+            "",
+            SampleParams(temperature=0.0, max_new_tokens=8 - j),
+            prompt_tokens=prompt + full[:j],
+        )
+        eng.run_until_complete()
+        cont = list(req2.async_stream.tokens)
+        assert cont == full[j:], f"j={j}: {cont} != {full[j:]}"

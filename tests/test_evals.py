@@ -43,3 +43,25 @@ def test_quantized_ppl_close_to_bf16(engine):
     base = perplexity_from_tokens(engine, toks, window=64)
     quant = perplexity_from_tokens(qeng, toks, window=64)
     assert abs(quant - base) / base < 0.05
+
+
+def test_requantized_fp8_ppl_close(engine):
+    """The v5e int8-storage fast path stays within the accuracy gate too."""
+    import dataclasses
+    from chitu_tpu.quantize import requantize_fp8_storage
+    from chitu_tpu.engine import Engine
+
+    cfg = tiny_cfg()
+    qcfg = dataclasses.replace(
+        cfg,
+        quant=dataclasses.replace(
+            cfg.quant, method="soft_fp8", quant_on_load=True
+        ),
+    )
+    qeng = Engine(qcfg)
+    qeng.params = requantize_fp8_storage(qeng.params)
+    qeng.executor.params = qeng.params
+    toks = list(range(40, 168))
+    base = perplexity_from_tokens(engine, toks, window=64)
+    quant = perplexity_from_tokens(qeng, toks, window=64)
+    assert abs(quant - base) / base < 0.05

@@ -89,3 +89,27 @@ def test_engine_with_quantized_model(method):
 
     got = eng.generate("quantization test prompt", p)
     assert len(got) == 5
+
+
+def test_requantize_fp8_storage_accuracy():
+    """fp8->int8 requantized storage (v5e fast path) stays within ~1% of
+    the fp8 dequant and runs through the GEMM."""
+    import jax.numpy as jnp
+    from chitu_tpu.quantize import requantize_fp8_storage
+
+    w = jax.random.normal(jax.random.PRNGKey(11), (256, 256)) * 0.1
+    q = quantize_weight(w, QuantKind.SOFT_FP8)
+    q8 = requantize_fp8_storage({"layers": {"w": q}})["layers"]["w"]
+    assert q8.data.dtype == jnp.int8
+    w_fp8 = q.dequantize(jnp.float32)
+    w_i8 = q8.dequantize(jnp.float32)
+    scale = float(jnp.max(jnp.abs(w)))
+    assert float(jnp.max(jnp.abs(w_fp8 - w_i8))) < 0.02 * scale
+    # matmul path
+    x = (jax.random.normal(jax.random.PRNGKey(12), (4, 256)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    y8 = linear(x, q8, out_dtype=jnp.float32)
+    yf = linear(x, q, out_dtype=jnp.float32)
+    rel = float(jnp.linalg.norm(y8 - yf) / jnp.linalg.norm(yf))
+    assert rel < 0.03

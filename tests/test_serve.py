@@ -128,3 +128,41 @@ def test_concurrent_requests(base_url):
     for r in rs:
         assert r.status_code == 200
         assert r.json()["usage"]["completion_tokens"] == 3
+
+
+def test_stop_then_init_lifecycle():
+    """POST /stop then /init restarts the engine
+    (reference: serve.py /init /stop)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(cfg, serve=dataclasses.replace(cfg.serve, port=0))
+    srv = BackgroundServer(cfg, warmup=False)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        assert requests.post(f"{base}/init", json={}).status_code == 409
+        assert requests.post(f"{base}/stop").status_code == 200
+        assert requests.get(f"{base}/health").status_code == 503
+        r = requests.post(
+            f"{base}/init",
+            json={
+                "overrides": [
+                    "models=micro-llama-debug",
+                    "infer.max_seq_len=128",
+                    "infer.max_reqs=4",
+                    "infer.page_size=16",
+                ]
+            },
+            timeout=300,
+        )
+        assert r.status_code == 200
+        assert requests.get(f"{base}/health").status_code == 200
+        r = requests.post(
+            f"{base}/v1/chat/completions",
+            json={"messages": "post-init", "max_tokens": 3, "temperature": 0},
+            timeout=120,
+        )
+        assert r.status_code == 200
+    finally:
+        srv.stop()
