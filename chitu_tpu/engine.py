@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from chitu_tpu.models import build_model
 from chitu_tpu.scheduler import Scheduler
 from chitu_tpu.task import SampleParams, Task, TaskPool, UserRequest, new_request_id
 from chitu_tpu.tokenizer import build_tokenizer
-from chitu_tpu.utils import get_logger, get_timers, init_logger
+from chitu_tpu.utils import get_logger, init_logger
 
 logger = get_logger()
 
@@ -52,6 +52,10 @@ class Engine:
             mesh = mesh_from_config(cfg)
         self.mesh = mesh
 
+        if cfg.infer.op_impl != "auto":
+            from chitu_tpu.ops.linear import set_op_impl
+
+            set_op_impl(cfg.infer.op_impl)
         self.tokenizer = build_tokenizer(cfg.models, cfg.infer)
         # widen model vocab if the tokenizer is bigger (debug tokenizer case)
         margs = cfg.models

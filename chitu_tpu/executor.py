@@ -186,7 +186,7 @@ class Executor:
                     )
                     counts = sampling.update_counts(counts, slots, new, live)
                     is_stop = check_stop & jnp.any(
-                        new[:, None] == stop_ids[None, :], axis=-1
+                        new[:, None] == stop_ids, axis=-1
                     )
                     remaining = remaining - live.astype(jnp.int32)
                     done = done | (live & (is_stop | (remaining <= 0)))
@@ -335,6 +335,21 @@ class Executor:
             timers("prefill").stop()
             return
 
+        # preempted tasks rebuild their KV (prompt + generated) and resume
+        # decoding directly — no new token is sampled
+        resumed = [t for t in admitted if t.response_tokens]
+        admitted = [t for t in admitted if not t.response_tokens]
+        for t in resumed:
+            rebuild = t.rebuild_tokens()
+            if not self.cache.allocator.ensure(t.task_id, len(rebuild) + 1):
+                logger.warning("cannot rebuild %s; KV pool exhausted", t.task_id)
+                continue
+            self._prefill_one(t, tokens=rebuild)
+            t.start_decoding()
+        if not admitted:
+            timers("prefill").stop()
+            return
+
         # group one-chunk prompts by (T, mp) bucket -> one jitted scan per
         # group; long prompts fall back to the chunked per-request path
         chunk_cap = max(self.cfg.infer.prefill_chunk, 16)
@@ -401,11 +416,11 @@ class Executor:
             t.append_token(int(toks_host[i]))
         timers("prefill").stop()
 
-    def _prefill_one(self, t: Task) -> jnp.ndarray:
-        """Run one request's prompt through the model (chunked if long)."""
+    def _prefill_one(self, t: Task, tokens=None) -> jnp.ndarray:
+        """Run one request's context through the model (chunked if long)."""
         chunk_cap = max(self.cfg.infer.prefill_chunk, 16)
         pos = t.prefilled_len
-        tokens = t.tokens
+        tokens = tokens if tokens is not None else t.tokens
         logits = None
         while pos < len(tokens):
             n = min(len(tokens) - pos, chunk_cap)
@@ -443,11 +458,25 @@ class Executor:
         for t in tasks:
             window = min(window, max(1, t.max_seq_len - t.seq_len))
         live = []
-        for t in tasks:
-            if self.cache.allocator.ensure(t.task_id, t.seq_len + window):
-                live.append(t)
+        pending = sorted(tasks, key=lambda t: t.arrival)  # oldest first
+        while pending:
+            t = pending.pop(0)
+            while not self.cache.allocator.ensure(t.task_id, t.seq_len + window):
+                if pending:
+                    victim = pending.pop()  # newest waits
+                else:
+                    victim = None
+                if victim is None:
+                    break
+                self.preempt(victim)
             else:
-                logger.warning("KV pool exhausted during decode of %s", t.task_id)
+                live.append(t)
+                continue
+            # pool exhausted with no victims left: preempt t itself so its
+            # pages free up for the others next round
+            if not live:
+                logger.warning("KV pool exhausted; preempting %s", t.task_id)
+                self.preempt(t)
         if not live:
             timers("decode").stop()
             return
@@ -471,7 +500,7 @@ class Executor:
         n_windows = max(1, min(min_remaining, min_headroom) // window)
         n_windows = min(n_windows, 4)
 
-        stop_ids = self._stop_ids(live)
+        stop_ids = self._stop_ids(live, B)
         temps, tks, tps, pens, slots, valid = self._sampling_arrays(live, B)
         fn = self._decode_fn(B, self.mp_full, window)
 
@@ -528,18 +557,23 @@ class Executor:
                     break
         timers("decode").stop()
 
-    def _stop_ids(self, tasks: List[Task]) -> jnp.ndarray:
-        """Union of stop-token ids across the batch, padded to a static
-        width (all tasks share one tokenizer in practice)."""
-        ids = set()
-        for t in tasks:
-            ids |= set(t.stop_tokens)
-        out = np.full((8,), -2, np.int32)
-        for i, tok in enumerate(sorted(ids)[:8]):
-            out[i] = tok
+    def _stop_ids(self, tasks: List[Task], n: int) -> jnp.ndarray:
+        """Per-row stop-token ids [n, 8], -2 padded (per-request sets so one
+        task's custom stop token cannot truncate another's stream)."""
+        out = np.full((n, 8), -2, np.int32)
+        for i, t in enumerate(tasks):
+            for j, tok in enumerate(sorted(t.stop_tokens)[:8]):
+                out[i, j] = tok
         return jnp.asarray(out)
 
     # -- lifecycle ----------------------------------------------------------
+
+    def preempt(self, task: Task):
+        """Evict a task's KV pages (slot + frequency-penalty counts stay);
+        it re-enters scheduling as a rebuild prefill."""
+        logger.info("preempting %s (KV pool pressure)", task.task_id)
+        self.cache.allocator.free(task.task_id)
+        task.preempt()
 
     def release(self, task: Task):
         """Free device residency when a request finishes

@@ -26,7 +26,7 @@ reference's native-fp8 LinearDeepSeekV3 (:109-226).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

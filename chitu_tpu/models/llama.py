@@ -22,7 +22,7 @@ optional qkv bias (qwen2), tied embeddings, and Meta-llama FFN sizing
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ from jax.sharding import PartitionSpec as P
 from chitu_tpu.models import register_model
 from chitu_tpu.models.llama import LlamaForCausalLM
 from chitu_tpu.models.moe import expert_capacity, moe_ffn, route
-from chitu_tpu.ops.linear import linear
 
 
 @register_model("mixtral")

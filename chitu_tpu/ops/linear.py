@@ -16,7 +16,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from chitu_tpu.ops.qtensor import QTensor, QuantKind
+from chitu_tpu.ops.qtensor import QTensor
 
 # op_impl switch (reference keeps an op_impl config for portability,
 # chitu/config/serve_config.yaml:15). "pallas" uses hand-written kernels for

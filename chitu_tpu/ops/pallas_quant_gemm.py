@@ -20,7 +20,6 @@ All kernels match QTensor.dequantize + jnp.dot within bf16 tolerance
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ the leaf type. This covers the reference's whole ladder
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

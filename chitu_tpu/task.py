@@ -21,7 +21,7 @@ import json
 import os
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 from chitu_tpu.async_response import AsyncDataStream
@@ -257,6 +257,22 @@ class Task:
         if self.seq_len >= self.max_seq_len:
             return True
         return False
+
+    def preempt(self):
+        """Evict from device residency (KV pages freed by the executor);
+        the task re-enters as a prefill that rebuilds its context
+        (prompt + generated-so-far) before decoding continues. The
+        reference only TODOs this ("scheduling and preemption in paper",
+        cache_manager.py:160-168)."""
+        self.task_type = TaskType.PREFILL
+        self.prefilled_len = 0
+        self.waiting = False
+
+    def rebuild_tokens(self) -> List[int]:
+        """Token context a preempted task must re-prefill: everything
+        except the last response token (which is fed to the next decode
+        step and gets its KV appended there)."""
+        return self.tokens + self.response_tokens[:-1]
 
     def finish_reason(self) -> str:
         if (

@@ -159,3 +159,39 @@ def test_decode_positions_match_teacher_forcing():
         eng.run_until_complete()
         cont = list(req2.async_stream.tokens)
         assert cont == full[j:], f"j={j}: {cont} != {full[j:]}"
+
+
+def test_preemption_under_kv_pressure():
+    """When the KV pool can't hold all decoding requests, the newest is
+    preempted (pages freed, context rebuilt later) and every request still
+    finishes with the same greedy tokens as an unpressured run."""
+    roomy = Engine(tiny_cfg(**{"infer.stop_with_eos": False}))
+    p = lambda: SampleParams(temperature=0.0, max_new_tokens=24)
+    prompts = [[300 + i, 301, 302, 303 + i] for i in range(3)]
+    want = []
+    for pr in prompts:
+        r = roomy.submit("", p(), prompt_tokens=pr)
+        roomy.run_until_complete()
+        want.append(list(r.async_stream.tokens))
+
+    # 3 requests x (4 prompt + 24 new) tokens but only 5 pages of 16
+    tight = Engine(
+        tiny_cfg(
+            **{
+                "infer.stop_with_eos": False,
+                "infer.max_seq_len": 64,
+                "infer.decode_window": 4,
+            }
+        )
+    )
+    tight.cache.allocator = type(tight.cache.allocator)(
+        5, 16, 4
+    ) if hasattr(tight.cache.allocator, "native") else None
+    if tight.cache.allocator is None:
+        from chitu_tpu.kvcache import PageAllocator
+
+        tight.cache.allocator = PageAllocator(5, 16)
+    reqs = [tight.submit("", p(), prompt_tokens=pr) for pr in prompts]
+    tight.run_until_complete(max_steps=2000)
+    got = [list(r.async_stream.tokens) for r in reqs]
+    assert got == want, f"{got} != {want}"
