@@ -209,34 +209,47 @@ def pad_kv_minor(kv_heads: int, head_dim: int, lane: int = 128) -> int:
 
 
 def paged_append(
-    pool: jnp.ndarray,  # [num_pages, page, C]
+    pool: jnp.ndarray,  # [L, num_pages, page, C] (the WHOLE stacked pool)
+    layer: jnp.ndarray,  # scalar i32
     values: jnp.ndarray,  # [N, KV, D] (or [N, C_valid])
-    flat_idx: jnp.ndarray,  # [N] int32 (OOB = drop)
+    flat_idx: jnp.ndarray,  # [N] int32 within one layer (OOB = drop)
 ) -> jnp.ndarray:
-    P, page, C = pool.shape
+    """Scatter one layer's new rows into the full pool.
+
+    The pool travels whole through the layer scan (carry) and is indexed
+    here — slicing a per-layer pool in/out of the scan materializes slice
+    copies that scale with pool size (measured 36% decode regression at
+    3x pool)."""
+    L, P, page, C = pool.shape
     N = values.shape[0]
     vals = values.reshape(N, -1)
     if vals.shape[-1] < C:
         vals = jnp.pad(vals, ((0, 0), (0, C - vals.shape[-1])))
-    flat = pool.reshape(P * page, C)
-    flat = flat.at[flat_idx].set(vals.astype(pool.dtype), mode="drop")
-    return flat.reshape(P, page, C)
+    oob = jnp.iinfo(jnp.int32).max
+    idx = jnp.where(
+        flat_idx >= P * page, oob, layer.astype(jnp.int32) * (P * page) + flat_idx
+    )
+    flat = pool.reshape(L * P * page, C)
+    flat = flat.at[idx].set(vals.astype(pool.dtype), mode="drop")
+    return flat.reshape(L, P, page, C)
 
 
 def paged_gather(
-    pool: jnp.ndarray,  # [num_pages, page, C]
+    pool: jnp.ndarray,  # [L, num_pages, page, C]
+    layer: jnp.ndarray,  # scalar i32
     block_table: jnp.ndarray,  # [B, max_pages] int32
     kv_heads: int,
     head_dim: int,
 ) -> jnp.ndarray:
-    """Materialize per-request KV: [B, max_pages*page, KV, D].
+    """Materialize one layer's per-request KV: [B, max_pages*page, KV, D].
 
     The XLA reference decode path; the Pallas paged-decode kernel reads
-    pages directly from HBM instead (ops/pallas_attention.py).
+    pages directly from HBM instead (ops/pallas_attention.py). Rows gather
+    straight from the flattened [L*P, ...] view — no layer slice copy.
     """
     B, MP = block_table.shape
-    P, page, C = pool.shape
-    safe = jnp.maximum(block_table, 0)
-    out = pool[safe]  # [B, MP, page, C]
+    L, P, page, C = pool.shape
+    safe = jnp.maximum(block_table, 0) + layer.astype(jnp.int32) * P
+    out = pool.reshape(L * P, page, C)[safe]  # [B, MP, page, C]
     out = out.reshape(B, MP * page, C)[..., : kv_heads * head_dim]
     return out.reshape(B, MP * page, kv_heads, head_dim)

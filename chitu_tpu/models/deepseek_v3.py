@@ -237,7 +237,7 @@ class DeepSeekV3ForCausalLM:
 
     # -- attention ----------------------------------------------------------
 
-    def _mla(self, x, lp, kv_pool, cos, sin, append, attend):
+    def _mla(self, x, lp, kv_pool, layer, cos, sin, append, attend):
         """MLA absorb forward for a [T, D] slab.
 
         (reference absorb paths: model_deepseek_v3.py:475-536 decode,
@@ -288,14 +288,14 @@ class DeepSeekV3ForCausalLM:
 
         # merged cache row: [c_kv || k_pe], one shared "kv head"
         new_kv = jnp.concatenate([c_kv, k_pe], axis=-1)[:, None, :]  # [T,1,576]
-        kv_pool = append(kv_pool, new_kv)
+        kv_pool = append(kv_pool, layer, new_kv)
 
         # MQA over the merged cache with padded head dim
         q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, H, 576]
         pad = self.kv_minor - self.kv_dim
         if pad:
             q_full = jnp.pad(q_full, ((0, 0), (0, 0), (0, pad)))
-        o = attend(q_full, kv_pool)  # [T, H, kv_minor]
+        o = attend(q_full, kv_pool, layer)  # [T, H, kv_minor]
         out_c = o[..., :dc].astype(jnp.float32)  # latent-weighted sum
 
         v_out = jnp.einsum(
@@ -329,26 +329,33 @@ class DeepSeekV3ForCausalLM:
 
     # -- stacks -------------------------------------------------------------
 
-    def _run_stack(self, stack_params, kv_pools, h, cos, sin, append, attend, ffn):
+    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn):
         a = self.args
 
         def body(carry, xs):
-            h = carry
-            lp, pool = xs
+            h, pool = carry
+            lp, layer = xs
             x = rms_norm(h, lp["attn_norm"], a.norm_eps)
-            attn_out, pool = self._mla(x, lp, pool, cos, sin, append, attend)
+            attn_out, pool = self._mla(
+                x, lp, pool, layer, cos, sin, append, attend
+            )
             h = h + attn_out
             x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
             h = h + ffn(x, lp)
-            return h, pool
+            return (h, pool), None
 
-        h, kv_pools = jax.lax.scan(body, h, (stack_params, kv_pools))
-        return h, kv_pools
+        (h, kv_pool), _ = jax.lax.scan(
+            body,
+            (h, kv_pool),
+            (stack_params, jnp.arange(n_layers, dtype=jnp.int32)),
+        )
+        return h, kv_pool
 
     def _forward(self, params, cache, h, cos, sin, append, attend):
         h, kv_dense = self._run_stack(
             params["dense_layers"],
             cache["kv_dense"],
+            self.n_dense,
             h,
             cos,
             sin,
@@ -359,6 +366,7 @@ class DeepSeekV3ForCausalLM:
         h, kv_moe = self._run_stack(
             params["moe_layers"],
             cache["kv_moe"],
+            self.n_moe,
             h,
             cos,
             sin,
@@ -394,15 +402,17 @@ class DeepSeekV3ForCausalLM:
         cos = jnp.take(self.cos, idx, 0)
         sin = jnp.take(self.sin, idx, 0)
 
-        def append(pool, new_kv):
+        def append(pool, layer, new_kv):
             return attn_ops.append_prefill(
-                pool, new_kv, None, block_table, pos, valid_len, page_size
+                pool, layer, new_kv, None, block_table, pos, valid_len,
+                page_size,
             )
 
-        def attend(q, pool):
+        def attend(q, pool, layer):
             return attn_ops.attend_prefill(
                 q,
                 pool,
+                layer,
                 block_table,
                 jnp.where(jnp.arange(T) < valid_len, pos, 0),
                 total_len,
@@ -439,15 +449,17 @@ class DeepSeekV3ForCausalLM:
         cos = jnp.take(self.cos, idx, 0)
         sin = jnp.take(self.sin, idx, 0)
 
-        def append(pool, new_kv):
+        def append(pool, layer, new_kv):
             return attn_ops.append_decode(
-                pool, new_kv, None, block_tables, seq_lens, valid, page_size
+                pool, layer, new_kv, None, block_tables, seq_lens, valid,
+                page_size,
             )
 
-        def attend(q, pool):
+        def attend(q, pool, layer):
             return attn_ops.attend_decode(
                 q,
                 pool,
+                layer,
                 block_tables,
                 seq_lens,
                 page_size,

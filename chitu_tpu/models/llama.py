@@ -206,11 +206,12 @@ class LlamaForCausalLM:
         self,
         h: jnp.ndarray,  # [T, D]
         lp: Dict[str, jnp.ndarray],
-        pool: jnp.ndarray,  # [P, page, 2C] packed K||V pages
+        pool: jnp.ndarray,  # [L, P, page, 2C]: the WHOLE packed pool
+        layer: jnp.ndarray,  # scalar i32
         cos: jnp.ndarray,  # [T, R/2]
         sin: jnp.ndarray,
-        attend,  # fn(q, pool) -> [T, H, Dv]
-        append,  # fn(pool, k, v) -> pool
+        attend,  # fn(q, pool, layer) -> [T, H, Dv]
+        append,  # fn(pool, layer, k, v) -> pool
     ):
         a = self.args
         T = h.shape[0]
@@ -228,8 +229,8 @@ class LlamaForCausalLM:
             v = linear(x, lp["wv"], lp.get("bv")).reshape(T, KV, Dh)
         q = apply_rope(q, cos, sin, self.rotary_layout)
         k = apply_rope(k, cos, sin, self.rotary_layout)
-        pool = append(pool, k, v)
-        o = attend(q, pool)
+        pool = append(pool, layer, k, v)
+        o = attend(q, pool, layer)
         h = h + linear(o.reshape(T, H * Dh), lp["wo"])
 
         x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
@@ -247,15 +248,27 @@ class LlamaForCausalLM:
             up = linear(x, lp["w_up"])
         return linear(jax.nn.silu(gate) * up, lp["w_down"])
 
-    def _run_layers(self, params, pools, h, cos, sin, attend, append):
-        def body(carry, xs):
-            h = carry
-            lp, pool = xs
-            h, pool = self._layer(h, lp, pool, cos, sin, attend, append)
-            return h, pool
+    def _run_layers(self, params, pool, h, cos, sin, attend, append):
+        """Scan over stacked layer params; the pool rides the CARRY whole
+        and is indexed per layer inside the kernels/scatters — per-layer
+        slicing through scan xs/ys copies the slice each iteration (cost
+        scales with pool size)."""
+        L = self.args.n_layers
 
-        h, pools = jax.lax.scan(body, h, (params["layers"], pools))
-        return h, pools
+        def body(carry, xs):
+            h, pool = carry
+            lp, layer = xs
+            h, pool = self._layer(
+                h, lp, pool, layer, cos, sin, attend, append
+            )
+            return (h, pool), None
+
+        (h, pool), _ = jax.lax.scan(
+            body,
+            (h, pool),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+        return h, pool
 
     def _logits(self, params, h: jnp.ndarray) -> jnp.ndarray:
         head = (
@@ -289,15 +302,16 @@ class LlamaForCausalLM:
         cos = jnp.take(self.cos, jnp.minimum(pos, self.cos.shape[0] - 1), 0)
         sin = jnp.take(self.sin, jnp.minimum(pos, self.sin.shape[0] - 1), 0)
 
-        def append(pool, k, v):
+        def append(pool, layer, k, v):
             return attn_ops.append_prefill(
-                pool, k, v, block_table, pos, valid_len, page_size
+                pool, layer, k, v, block_table, pos, valid_len, page_size
             )
 
-        def attend(q, pool):
+        def attend(q, pool, layer):
             return attn_ops.attend_prefill(
                 q,
                 pool,
+                layer,
                 block_table,
                 jnp.where(jnp.arange(T) < valid_len, pos, 0),
                 total_len,
@@ -310,7 +324,7 @@ class LlamaForCausalLM:
                 mesh=mesh,
             )
 
-        h, pools = self._run_layers(
+        h, pool = self._run_layers(
             params, cache["kv"], h, cos, sin, attend, append
         )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
@@ -319,7 +333,7 @@ class LlamaForCausalLM:
         else:
             last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
             logits = self._logits(params, last)
-        return logits, {"kv": pools}
+        return logits, {"kv": pool}
 
     def decode(
         self,
@@ -346,15 +360,16 @@ class LlamaForCausalLM:
         cos = jnp.take(self.cos, idx, 0)  # [B, R/2]
         sin = jnp.take(self.sin, idx, 0)
 
-        def append(pool, k, v):
+        def append(pool, layer, k, v):
             return attn_ops.append_decode(
-                pool, k, v, block_tables, seq_lens, valid, page_size
+                pool, layer, k, v, block_tables, seq_lens, valid, page_size
             )
 
-        def attend(q, pool):
+        def attend(q, pool, layer):
             return attn_ops.attend_decode(
                 q,
                 pool,
+                layer,
                 block_tables,
                 seq_lens,
                 page_size,
@@ -368,9 +383,9 @@ class LlamaForCausalLM:
 
         # _layer treats the batch dim as the "token" dim; rope tables are
         # per-row so the [T, 1, R/2] broadcast in apply_rope still applies.
-        h, pools = self._run_layers(
+        h, pool = self._run_layers(
             params, cache["kv"], h, cos, sin, attend, append
         )
         h = rms_norm(h, params["norm"], a.norm_eps)
         logits = self._logits(params, h)
-        return logits, {"kv": pools}
+        return logits, {"kv": pool}

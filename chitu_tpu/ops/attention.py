@@ -75,15 +75,17 @@ def unpack_pool(
     return k, k
 
 
-def _gather(pool, block_table):
-    safe = jnp.maximum(block_table, 0)
-    out = pool[safe]  # [B, MP, page, M]
-    B, MP, page, M = out.shape
+def _gather(pool, layer, block_table):
+    L, P, page, M = pool.shape
+    safe = jnp.maximum(block_table, 0) + layer.astype(jnp.int32) * P
+    out = pool.reshape(L * P, page, M)[safe]  # [B, MP, page, M]
+    B, MP = block_table.shape
     return out.reshape(B, MP * page, M)
 
 
 def append_prefill(
-    pool: jnp.ndarray,  # [P, page, M]
+    pool: jnp.ndarray,  # [L, P, page, M] (whole stacked pool)
+    layer: jnp.ndarray,  # scalar i32
     k: jnp.ndarray,  # [T, KV, D]
     v: Optional[jnp.ndarray],
     block_table: jnp.ndarray,  # [mp] int32
@@ -96,11 +98,12 @@ def append_prefill(
     bt = jnp.broadcast_to(block_table, (T, block_table.shape[0]))
     flat = paged_flat_index(bt, jnp.maximum(pos, 0), page_size)
     flat = jnp.where(pos >= 0, flat, jnp.iinfo(jnp.int32).max)
-    return paged_append(pool, pack_kv(k, v, pool.shape[-1]), flat)
+    return paged_append(pool, layer, pack_kv(k, v, pool.shape[-1]), flat)
 
 
 def append_decode(
-    pool: jnp.ndarray,
+    pool: jnp.ndarray,  # [L, P, page, M]
+    layer: jnp.ndarray,
     k: jnp.ndarray,  # [B, KV, D]
     v: Optional[jnp.ndarray],
     block_tables: jnp.ndarray,  # [B, mp]
@@ -110,12 +113,13 @@ def append_decode(
 ) -> jnp.ndarray:
     flat = paged_flat_index(block_tables, seq_lens, page_size)
     flat = jnp.where(valid, flat, jnp.iinfo(jnp.int32).max)
-    return paged_append(pool, pack_kv(k, v, pool.shape[-1]), flat)
+    return paged_append(pool, layer, pack_kv(k, v, pool.shape[-1]), flat)
 
 
 def attend_prefill(
     q: jnp.ndarray,  # [T, H, D]
-    pool: jnp.ndarray,  # [P, page, M]
+    pool: jnp.ndarray,  # [L, P, page, M]
+    layer: jnp.ndarray,  # scalar i32
     block_table: jnp.ndarray,  # [mp]
     q_pos: jnp.ndarray,  # [T]
     total_len: jnp.ndarray,
@@ -130,17 +134,17 @@ def attend_prefill(
     """Chunk attention against the paged context (append must precede)."""
     if impl == "pallas" and mesh is not None:
         return _shmap_prefill(
-            q, pool, block_table, q_pos, total_len,
+            q, pool, layer, block_table, q_pos, total_len,
             page_size, kv_heads, head_dim, split_kv, scale, mesh,
         )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
 
         return pallas_attention.attend_prefill(
-            q, pool, block_table, q_pos, total_len,
+            q, pool, layer, block_table, q_pos, total_len,
             page_size, kv_heads, head_dim, split_kv, scale=scale,
         )
-    gathered = _gather(pool, block_table[None])
+    gathered = _gather(pool, layer, block_table[None])
     k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
     S = k.shape[1]
     cols = jnp.arange(S)[None, :]
@@ -150,7 +154,8 @@ def attend_prefill(
 
 def attend_decode(
     q: jnp.ndarray,  # [B, H, D]
-    pool: jnp.ndarray,
+    pool: jnp.ndarray,  # [L, P, page, M]
+    layer: jnp.ndarray,  # scalar i32
     block_tables: jnp.ndarray,  # [B, mp]
     seq_lens: jnp.ndarray,  # [B] context EXCLUDING the new token
     page_size: int,
@@ -164,17 +169,17 @@ def attend_decode(
     """One-token decode attention (new token's K/V already appended)."""
     if impl == "pallas" and mesh is not None:
         return _shmap_decode(
-            q, pool, block_tables, seq_lens,
+            q, pool, layer, block_tables, seq_lens,
             page_size, kv_heads, head_dim, split_kv, scale, mesh,
         )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
 
         return pallas_attention.attend_decode(
-            q, pool, block_tables, seq_lens,
+            q, pool, layer, block_tables, seq_lens,
             page_size, kv_heads, head_dim, split_kv, scale=scale,
         )
-    gathered = _gather(pool, block_tables)
+    gathered = _gather(pool, layer, block_tables)
     k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
     S = k.shape[1]
     cols = jnp.arange(S)[None, :]
@@ -206,7 +211,7 @@ def _supports_shmap(mesh, H: int) -> bool:
 
 
 def _shmap_decode(
-    q, pool, block_tables, seq_lens, page_size, kv_heads, head_dim,
+    q, pool, layer, block_tables, seq_lens, page_size, kv_heads, head_dim,
     split_kv, scale, mesh,
 ):
     from jax.sharding import PartitionSpec as P
@@ -217,7 +222,7 @@ def _shmap_decode(
     tp = mesh.shape["tp"]
     if not _supports_shmap(mesh, H):
         # fall back to the oracle path under unsupported layouts
-        gathered = _gather(pool, block_tables)
+        gathered = _gather(pool, layer, block_tables)
         k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
@@ -230,55 +235,12 @@ def _shmap_decode(
 
     group = H // kv_heads
     interpret = jax.default_backend() != "tpu"
+    layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
 
-    def local(q_l, pool_l, bt_l, sl_l):
+    def local(q_l, pool_l, layer_l, bt_l, sl_l):
         off = jax.lax.axis_index("tp") * (H // tp)
         return pallas_attention.attend_decode(
-            q_l, pool_l, bt_l, sl_l, page_size, kv_heads, head_dim,
-            split_kv, scale=scale, interpret=interpret, group=group,
-            head_offset=off,
-        )
-
-    return jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, "tp", None),
-            P(None, None, None),
-            P(None, None),
-            P(None),
-        ),
-        out_specs=P(None, "tp", None),
-        check_vma=False,
-    )(q, pool, block_tables, seq_lens)
-
-
-def _shmap_prefill(
-    q, pool, block_table, q_pos, total_len, page_size, kv_heads, head_dim,
-    split_kv, scale, mesh,
-):
-    from jax.sharding import PartitionSpec as P
-
-    from chitu_tpu.ops import pallas_attention
-
-    T, H, D = q.shape
-    tp = mesh.shape["tp"]
-    if not _supports_shmap(mesh, H):
-        gathered = _gather(pool, block_table[None])
-        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
-        S = k.shape[1]
-        cols = jnp.arange(S)[None, :]
-        mask = (cols <= q_pos[:, None]) & (cols < total_len)
-        return grouped_attention(q, k[0], v[0], mask, scale=scale)
-
-    group = H // kv_heads
-    interpret = jax.default_backend() != "tpu"
-    total_arr = jnp.asarray(total_len, jnp.int32).reshape(1)
-
-    def local(q_l, pool_l, bt_l, qp_l, tl_l):
-        off = jax.lax.axis_index("tp") * (H // tp)
-        return pallas_attention.attend_prefill(
-            q_l, pool_l, bt_l, qp_l, tl_l[0], page_size, kv_heads,
+            q_l, pool_l, layer_l[0], bt_l, sl_l, page_size, kv_heads,
             head_dim, split_kv, scale=scale, interpret=interpret,
             group=group, head_offset=off,
         )
@@ -288,11 +250,58 @@ def _shmap_prefill(
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),
-            P(None, None, None),
+            P(None, None, None, None),
+            P(None),
+            P(None, None),
+            P(None),
+        ),
+        out_specs=P(None, "tp", None),
+        check_vma=False,
+    )(q, pool, layer_arr, block_tables, seq_lens)
+
+
+def _shmap_prefill(
+    q, pool, layer, block_table, q_pos, total_len, page_size, kv_heads,
+    head_dim, split_kv, scale, mesh,
+):
+    from jax.sharding import PartitionSpec as P
+
+    from chitu_tpu.ops import pallas_attention
+
+    T, H, D = q.shape
+    tp = mesh.shape["tp"]
+    if not _supports_shmap(mesh, H):
+        gathered = _gather(pool, layer, block_table[None])
+        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        S = k.shape[1]
+        cols = jnp.arange(S)[None, :]
+        mask = (cols <= q_pos[:, None]) & (cols < total_len)
+        return grouped_attention(q, k[0], v[0], mask, scale=scale)
+
+    group = H // kv_heads
+    interpret = jax.default_backend() != "tpu"
+    info = jnp.stack(
+        [jnp.asarray(total_len, jnp.int32), layer.astype(jnp.int32)]
+    )
+
+    def local(q_l, pool_l, bt_l, qp_l, info_l):
+        off = jax.lax.axis_index("tp") * (H // tp)
+        return pallas_attention.attend_prefill(
+            q_l, pool_l, info_l[1], bt_l, qp_l, info_l[0], page_size,
+            kv_heads, head_dim, split_kv, scale=scale, interpret=interpret,
+            group=group, head_offset=off,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "tp", None),
+            P(None, None, None, None),
             P(None),
             P(None),
             P(None),
         ),
         out_specs=P(None, "tp", None),
         check_vma=False,
-    )(q, pool, block_table, q_pos, total_arr)
+    )(q, pool, block_table, q_pos, info)

@@ -112,8 +112,9 @@ def _halves(buf, split_kv: bool):
 def _decode_kernel(
     block_tables_ref,  # [B, mp] int32 (SMEM, scalar prefetch)
     seq_lens_ref,  # [B] int32
+    layer_ref,  # [1] int32
     q_ref,  # [1, H, C] VMEM block
-    pool_ref,  # [P, page, M] ANY/HBM
+    pool_ref,  # [L, P, page, M] ANY/HBM (whole stacked pool)
     mask_ref,  # [H, C] VMEM
     fold_ref,  # [C, D] VMEM
     o_ref,  # [1, H, D] VMEM block
@@ -130,11 +131,12 @@ def _decode_kernel(
     n_pages = jax.lax.div(total + page - 1, page)
     H = q_ref.shape[1]
     D = fold_ref.shape[1]
+    layer = layer_ref[0]
 
     def dma(slot, i):
         pid = jnp.maximum(block_tables_ref[b, i], 0)
         return pltpu.make_async_copy(
-            pool_ref.at[pid], buf.at[slot], sems.at[slot]
+            pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
         )
 
     # fill the ring
@@ -197,7 +199,8 @@ def _decode_kernel(
 )
 def attend_decode(
     q: jnp.ndarray,  # [B, H, D]
-    pool: jnp.ndarray,  # [P, page, M]
+    pool: jnp.ndarray,  # [L, P, page, M] (whole stacked pool)
+    layer: jnp.ndarray,  # scalar i32
     block_tables: jnp.ndarray,  # [B, mp] int32
     seq_lens: jnp.ndarray,  # [B] int32 (context excluding the new token)
     page_size: int,
@@ -210,7 +213,7 @@ def attend_decode(
     head_offset=0,
 ) -> jnp.ndarray:
     B, H, D = q.shape
-    P, page, M = pool.shape
+    L, P, page, M = pool.shape
     C = M // 2 if split_kv else M
     assert page == page_size and D == head_dim
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
@@ -221,7 +224,7 @@ def attend_decode(
     fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
@@ -242,6 +245,7 @@ def attend_decode(
     kernel = functools.partial(
         _decode_kernel, page=page, scale=scale, split_kv=split_kv, ring=ring
     )
+    layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
@@ -250,7 +254,7 @@ def attend_decode(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(block_tables, seq_lens, q_exp, pool, mask, fold)
+    )(block_tables, seq_lens, layer_arr, q_exp, pool, mask, fold)
 
 
 # ---------------------------------------------------------------------------
@@ -260,9 +264,9 @@ def attend_decode(
 
 def _prefill_kernel(
     block_table_ref,  # [mp] int32
-    info_ref,  # [2] int32: (total_len, q_start)
+    info_ref,  # [3] int32: (total_len, q_start, layer)
     q_ref,  # [Tq, H, C] VMEM block
-    pool_ref,
+    pool_ref,  # [L, P, page, M]
     mask_ref,  # [H, C]
     fold_ref,  # [C, D]
     o_ref,  # [Tq, H, D] VMEM block
@@ -279,6 +283,7 @@ def _prefill_kernel(
     total = info_ref[0]
     Tq = q_ref.shape[0]
     q_start = info_ref[1] + qb * Tq
+    layer = info_ref[2]
     H = heads
     D = fold_ref.shape[1]
     C = q_ref.shape[2]
@@ -290,7 +295,7 @@ def _prefill_kernel(
     def dma(slot, i):
         pid = jnp.maximum(block_table_ref[i], 0)
         return pltpu.make_async_copy(
-            pool_ref.at[pid], buf.at[slot], sems.at[slot]
+            pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
         )
 
     for w in range(ring):
@@ -356,7 +361,8 @@ def _prefill_kernel(
 )
 def attend_prefill(
     q: jnp.ndarray,  # [T, H, D]
-    pool: jnp.ndarray,
+    pool: jnp.ndarray,  # [L, P, page, M]
+    layer: jnp.ndarray,  # scalar i32
     block_table: jnp.ndarray,  # [mp]
     q_pos: jnp.ndarray,  # [T] absolute positions (consecutive from q_pos[0])
     total_len: jnp.ndarray,  # scalar
@@ -370,7 +376,7 @@ def attend_prefill(
     head_offset=0,
 ) -> jnp.ndarray:
     T, H, D = q.shape
-    P, page, M = pool.shape
+    L, P, page, M = pool.shape
     C = M // 2 if split_kv else M
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     Tq = min(T, Q_BLOCK)
@@ -381,7 +387,11 @@ def attend_prefill(
     mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)
     fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
     info = jnp.stack(
-        [jnp.asarray(total_len, jnp.int32), q_pos[0].astype(jnp.int32)]
+        [
+            jnp.asarray(total_len, jnp.int32),
+            q_pos[0].astype(jnp.int32),
+            jnp.asarray(layer, jnp.int32),
+        ]
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -13,11 +13,14 @@ from chitu_tpu.ops import pallas_attention as pk
 PAGE = 16
 
 
+LAYER = 1  # exercise nonzero layer indexing into the stacked pool
+
+
 def _setup(B=3, H=8, KV=4, D=64, P=24, mp=6, seed=0, split=True):
     C = pad_kv_minor(KV, D)
     M = 2 * C if split else C
     ks = jax.random.split(jax.random.PRNGKey(seed), 4)
-    pool = jax.random.normal(ks[0], (P, PAGE, M), jnp.float32) * 0.3
+    pool = jax.random.normal(ks[0], (3, P, PAGE, M), jnp.float32) * 0.3
     q = jax.random.normal(ks[2], (B, H, D), jnp.float32) * 0.5
     bt = np.full((B, mp), -1, np.int32)
     for b in range(B):
@@ -34,10 +37,10 @@ def _interp():
 def test_decode_kernel_matches_oracle(KV):
     q, pool, bt, seq_lens = _setup(KV=KV)
     want = xla_attn.attend_decode(
-        q, pool, bt, seq_lens, PAGE, KV, 64, split_kv=True, impl="xla"
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, KV, 64, split_kv=True, impl="xla"
     )
     got = pk.attend_decode(
-        q, pool, bt, seq_lens, PAGE, KV, 64, split_kv=True,
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, KV, 64, split_kv=True,
         interpret=_interp(),
     )
     np.testing.assert_allclose(
@@ -49,10 +52,10 @@ def test_decode_kernel_merged_mla_layout():
     # merged latent cache: V rows are the K rows (split_kv=False)
     q, pool, bt, seq_lens = _setup(H=8, KV=1, D=128, split=False)
     want = xla_attn.attend_decode(
-        q, pool, bt, seq_lens, PAGE, 1, 128, split_kv=False, impl="xla"
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, 1, 128, split_kv=False, impl="xla"
     )
     got = pk.attend_decode(
-        q, pool, bt, seq_lens, PAGE, 1, 128, split_kv=False,
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, 1, 128, split_kv=False,
         interpret=_interp(),
     )
     np.testing.assert_allclose(
@@ -64,10 +67,10 @@ def test_decode_kernel_large_heads():
     # llama-8B geometry: H=32, KV=8, D=128
     q, pool, bt, seq_lens = _setup(H=32, KV=8, D=128)
     want = xla_attn.attend_decode(
-        q, pool, bt, seq_lens, PAGE, 8, 128, split_kv=True, impl="xla"
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, 8, 128, split_kv=True, impl="xla"
     )
     got = pk.attend_decode(
-        q, pool, bt, seq_lens, PAGE, 8, 128, split_kv=True,
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, 8, 128, split_kv=True,
         interpret=_interp(),
     )
     np.testing.assert_allclose(
@@ -83,11 +86,11 @@ def test_prefill_kernel_matches_oracle(start, n):
     q1 = jax.random.normal(jax.random.PRNGKey(9), (T, 8, 64)) * 0.5
     q_pos = start + jnp.arange(T, dtype=jnp.int32)
     want = xla_attn.attend_prefill(
-        q1, pool, bt[0], q_pos, jnp.int32(total), PAGE, 4, 64,
+        q1, pool, jnp.int32(LAYER), bt[0], q_pos, jnp.int32(total), PAGE, 4, 64,
         split_kv=True, impl="xla",
     )
     got = pk.attend_prefill(
-        q1, pool, bt[0], q_pos, jnp.int32(total), PAGE, 4, 64,
+        q1, pool, jnp.int32(LAYER), bt[0], q_pos, jnp.int32(total), PAGE, 4, 64,
         split_kv=True, interpret=_interp(),
     )
     np.testing.assert_allclose(
