@@ -85,10 +85,14 @@ class Engine:
                 self.params, cfg.quant, self.model
             )
         if jax.default_backend() == "tpu":
-            # v5e fp8 storage fast path (see requantize_fp8_storage)
-            from chitu_tpu.quantize import requantize_fp8_storage
+            # v5e storage fast paths: fp8 -> int8 lanes, int4 -> 2/byte
+            from chitu_tpu.quantize import (
+                pack_int4_storage,
+                requantize_fp8_storage,
+            )
 
             self.params = requantize_fp8_storage(self.params)
+            self.params = pack_int4_storage(self.params)
         if self.mesh is not None:
             from chitu_tpu.parallel import shard_params
 

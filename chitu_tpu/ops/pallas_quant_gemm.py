@@ -57,6 +57,7 @@ def _gemm_kernel(
     n_k: int,
     asym: bool,
     fp8_bits: bool,
+    int4_packed: bool,
 ):
     k = pl.program_id(2)
 
@@ -64,7 +65,8 @@ def _gemm_kernel(
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    bk, bn = w_ref.shape
+    bk, bn_w = w_ref.shape
+    bn = bn_w * 2 if int4_packed else bn_w
     groups = bk // QBLK
     # Per-quant-block dequant+matmul with the scale/zero algebra moved OFF
     # the weight elements onto the [bm, bn] accumulator: within one quant
@@ -75,7 +77,15 @@ def _gemm_kernel(
     # slices only (cross-sublane reshapes relayout).
     for g in range(groups):
         raw = w_ref[g * QBLK : (g + 1) * QBLK, :]
-        if fp8_bits:
+        if int4_packed:
+            # tile-relative nibble packing: low nibbles are the tile's
+            # first half-columns, high nibbles the second — two masks and
+            # a lane concat, no interleave
+            u = raw.astype(jnp.int32)
+            lo = (u & 0xF).astype(jnp.bfloat16)
+            hi = ((u >> 4) & 0xF).astype(jnp.bfloat16)
+            wg = jnp.concatenate([lo, hi], axis=1)
+        elif fp8_bits:
             # e4m3 bytes -> f32 by bit placement: sign to bit 31,
             # exp+mantissa to bits 20..26; the 2^120 exponent re-bias is
             # folded into the scales (the reference's 0x7b800000 trick,
@@ -106,7 +116,10 @@ def _gemm_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("asym", "fp8_bits", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=(
+        "asym", "fp8_bits", "int4_packed", "interpret", "out_dtype"
+    ),
 )
 def _quant_gemm(
     x: jnp.ndarray,  # [T, K]
@@ -115,20 +128,23 @@ def _quant_gemm(
     zero_rows: jnp.ndarray,  # [K//BK, N] f32
     asym: bool = False,
     fp8_bits: bool = False,
+    int4_packed: bool = False,
     interpret: bool = False,
     out_dtype=jnp.float32,
 ):
     T, K = x.shape
-    N = data.shape[1]
+    N = data.shape[1] * 2 if int4_packed else data.shape[1]
     bm = min(BM_MAX, max(8, (T + 7) // 8 * 8))
     bn = min(BN, N)
+    if int4_packed:
+        assert bn % BN == 0 or bn == N, "packed int4 requires full tiles"
 
     xp = _pad_to(_pad_to(x, bm, 0), BK, 1)
-    dp = _pad_to(_pad_to(data, BK, 0), bn, 1)
+    dp = _pad_to(_pad_to(data, BK, 0), bn // 2 if int4_packed else bn, 1)
     sp = _pad_to(scale_rows, bn, 1)
     zp = _pad_to(zero_rows, bn, 1)
     Tp, Kp = xp.shape
-    Np = dp.shape[1]
+    Np = dp.shape[1] * 2 if int4_packed else dp.shape[1]
     n_k = Kp // BK
     n_qb = n_k * GROUPS
     if sp.shape[0] < n_qb:  # K padding added quant blocks
@@ -141,7 +157,11 @@ def _quant_gemm(
     grid = (Tp // bm, Np // bn, n_k)
     out = pl.pallas_call(
         functools.partial(
-            _gemm_kernel, n_k=n_k, asym=asym, fp8_bits=fp8_bits
+            _gemm_kernel,
+            n_k=n_k,
+            asym=asym,
+            fp8_bits=fp8_bits,
+            int4_packed=int4_packed,
         ),
         out_shape=jax.ShapeDtypeStruct((Tp, Np), out_dtype),
         grid=grid,
@@ -150,7 +170,9 @@ def _quant_gemm(
                 (bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                (BK, bn // 2 if int4_packed else bn),
+                lambda i, j, k: (k, j),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, GROUPS, bn),
@@ -193,11 +215,14 @@ def _expand_scale_rows(q: QTensor) -> jnp.ndarray:
 
 
 def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
+    from chitu_tpu.quantize.transforms import is_packed_int4
+
     *lead, K = x.shape
     x2 = x.reshape(-1, K)
     scale_rows = _expand_scale_rows(q)
     data = q.data
     fp8_bits = False
+    int4_packed = is_packed_int4(q)
     if (
         q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
         and q.data.dtype == jnp.float8_e4m3fn
@@ -216,7 +241,7 @@ def _matmul_impl(x: jnp.ndarray, q: QTensor, interpret: bool = False):
         asym = False
     y = _quant_gemm(
         x2, data, scale_rows, zero_rows, asym=asym, fp8_bits=fp8_bits,
-        interpret=interpret,
+        int4_packed=int4_packed, interpret=interpret,
     )
     return y.reshape(*lead, -1)
 

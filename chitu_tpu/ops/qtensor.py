@@ -104,6 +104,10 @@ class QTensor:
         if self.kind in (QuantKind.W8A16, QuantKind.W8A8):
             return (d.astype(jnp.float32) * self.scale[..., None, :]).astype(dtype)
         if self.kind == QuantKind.W4A16:
+            if self.scale.shape[-1] == d.shape[-1] * 2:
+                from chitu_tpu.quantize.transforms import unpack_int4_storage
+
+                return unpack_int4_storage(self).dequantize(dtype)
             g = self.block
             w = d.astype(jnp.float32)
             scale = jnp.repeat(self.scale, g, axis=-2)[..., : d.shape[-2], :]

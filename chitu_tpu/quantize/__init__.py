@@ -1,5 +1,8 @@
 from chitu_tpu.quantize.transforms import (
+    is_packed_int4,
+    pack_int4_storage,
     quantize_params,
     quantize_weight,
     requantize_fp8_storage,
+    unpack_int4_storage,
 )

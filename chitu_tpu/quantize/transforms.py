@@ -126,6 +126,71 @@ def requantize_fp8_storage(params: Any) -> Any:
     )
 
 
+PACK_TILE = 512  # GEMM output-tile width the int4 packing is relative to
+
+
+def pack_int4_storage(params: Any) -> Any:
+    """W4A16 nibble-per-byte storage -> 2 nibbles/byte (true 4-bit HBM
+    traffic). Packing is tile-relative: within each PACK_TILE-column tile,
+    byte column c holds logical column c (low nibble) and column
+    c + PACK_TILE/2 (high nibble), so the kernel unpacks with two masks
+    and a lane-dim concat — no cross-lane interleave (which relayouts).
+    """
+
+    def walk(leaf):
+        if (
+            isinstance(leaf, QTensor)
+            and leaf.kind == QuantKind.W4A16
+            and leaf.data.ndim == 2
+            and leaf.data.shape[-1] == leaf.scale.shape[-1]
+        ):
+            K, N = leaf.data.shape
+            t = PACK_TILE
+            if N % t:
+                return leaf  # non-tile-multiple out dims stay byte-packed
+            tiles = leaf.data.astype(jnp.uint8).reshape(K, N // t, t)
+            lo = tiles[..., : t // 2]
+            hi = tiles[..., t // 2 :]
+            packed = (lo | (hi << 4)).reshape(K, N // 2).astype(jnp.int8)
+            return QTensor(
+                data=packed,
+                scale=leaf.scale,
+                zeros=leaf.zeros,
+                kind=leaf.kind,
+                block=leaf.block,
+            )
+        return leaf
+
+    return jax.tree_util.tree_map(
+        walk, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+
+
+def unpack_int4_storage(q: QTensor) -> QTensor:
+    """Inverse of pack_int4_storage (for dequantize / XLA fallback)."""
+    K, half = q.data.shape
+    t = PACK_TILE
+    tiles = q.data.astype(jnp.uint8).reshape(K, half // (t // 2), t // 2)
+    lo = tiles & 0xF
+    hi = (tiles >> 4) & 0xF
+    full = jnp.concatenate([lo, hi], axis=-1).reshape(K, half * 2)
+    return QTensor(
+        data=full.astype(jnp.int8),
+        scale=q.scale,
+        zeros=q.zeros,
+        kind=q.kind,
+        block=q.block,
+    )
+
+
+def is_packed_int4(q: QTensor) -> bool:
+    return (
+        q.kind == QuantKind.W4A16
+        and q.data.ndim == 2
+        and q.scale.shape[-1] == q.data.shape[-1] * 2
+    )
+
+
 _KIND_BY_METHOD = {
     "soft_fp8": QuantKind.SOFT_FP8,
     "fp8": QuantKind.FP8,

@@ -126,3 +126,39 @@ def test_awq_checkpoint_loads_into_engine(tmp_path):
     assert eng.params["layers"]["wq"].kind == QuantKind.W4A16
     toks = eng.generate("awq ckpt", SampleParams(temperature=0.0, max_new_tokens=4))
     assert len(toks) == 4
+
+
+def test_int4_tile_packed_storage():
+    """2-nibbles/byte storage: pack/unpack roundtrip exact, GEMM matches."""
+    from chitu_tpu.quantize import (
+        is_packed_int4,
+        pack_int4_storage,
+        unpack_int4_storage,
+    )
+    from chitu_tpu.ops.pallas_quant_gemm import _matmul_impl
+
+    w = jax.random.normal(jax.random.PRNGKey(7), (256, 1024)) * 0.1
+    q = quantize_weight(w, QuantKind.W4A16)
+    qp = pack_int4_storage({"layers": {"w": q}})["layers"]["w"]
+    assert is_packed_int4(qp)
+    assert qp.data.shape == (256, 512)  # half the bytes
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4_storage(qp).data), np.asarray(q.data)
+    )
+    x = (jax.random.normal(jax.random.PRNGKey(8), (8, 256)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    got = _matmul_impl(x, qp, interpret=jax.default_backend() != "tpu")
+    want = _matmul_impl(x, q, interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-2, rtol=1e-2
+    )
+
+
+def test_int4_pack_skips_odd_dims():
+    from chitu_tpu.quantize import pack_int4_storage, is_packed_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (256, 300)) * 0.1
+    q = quantize_weight(w, QuantKind.W4A16)
+    qp = pack_int4_storage({"w": q})["w"]
+    assert not is_packed_int4(qp)  # 300 not a tile multiple: unchanged
