@@ -48,12 +48,13 @@ def perplexity_from_tokens(
 
     total_nll = 0.0
     total_count = 0
-    jit_prefill = jax.jit(
-        lambda p, c, t, bt, sp, vl: model.prefill(
-            p, c, t, bt, sp, vl, page_size=page, attn_impl="xla",
-            return_all_logits=True,
-        )
-    )
+    # reuse the executor's jit cache (keyed per bucket) instead of
+    # re-jitting per perplexity call
+    def jit_prefill(p, c, t, bt, sp, vl):
+        T = t.shape[0]
+        mp = bt.shape[0]
+        fn = engine.executor._prefill_fn(T, mp, all_logits=True)
+        return fn(p, c, t, bt, sp, vl)
 
     start = 0
     prev_end = 0

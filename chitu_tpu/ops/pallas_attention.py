@@ -41,8 +41,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DMA_RING = 8  # in-flight page fetches
-Q_BLOCK = 64  # prefill query tokens per grid step
+DMA_RING = 8  # in-flight page fetches (shrunk to fit VMEM)
+Q_BLOCK = 64  # prefill query tokens per grid step (shrunk to fit VMEM)
+VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+
+
+def _fit_ring(page: int, M: int, itemsize: int, budget: int) -> int:
+    ring = DMA_RING
+    while ring > 2 and ring * page * M * itemsize > budget:
+        ring //= 2
+    return ring
+
+
+def _fit_q_block(T: int, H: int, C: int, page: int, D: int) -> int:
+    """Largest power-of-two query block whose kernel working set fits the
+    VMEM budget: expanded q (bf16 in, f32 in-kernel), score matrix, and
+    the f32 accumulator, all sized per query row."""
+    per_row = H * (6 * C + 4 * page + 8 * D)
+    tq = min(T, Q_BLOCK)
+    while tq > 8 and tq * per_row > VMEM_BUDGET // 2:
+        tq //= 2
+    return tq
 
 
 def _expand_q(
@@ -217,7 +236,10 @@ def attend_decode(
     C = M // 2 if split_kv else M
     assert page == page_size and D == head_dim
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
-    ring = min(DMA_RING, max(block_tables.shape[-1], 2))
+    ring = min(
+        _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
+        max(block_tables.shape[-1], 2),
+    )
 
     q_exp = _expand_q(q, kv_heads, C, group, head_offset)
     mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)
@@ -379,9 +401,12 @@ def attend_prefill(
     L, P, page, M = pool.shape
     C = M // 2 if split_kv else M
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
-    Tq = min(T, Q_BLOCK)
+    Tq = _fit_q_block(T, H, C, page, D)
     assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
-    ring = min(DMA_RING, max(block_table.shape[-1], 2))
+    ring = min(
+        _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
+        max(block_table.shape[-1], 2),
+    )
 
     q_exp = _expand_q(q, kv_heads, C, group, head_offset)
     mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)

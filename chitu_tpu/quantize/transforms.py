@@ -22,6 +22,7 @@ Schemes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Set
 
 import jax
@@ -35,6 +36,13 @@ BLOCK = 128
 
 def _block_pad(n: int, b: int) -> int:
     return (n + b - 1) // b * b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "block"), donate_argnums=(0,)
+)
+def _quantize_weight_jit(w, kind, block):
+    return quantize_weight(w, kind, block)
 
 
 def quantize_weight(
@@ -102,28 +110,33 @@ def requantize_fp8_storage(params: Any) -> Any:
     128x128 block (accuracy gated by the perplexity tests).
     """
 
-    def walk(leaf):
-        if (
-            isinstance(leaf, QTensor)
-            and leaf.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
-            and leaf.data.dtype == jnp.float8_e4m3fn
-        ):
-            vals = leaf.data.astype(jnp.float32)
-            data = jnp.clip(
-                jnp.round(vals * (127.0 / F8_MAX)), -127, 127
-            ).astype(jnp.int8)
-            return QTensor(
-                data=data,
-                scale=(leaf.scale * (F8_MAX / 127.0)).astype(jnp.float32),
-                zeros=leaf.zeros,
-                kind=leaf.kind,
-                block=leaf.block,
-            )
-        return leaf
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def convert(data):
+        vals = data.astype(jnp.float32)
+        return jnp.clip(
+            jnp.round(vals * (127.0 / F8_MAX)), -127, 127
+        ).astype(jnp.int8)
 
-    return jax.tree_util.tree_map(
-        walk, params, is_leaf=lambda x: isinstance(x, QTensor)
-    )
+    def walk(tree):
+        if isinstance(tree, dict):
+            for k in list(tree.keys()):
+                tree[k] = walk(tree.pop(k))
+            return tree
+        if (
+            isinstance(tree, QTensor)
+            and tree.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
+            and tree.data.dtype == jnp.float8_e4m3fn
+        ):
+            return QTensor(
+                data=convert(tree.data),
+                scale=(tree.scale * (F8_MAX / 127.0)).astype(jnp.float32),
+                zeros=tree.zeros,
+                kind=tree.kind,
+                block=tree.block,
+            )
+        return tree
+
+    return walk(params)
 
 
 PACK_TILE = 512  # GEMM output-tile width the int4 packing is relative to
@@ -234,7 +247,13 @@ def quantize_params(
 
     def walk(tree, path=()):
         if isinstance(tree, dict):
-            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            # destructive walk: drop each original leaf as soon as it is
+            # quantized so device memory peaks at one extra leaf, not a
+            # whole second parameter tree (matters for multi-GB models)
+            for k in list(tree.keys()):
+                v = tree.pop(k)
+                tree[k] = walk(v, path + (k,))
+            return tree
         if isinstance(tree, (list, tuple)):
             return type(tree)(
                 walk(v, path + (str(i),)) for i, v in enumerate(tree)
@@ -252,7 +271,7 @@ def quantize_params(
         if keys is not None:
             eligible = eligible and name in keys
         if eligible:
-            return quantize_weight(tree, kind, block)
+            return _quantize_weight_jit(tree, kind, block)
         return tree
 
     return walk(params)

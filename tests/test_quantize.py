@@ -99,7 +99,13 @@ def test_requantize_fp8_storage_accuracy():
 
     w = jax.random.normal(jax.random.PRNGKey(11), (256, 256)) * 0.1
     q = quantize_weight(w, QuantKind.SOFT_FP8)
-    q8 = requantize_fp8_storage({"layers": {"w": q}})["layers"]["w"]
+    # requantize donates its input buffers (engine path); give it a copy
+    from chitu_tpu.ops.qtensor import QTensor
+    q_copy = QTensor(
+        data=jnp.copy(q.data), scale=jnp.copy(q.scale), kind=q.kind,
+        block=q.block,
+    )
+    q8 = requantize_fp8_storage({"layers": {"w": q_copy}})["layers"]["w"]
     assert q8.data.dtype == jnp.int8
     w_fp8 = q.dequantize(jnp.float32)
     w_i8 = q8.dequantize(jnp.float32)
