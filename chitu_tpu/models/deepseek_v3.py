@@ -237,11 +237,13 @@ class DeepSeekV3ForCausalLM:
 
     # -- attention ----------------------------------------------------------
 
-    def _mla(self, x, lp, kv_pool, layer, cos, sin, append, attend):
+    def _mla(self, x, layers, kv_pool, layer, cos, sin, append, attend):
         """MLA absorb forward for a [T, D] slab.
 
         (reference absorb paths: model_deepseek_v3.py:475-536 decode,
         :564-602 prefill-as-MQA)"""
+        from chitu_tpu.models.llama import _layer_leaf
+
         a, m = self.args, self.mla
         T = x.shape[0]
         H = a.n_heads
@@ -251,33 +253,38 @@ class DeepSeekV3ForCausalLM:
             m.v_head_dim,
             m.kv_lora_rank,
         )
+        g = lambda name: _layer_leaf(layers, name, layer)
 
         if m.q_lora_rank > 0:
             q = linear(
-                rms_norm(linear(x, lp["wq_a"]), lp["q_norm"], a.norm_eps),
-                lp["wq_b"],
+                rms_norm(
+                    linear(x, g("wq_a"), layer=layer), g("q_norm"), a.norm_eps
+                ),
+                g("wq_b"),
+                layer=layer,
             )
         else:
-            q = linear(x, lp["wq"])
+            q = linear(x, g("wq"), layer=layer)
         q = q.reshape(T, H, self.qk_head_dim)
         q_nope, q_pe = q[..., :dn], q[..., dn:]
         q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
 
-        kv_a = linear(x, lp["wkv_a"])  # [T, 576]
-        c_kv = rms_norm(kv_a[:, :dc], lp["kv_norm"], a.norm_eps)
+        kv_a = linear(x, g("wkv_a"), layer=layer)  # [T, 576]
+        c_kv = rms_norm(kv_a[:, :dc], g("kv_norm"), a.norm_eps)
         k_pe = apply_rope(
             kv_a[:, None, dc:], cos, sin, self.rotary_layout
         )[:, 0]  # [T, 64]
 
-        # absorb: q' = q_nope @ W_uk  -> [T, H, 512]
-        wkv_b = lp["wkv_b"]
+        # absorb: q' = q_nope @ W_uk -> [T, H, 512]; the absorb einsums need
+        # the materialized per-layer weight (the reference also re-dequants
+        # per call, model_deepseek_v3.py:516-532)
         from chitu_tpu.ops.qtensor import QTensor
 
-        wkv_b_d = (
-            wkv_b.dequantize(x.dtype)
-            if isinstance(wkv_b, QTensor)
-            else wkv_b.astype(x.dtype)
-        )
+        wkv_b = layers["wkv_b"]
+        if isinstance(wkv_b, QTensor):
+            wkv_b_d = wkv_b[layer].dequantize(x.dtype)
+        else:
+            wkv_b_d = wkv_b[layer].astype(x.dtype)
         w_b = wkv_b_d.reshape(dc, H, dn + dv)
         w_uk = w_b[..., :dn]  # [512, H, 128]
         w_uv = w_b[..., dn:]  # [512, H, 128]
@@ -301,53 +308,65 @@ class DeepSeekV3ForCausalLM:
         v_out = jnp.einsum(
             "thc,chd->thd", out_c, w_uv.astype(jnp.float32)
         ).astype(x.dtype)  # [T, H, 128]
-        return linear(v_out.reshape(T, H * dv), lp["wo"]), kv_pool
+        return (
+            linear(v_out.reshape(T, H * dv), g("wo"), layer=layer),
+            kv_pool,
+        )
 
     # -- FFNs ---------------------------------------------------------------
 
-    def _dense_ffn(self, x, lp):
-        gate = linear(x, lp["w_gate"])
-        up = linear(x, lp["w_up"])
-        return linear(jax.nn.silu(gate) * up, lp["w_down"])
+    def _dense_ffn(self, x, layers, layer):
+        from chitu_tpu.models.llama import _layer_leaf
 
-    def _moe_ffn(self, x, lp):
+        g = lambda name: _layer_leaf(layers, name, layer)
+        gate = linear(x, g("w_gate"), layer=layer)
+        up = linear(x, g("w_up"), layer=layer)
+        return linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
+
+    def _moe_ffn(self, x, layers, layer):
+        from chitu_tpu.models.llama import _layer_leaf
+
+        g = lambda name: _layer_leaf(layers, name, layer)
         y = jnp.zeros_like(x)
-        if "shared_gate" in lp:
-            g = linear(x, lp["shared_gate"])
-            u = linear(x, lp["shared_up"])
-            y = linear(jax.nn.silu(g) * u, lp["shared_down"])
+        if "shared_gate" in layers:
+            gg = linear(x, g("shared_gate"), layer=layer)
+            u = linear(x, g("shared_up"), layer=layer)
+            y = linear(jax.nn.silu(gg) * u, g("shared_down"), layer=layer)
         weights, sel = route(
-            x, lp["moe_gate"], self.moe, gate_bias=lp["gate_bias"]
+            x, g("moe_gate"), self.moe, gate_bias=g("gate_bias")
         )
         cap = expert_capacity(
             x.shape[0], self.moe.n_routed_experts, self.moe.n_activated_experts
         )
         y = y + moe_ffn(
-            x, lp["exp_gate"], lp["exp_up"], lp["exp_down"], weights, sel, cap
+            x, g("exp_gate"), g("exp_up"), g("exp_down"), weights, sel, cap
         )
         return y
 
     # -- stacks -------------------------------------------------------------
 
     def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn):
+        from chitu_tpu.models.llama import _layer_leaf
+
         a = self.args
 
-        def body(carry, xs):
+        def body(carry, layer):
             h, pool = carry
-            lp, layer = xs
-            x = rms_norm(h, lp["attn_norm"], a.norm_eps)
+            x = rms_norm(
+                h, _layer_leaf(stack_params, "attn_norm", layer), a.norm_eps
+            )
             attn_out, pool = self._mla(
-                x, lp, pool, layer, cos, sin, append, attend
+                x, stack_params, pool, layer, cos, sin, append, attend
             )
             h = h + attn_out
-            x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
-            h = h + ffn(x, lp)
+            x = rms_norm(
+                h, _layer_leaf(stack_params, "ffn_norm", layer), a.norm_eps
+            )
+            h = h + ffn(x, stack_params, layer)
             return (h, pool), None
 
         (h, kv_pool), _ = jax.lax.scan(
-            body,
-            (h, kv_pool),
-            (stack_params, jnp.arange(n_layers, dtype=jnp.int32)),
+            body, (h, kv_pool), jnp.arange(n_layers, dtype=jnp.int32)
         )
         return h, kv_pool
 

@@ -34,6 +34,22 @@ from chitu_tpu.ops import attention as attn_ops
 from chitu_tpu.ops.linear import linear
 
 
+
+
+def _layer_leaf(layers, name, l):
+    """Per-layer view of a stacked leaf. Dense arrays and expert stacks
+    slice; 2D-stacked QTensors stay whole — `linear(layer=l)` indexes them
+    inside the GEMM kernel (slicing a pallas operand copies it)."""
+    from chitu_tpu.ops.qtensor import QTensor
+
+    leaf = layers.get(name)
+    if leaf is None:
+        return None
+    if isinstance(leaf, QTensor):
+        return leaf if leaf.data.ndim == 3 else leaf[l]
+    return leaf[l]
+
+
 def _ffn_dim(args) -> int:
     """FFN hidden size (reference: model_llama.py:131-158)."""
     if args.inter_dim:
@@ -205,7 +221,7 @@ class LlamaForCausalLM:
     def _layer(
         self,
         h: jnp.ndarray,  # [T, D]
-        lp: Dict[str, jnp.ndarray],
+        layers: Dict[str, jnp.ndarray],  # the WHOLE stacked param dict
         pool: jnp.ndarray,  # [L, P, page, 2C]: the WHOLE packed pool
         layer: jnp.ndarray,  # scalar i32
         cos: jnp.ndarray,  # [T, R/2]
@@ -216,37 +232,39 @@ class LlamaForCausalLM:
         a = self.args
         T = h.shape[0]
         H, KV, Dh = a.n_heads, a.n_kv_heads, self.head_dim
+        g = lambda name: _layer_leaf(layers, name, layer)
 
-        x = rms_norm(h, lp["attn_norm"], a.norm_eps)
-        if "wqkv" in lp:
-            qkv = linear(x, lp["wqkv"], lp.get("b_qkv"))
+        x = rms_norm(h, g("attn_norm"), a.norm_eps)
+        if "wqkv" in layers:
+            qkv = linear(x, g("wqkv"), g("b_qkv"), layer=layer)
             q = qkv[:, : H * Dh].reshape(T, H, Dh)
             k = qkv[:, H * Dh : (H + KV) * Dh].reshape(T, KV, Dh)
             v = qkv[:, (H + KV) * Dh :].reshape(T, KV, Dh)
         else:
-            q = linear(x, lp["wq"], lp.get("bq")).reshape(T, H, Dh)
-            k = linear(x, lp["wk"], lp.get("bk")).reshape(T, KV, Dh)
-            v = linear(x, lp["wv"], lp.get("bv")).reshape(T, KV, Dh)
+            q = linear(x, g("wq"), g("bq"), layer=layer).reshape(T, H, Dh)
+            k = linear(x, g("wk"), g("bk"), layer=layer).reshape(T, KV, Dh)
+            v = linear(x, g("wv"), g("bv"), layer=layer).reshape(T, KV, Dh)
         q = apply_rope(q, cos, sin, self.rotary_layout)
         k = apply_rope(k, cos, sin, self.rotary_layout)
         pool = append(pool, layer, k, v)
         o = attend(q, pool, layer)
-        h = h + linear(o.reshape(T, H * Dh), lp["wo"])
+        h = h + linear(o.reshape(T, H * Dh), g("wo"), layer=layer)
 
-        x = rms_norm(h, lp["ffn_norm"], a.norm_eps)
-        h = h + self._ffn(x, lp)
+        x = rms_norm(h, g("ffn_norm"), a.norm_eps)
+        h = h + self._ffn(x, layers, layer)
         return h, pool
 
-    def _ffn(self, x: jnp.ndarray, lp: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def _ffn(self, x: jnp.ndarray, layers, layer) -> jnp.ndarray:
         """SwiGLU FFN; MoE families override (mixtral, deepseek)."""
-        if "w_gate_up" in lp:
-            gu = linear(x, lp["w_gate_up"])
+        g = lambda name: _layer_leaf(layers, name, layer)
+        if "w_gate_up" in layers:
+            gu = linear(x, g("w_gate_up"), layer=layer)
             F = gu.shape[-1] // 2
             gate, up = gu[:, :F], gu[:, F:]
         else:
-            gate = linear(x, lp["w_gate"])
-            up = linear(x, lp["w_up"])
-        return linear(jax.nn.silu(gate) * up, lp["w_down"])
+            gate = linear(x, g("w_gate"), layer=layer)
+            up = linear(x, g("w_up"), layer=layer)
+        return linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
 
     def _run_layers(self, params, pool, h, cos, sin, attend, append):
         """Scan over stacked layer params; the pool rides the CARRY whole
@@ -255,18 +273,17 @@ class LlamaForCausalLM:
         scales with pool size)."""
         L = self.args.n_layers
 
-        def body(carry, xs):
+        layers = params["layers"]
+
+        def body(carry, layer):
             h, pool = carry
-            lp, layer = xs
             h, pool = self._layer(
-                h, lp, pool, layer, cos, sin, attend, append
+                h, layers, pool, layer, cos, sin, attend, append
             )
             return (h, pool), None
 
         (h, pool), _ = jax.lax.scan(
-            body,
-            (h, pool),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+            body, (h, pool), jnp.arange(L, dtype=jnp.int32)
         )
         return h, pool
 

@@ -69,11 +69,14 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
         return load_mixtral_params(self, cfg, mesh)
 
-    def _ffn(self, x: jnp.ndarray, lp: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        weights, sel = route(x, lp["moe_gate"], self.moe)
+    def _ffn(self, x: jnp.ndarray, layers, layer) -> jnp.ndarray:
+        from chitu_tpu.models.llama import _layer_leaf
+
+        g = lambda name: _layer_leaf(layers, name, layer)
+        weights, sel = route(x, g("moe_gate"), self.moe)
         cap = expert_capacity(
             x.shape[0], self.moe.n_routed_experts, self.moe.n_activated_experts
         )
         return moe_ffn(
-            x, lp["w_gate"], lp["w_up"], lp["w_down"], weights, sel, cap
+            x, g("w_gate"), g("w_up"), g("w_down"), weights, sel, cap
         )

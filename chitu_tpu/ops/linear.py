@@ -42,29 +42,48 @@ def linear(
     w: Union[jnp.ndarray, QTensor],
     bias: Optional[jnp.ndarray] = None,
     out_dtype=None,
+    layer=None,
 ) -> jnp.ndarray:
-    """y = x @ w (+ bias). x: [..., in], w: [in, out] (dense or quantized)."""
+    """y = x @ w (+ bias). x: [..., in], w: [in, out] (dense or quantized).
+
+    With `layer` given and a stacked [L, in, out] QTensor, the kernel
+    indexes the layer in-place (no per-layer weight slice copies in the
+    layer scan)."""
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QTensor):
-        y = _quantized_matmul(x, w)
+        y = _quantized_matmul(x, w, layer)
     else:
+        if layer is not None and w.ndim == 3:
+            w = w[layer]
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y.astype(out_dtype)
 
 
-def _quantized_matmul(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+def _quantized_matmul(x: jnp.ndarray, w: QTensor, layer=None) -> jnp.ndarray:
     impl = get_op_impl()
     if impl == "pallas":
         from chitu_tpu.ops import pallas_quant_gemm  # registers kernels
         from chitu_tpu.ops import quant_gemm
+        from chitu_tpu.ops.qtensor import QuantKind
 
+        if (
+            layer is not None
+            and w.data.ndim == 3
+            and w.kind
+            in (QuantKind.SOFT_FP8, QuantKind.FP8, QuantKind.W4A16)
+        ):
+            return pallas_quant_gemm.matmul_stacked(x, w, layer)
         fn = quant_gemm.PALLAS_GEMMS.get(w.kind)
         if fn is not None:
+            if layer is not None and w.data.ndim == 3:
+                w = w[layer]
             return fn(x, w)
     # XLA fallback: dequantize then dense matmul. XLA fuses the dequant into
     # the matmul read where profitable; the Pallas path guarantees it.
+    if layer is not None and w.data.ndim == 3:
+        w = w[layer]
     wd = w.dequantize(jnp.bfloat16)
     return jnp.dot(
         x, wd.astype(x.dtype), preferred_element_type=jnp.float32

@@ -30,9 +30,9 @@ from chitu_tpu.ops.qtensor import QTensor, QuantKind
 from chitu_tpu.ops.quant_gemm import register
 
 BM_MAX = 256
-BN = 512
+BN = 1024
 QBLK = 128  # quant block size along K
-BK = 512  # GEMM K-tile (= GROUPS quant blocks)
+BK = 1024  # GEMM K-tile (= GROUPS quant blocks)
 GROUPS = BK // QBLK
 
 
@@ -65,6 +65,10 @@ def _gemm_kernel(
     def _():
         acc[...] = jnp.zeros_like(acc)
 
+    if w_ref.ndim == 3:  # stacked variant: [1, BK, bnw] block
+        w_ref = w_ref.at[0]
+        s_ref = s_ref.at[0]
+        z_ref = z_ref.at[0]
     bk, bn_w = w_ref.shape
     bn = bn_w * 2 if int4_packed else bn_w
     groups = bk // QBLK
@@ -135,9 +139,15 @@ def _quant_gemm(
     T, K = x.shape
     N = data.shape[1] * 2 if int4_packed else data.shape[1]
     bm = min(BM_MAX, max(8, (T + 7) // 8 * 8))
-    bn = min(BN, N)
     if int4_packed:
-        assert bn % BN == 0 or bn == N, "packed int4 requires full tiles"
+        # nibble packing is relative to PACK_TILE-wide output tiles: the
+        # kernel block must be exactly one tile for the lane-concat unpack
+        from chitu_tpu.quantize.transforms import PACK_TILE
+
+        bn = PACK_TILE
+        assert N % PACK_TILE == 0
+    else:
+        bn = min(BN, N)
 
     xp = _pad_to(_pad_to(x, bm, 0), BK, 1)
     dp = _pad_to(_pad_to(data, BK, 0), bn // 2 if int4_packed else bn, 1)
@@ -197,11 +207,118 @@ def _quant_gemm(
     return out[:T, :N]
 
 
+def _gemm_kernel_stacked(layer_ref, x_ref, w_ref, s_ref, z_ref, o_ref, acc, **kw):
+    # scalar-prefetch layer ref is consumed by the index maps only
+    _gemm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "asym", "fp8_bits", "int4_packed", "interpret", "out_dtype"
+    ),
+)
+def _quant_gemm_stacked(
+    x: jnp.ndarray,  # [T, K]
+    layer: jnp.ndarray,  # scalar i32
+    data: jnp.ndarray,  # [L, K, N] packed (whole stack)
+    scale_rows: jnp.ndarray,  # [L, K//QBLK, N] f32
+    zero_rows: jnp.ndarray,  # [L, K//QBLK, N] f32
+    asym: bool = False,
+    fp8_bits: bool = False,
+    int4_packed: bool = False,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+):
+    """Layer-indexed variant: the kernel reads blocks of data[layer]
+    directly via scalar-prefetched index maps, so the per-layer weight
+    slice is never materialized (a pallas operand must be a real buffer —
+    slicing stacked weights per scan iteration copies them and multiplies
+    HBM traffic)."""
+    T, K = x.shape
+    L = data.shape[0]
+    N = data.shape[2] * 2 if int4_packed else data.shape[2]
+    bm = min(BM_MAX, max(8, (T + 7) // 8 * 8))
+    if int4_packed:
+        from chitu_tpu.quantize.transforms import PACK_TILE
+
+        bn = PACK_TILE
+        assert N % PACK_TILE == 0
+    else:
+        bn = min(BN, N)
+        while N % bn:
+            bn //= 2
+        assert bn >= 128, f"stacked gemm needs a 128-multiple tile for {N}"
+    bk = BK
+    while K % bk:
+        bk //= 2
+    assert bk >= QBLK, f"stacked gemm needs a {QBLK}-multiple K for {K}"
+    groups = bk // QBLK
+    assert T <= bm, "stacked path assumes a single m-tile (decode shapes)"
+
+    xp = _pad_to(x, bm, 0)
+    xp = _pad_to(xp, bk, 1) if K % bk else xp
+    n_k = K // bk
+    sp = scale_rows.reshape(L, n_k, groups, N)
+    zp = zero_rows.reshape(L, n_k, groups, N)
+    layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+
+    grid = (1, N // bn, n_k)
+    bnw = bn // 2 if int4_packed else bn
+    out = pl.pallas_call(
+        functools.partial(
+            _gemm_kernel_stacked,
+            n_k=n_k,
+            asym=asym,
+            fp8_bits=fp8_bits,
+            int4_packed=int4_packed,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (bm, bk),
+                    lambda i, j, k, s: (i, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bk, bnw),
+                    lambda i, j, k, s: (s[0], k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, groups, bn),
+                    lambda i, j, k, s: (s[0], k, 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, groups, bn),
+                    lambda i, j, k, s: (s[0], k, 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, k, s: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(layer_arr, xp, data, sp, zp)
+    return out[:T]
+
+
 def _expand_scale_rows(q: QTensor) -> jnp.ndarray:
     """Per-scheme scales -> rowwise [K//BK, N] f32."""
     K, N = q.data.shape[-2], q.data.shape[-1]
     nk = (K + QBLK - 1) // QBLK
     if q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
+        if q.scale.shape[-1] == N:
+            return q.scale.astype(jnp.float32)  # already rowwise
         # [K/B, N/B] -> repeat along N
         s = jnp.repeat(q.scale, q.block, axis=-1)[..., :N]
         return s.astype(jnp.float32)
@@ -211,6 +328,61 @@ def _expand_scale_rows(q: QTensor) -> jnp.ndarray:
     if q.kind == QuantKind.W4A16:
         # group == BK along K: scale already [K/G, N]
         return q.scale.astype(jnp.float32)
+    raise ValueError(q.kind)
+
+
+def matmul_stacked(
+    x: jnp.ndarray, q: QTensor, layer, interpret: bool = False
+):
+    """x [.., K] @ dequant(q[layer]) for stacked [L, K, N] QTensors."""
+    from chitu_tpu.quantize.transforms import is_packed_int4
+
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K)
+    L = q.data.shape[0]
+    N_logical = q.scale.shape[-1]
+    scale_rows = _expand_scale_rows_stacked(q)
+    int4_packed = (
+        q.kind == QuantKind.W4A16 and q.data.shape[-1] * 2 == N_logical
+    )
+    data = q.data
+    fp8_bits = False
+    if (
+        q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
+        and q.data.dtype == jnp.float8_e4m3fn
+    ):
+        data = jax.lax.bitcast_convert_type(data, jnp.int8)
+        scale_rows = scale_rows * jnp.float32(2.0**120)
+        fp8_bits = True
+    if q.kind == QuantKind.W4A16:
+        zero_rows = q.zeros.astype(jnp.float32)
+        asym = True
+    else:
+        zero_rows = jnp.zeros_like(scale_rows)
+        asym = False
+    y = _quant_gemm_stacked(
+        x2, layer, data, scale_rows, zero_rows, asym=asym,
+        fp8_bits=fp8_bits, int4_packed=int4_packed, interpret=interpret,
+    )
+    return y.reshape(*lead, -1)
+
+
+def _expand_scale_rows_stacked(q: QTensor) -> jnp.ndarray:
+    """[L, ...] scales -> rowwise [L, K//QBLK, N] f32 (cheap views only —
+    per-call materialization would defeat the point)."""
+    L, K = q.data.shape[0], q.data.shape[1]
+    N = q.scale.shape[-1]
+    nk = K // QBLK
+    if q.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
+        assert q.scale.shape[-1] == N and q.scale.ndim == 3, (
+            "stacked fp8 needs pre-expanded rowwise scales "
+            "(quantize.requantize_fp8_storage)"
+        )
+        return q.scale.astype(jnp.float32)
+    if q.kind == QuantKind.W4A16:
+        return q.scale.astype(jnp.float32)
+    # W8A16/W8A8 stay on the sliced path (their per-channel scales would
+    # materialize L x rowwise copies per call here)
     raise ValueError(q.kind)
 
 

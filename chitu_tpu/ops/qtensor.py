@@ -83,6 +83,16 @@ class QTensor:
         kind, block = aux
         return cls(data=data, scale=scale, zeros=zeros, kind=kind, block=block)
 
+    def __getitem__(self, idx) -> "QTensor":
+        """Slice the leading (stacked-layer / expert) dim."""
+        return QTensor(
+            data=self.data[idx],
+            scale=self.scale[idx],
+            zeros=self.zeros[idx] if self.zeros is not None else None,
+            kind=self.kind,
+            block=self.block,
+        )
+
     def astype(self, dtype):  # keep jnp-tree utilities happy
         return self
 
@@ -94,12 +104,16 @@ class QTensor:
             # quantize.requantize_fp8_storage (v5e fast path)
             w = d.astype(jnp.float32)
             bi, bo = self.block, self.block
-            # broadcast blockwise scales [in/B, out/B] -> [in, out]
-            s = jnp.repeat(
-                jnp.repeat(self.scale, bi, axis=-2)[..., : d.shape[-2], :],
-                bo,
-                axis=-1,
-            )[..., : d.shape[-1]]
+            if self.scale.shape[-1] == d.shape[-1]:
+                # rowwise pre-expanded scales [in/B, out]
+                s = jnp.repeat(self.scale, bi, axis=-2)[..., : d.shape[-2], :]
+            else:
+                # blockwise [in/B, out/B] -> [in, out]
+                s = jnp.repeat(
+                    jnp.repeat(self.scale, bi, axis=-2)[..., : d.shape[-2], :],
+                    bo,
+                    axis=-1,
+                )[..., : d.shape[-1]]
             return (w * s).astype(dtype)
         if self.kind in (QuantKind.W8A16, QuantKind.W8A8):
             return (d.astype(jnp.float32) * self.scale[..., None, :]).astype(dtype)

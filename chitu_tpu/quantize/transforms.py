@@ -127,9 +127,15 @@ def requantize_fp8_storage(params: Any) -> Any:
             and tree.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
             and tree.data.dtype == jnp.float8_e4m3fn
         ):
+            n = tree.data.shape[-1]
+            # pre-expand to rowwise [.., in/B, out] so the GEMM never
+            # materializes a scale expansion per call
+            scale = jnp.repeat(
+                tree.scale * (F8_MAX / 127.0), tree.block, axis=-1
+            )[..., :n].astype(jnp.float32)
             return QTensor(
                 data=convert(tree.data),
-                scale=(tree.scale * (F8_MAX / 127.0)).astype(jnp.float32),
+                scale=scale,
                 zeros=tree.zeros,
                 kind=tree.kind,
                 block=tree.block,
@@ -154,17 +160,19 @@ def pack_int4_storage(params: Any) -> Any:
         if (
             isinstance(leaf, QTensor)
             and leaf.kind == QuantKind.W4A16
-            and leaf.data.ndim == 2
+            and leaf.data.ndim in (2, 3)
             and leaf.data.shape[-1] == leaf.scale.shape[-1]
         ):
-            K, N = leaf.data.shape
+            *lead, K, N = leaf.data.shape
             t = PACK_TILE
             if N % t:
                 return leaf  # non-tile-multiple out dims stay byte-packed
-            tiles = leaf.data.astype(jnp.uint8).reshape(K, N // t, t)
+            tiles = leaf.data.astype(jnp.uint8).reshape(*lead, K, N // t, t)
             lo = tiles[..., : t // 2]
             hi = tiles[..., t // 2 :]
-            packed = (lo | (hi << 4)).reshape(K, N // 2).astype(jnp.int8)
+            packed = (lo | (hi << 4)).reshape(*lead, K, N // 2).astype(
+                jnp.int8
+            )
             return QTensor(
                 data=packed,
                 scale=leaf.scale,
@@ -174,9 +182,14 @@ def pack_int4_storage(params: Any) -> Any:
             )
         return leaf
 
-    return jax.tree_util.tree_map(
-        walk, params, is_leaf=lambda x: isinstance(x, QTensor)
-    )
+    def dwalk(tree):
+        if isinstance(tree, dict):
+            for k in list(tree.keys()):
+                tree[k] = dwalk(tree.pop(k))
+            return tree
+        return walk(tree)
+
+    return dwalk(params)
 
 
 def unpack_int4_storage(q: QTensor) -> QTensor:
@@ -199,7 +212,6 @@ def unpack_int4_storage(q: QTensor) -> QTensor:
 def is_packed_int4(q: QTensor) -> bool:
     return (
         q.kind == QuantKind.W4A16
-        and q.data.ndim == 2
         and q.scale.shape[-1] == q.data.shape[-1] * 2
     )
 

@@ -66,3 +66,56 @@ def test_w8a8_dynamic_activation_path():
     want = jnp.dot(x.astype(jnp.float32), w)
     rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
     assert rel < 3e-2, rel
+
+
+def test_stacked_layer_gemm_matches_sliced():
+    """matmul_stacked(q, layer) == sliced-GEMM on every layer
+    (kernel-side layer indexing; interpret mode on CPU)."""
+    from chitu_tpu.ops.pallas_quant_gemm import _matmul_impl, matmul_stacked
+    from chitu_tpu.quantize import requantize_fp8_storage
+
+    L, K, N = 3, 256, 512
+    w = jax.random.normal(jax.random.PRNGKey(5), (L, K, N)) * 0.05
+    q = quantize_weight(w, QuantKind.SOFT_FP8)
+    q = requantize_fp8_storage({"w": q})["w"]  # int8 lanes + rowwise scales
+    x = (jax.random.normal(jax.random.PRNGKey(6), (8, K)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    interp = jax.default_backend() != "tpu"
+    for l in range(L):
+        want = _matmul_impl(x, q[l], interpret=interp)
+        got = matmul_stacked(x, q, jnp.int32(l), interpret=interp)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+        )
+
+
+def test_stacked_layer_gemm_w4a16_packed():
+    from chitu_tpu.ops.pallas_quant_gemm import _matmul_impl, matmul_stacked
+    from chitu_tpu.quantize import pack_int4_storage
+
+    L, K, N = 2, 256, 1024
+    w = jax.random.normal(jax.random.PRNGKey(7), (L, K, N)) * 0.05
+    q = quantize_weight(w, QuantKind.W4A16)
+    # stacked packing path: pack each layer then restack
+    from chitu_tpu.ops.qtensor import QTensor
+    packed_layers = [
+        pack_int4_storage({"w": q[l]})["w"] for l in range(L)
+    ]
+    qp = QTensor(
+        data=jnp.stack([p.data for p in packed_layers]),
+        scale=jnp.stack([p.scale for p in packed_layers]),
+        zeros=jnp.stack([p.zeros for p in packed_layers]),
+        kind=QuantKind.W4A16,
+        block=q.block,
+    )
+    x = (jax.random.normal(jax.random.PRNGKey(8), (4, K)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    interp = jax.default_backend() != "tpu"
+    for l in range(L):
+        want = _matmul_impl(x, q[l], interpret=interp)
+        got = matmul_stacked(x, qp, jnp.int32(l), interpret=interp)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+        )
