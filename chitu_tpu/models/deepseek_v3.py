@@ -282,9 +282,10 @@ class DeepSeekV3ForCausalLM:
 
         wkv_b = layers["wkv_b"]
         if isinstance(wkv_b, QTensor):
+            # whole-stacked quantized leaf: slice + dequant for the einsum
             wkv_b_d = wkv_b[layer].dequantize(x.dtype)
         else:
-            wkv_b_d = wkv_b[layer].astype(x.dtype)
+            wkv_b_d = wkv_b.astype(x.dtype)  # already scan-sliced
         w_b = wkv_b_d.reshape(dc, H, dn + dv)
         w_uk = w_b[..., :dn]  # [512, H, 128]
         w_uv = w_b[..., dn:]  # [512, H, 128]
@@ -346,27 +347,28 @@ class DeepSeekV3ForCausalLM:
     # -- stacks -------------------------------------------------------------
 
     def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn):
-        from chitu_tpu.models.llama import _layer_leaf
+        from chitu_tpu.models.llama import split_scan_leaves
 
         a = self.args
+        xs_leaves, static_leaves = split_scan_leaves(stack_params)
 
-        def body(carry, layer):
+        def body(carry, xs):
             h, pool = carry
-            x = rms_norm(
-                h, _layer_leaf(stack_params, "attn_norm", layer), a.norm_eps
-            )
+            lp, layer = xs
+            view = {**lp, **static_leaves}
+            x = rms_norm(h, view["attn_norm"], a.norm_eps)
             attn_out, pool = self._mla(
-                x, stack_params, pool, layer, cos, sin, append, attend
+                x, view, pool, layer, cos, sin, append, attend
             )
             h = h + attn_out
-            x = rms_norm(
-                h, _layer_leaf(stack_params, "ffn_norm", layer), a.norm_eps
-            )
-            h = h + ffn(x, stack_params, layer)
+            x = rms_norm(h, view["ffn_norm"], a.norm_eps)
+            h = h + ffn(x, view, layer)
             return (h, pool), None
 
         (h, kv_pool), _ = jax.lax.scan(
-            body, (h, kv_pool), jnp.arange(n_layers, dtype=jnp.int32)
+            body,
+            (h, kv_pool),
+            (xs_leaves, jnp.arange(n_layers, dtype=jnp.int32)),
         )
         return h, kv_pool
 

@@ -36,18 +36,26 @@ from chitu_tpu.ops.linear import linear
 
 
 
-def _layer_leaf(layers, name, l):
-    """Per-layer view of a stacked leaf. Dense arrays and expert stacks
-    slice; 2D-stacked QTensors stay whole — `linear(layer=l)` indexes them
-    inside the GEMM kernel (slicing a pallas operand copies it)."""
+def split_scan_leaves(layers):
+    """(xs_leaves, static_leaves): dense arrays and expert stacks ride the
+    scan xs (windowed slicing, efficient); 2D-stacked QTensors stay out of
+    the scan whole — `linear(layer=l)` indexes them inside the GEMM kernel
+    (a sliced pallas operand must be materialized = copied every layer)."""
     from chitu_tpu.ops.qtensor import QTensor
 
-    leaf = layers.get(name)
-    if leaf is None:
-        return None
-    if isinstance(leaf, QTensor):
-        return leaf if leaf.data.ndim == 3 else leaf[l]
-    return leaf[l]
+    xs, static = {}, {}
+    for k, v in layers.items():
+        if isinstance(v, QTensor) and v.data.ndim == 3:
+            static[k] = v
+        else:
+            xs[k] = v
+    return xs, static
+
+
+def _layer_leaf(view, name, l):
+    """Leaf lookup in the merged per-layer view (scan-sliced values and
+    whole stacked QTensors)."""
+    return view.get(name)
 
 
 def _ffn_dim(args) -> int:
@@ -273,17 +281,19 @@ class LlamaForCausalLM:
         scales with pool size)."""
         L = self.args.n_layers
 
-        layers = params["layers"]
+        xs_leaves, static_leaves = split_scan_leaves(params["layers"])
 
-        def body(carry, layer):
+        def body(carry, xs):
             h, pool = carry
+            lp, layer = xs
+            view = {**lp, **static_leaves}
             h, pool = self._layer(
-                h, layers, pool, layer, cos, sin, attend, append
+                h, view, pool, layer, cos, sin, attend, append
             )
             return (h, pool), None
 
         (h, pool), _ = jax.lax.scan(
-            body, (h, pool), jnp.arange(L, dtype=jnp.int32)
+            body, (h, pool), (xs_leaves, jnp.arange(L, dtype=jnp.int32))
         )
         return h, pool
 

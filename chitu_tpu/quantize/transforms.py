@@ -283,6 +283,26 @@ def quantize_params(
         if keys is not None:
             eligible = eligible and name in keys
         if eligible:
+            if tree.ndim >= 3 and tree.shape[0] > 1:
+                # stacked leaves quantize layer-by-layer: whole-leaf f32
+                # intermediates peak at several GB for large models
+                parts = [
+                    _quantize_weight_jit(tree[i], kind, block)
+                    for i in range(tree.shape[0])
+                ]
+                out = QTensor(
+                    data=jnp.stack([p.data for p in parts]),
+                    scale=jnp.stack([p.scale for p in parts]),
+                    zeros=(
+                        jnp.stack([p.zeros for p in parts])
+                        if parts[0].zeros is not None
+                        else None
+                    ),
+                    kind=kind,
+                    block=block,
+                )
+                del parts
+                return out
             return _quantize_weight_jit(tree, kind, block)
         return tree
 
