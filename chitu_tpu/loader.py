@@ -281,28 +281,46 @@ def load_checkpoint(model, cfg, mesh=None) -> Any:
 
 
 def save_preprocessed(params: Any, out_dir: str):
-    """Dump the fully transformed tree for fast startup."""
+    """Dump the fully transformed tree for fast startup. QTensor leaves
+    keep their structure via `#qt.<field>` key suffixes + kind/block in
+    the metadata."""
     from safetensors.numpy import save_file
 
+    from chitu_tpu.ops.qtensor import QTensor
+
     os.makedirs(out_dir, exist_ok=True)
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
-    tensors = {}
-    meta = []
-    for path, leaf in leaves:
-        key = "/".join(str(getattr(p, "key", p)) for p in path)
-        # C-order guard: safetensors writes raw buffers
+    tensors: Dict[str, np.ndarray] = {}
+    meta: Dict[str, Any] = {"dtypes": {}, "qtensors": {}}
+
+    def put(key: str, leaf):
         arr = np.ascontiguousarray(np.asarray(leaf))
-        if arr.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-            pass
-        if str(arr.dtype) == "bfloat16":
-            tensors[key] = arr.view(np.uint16)
-            meta.append({"key": key, "dtype": "bfloat16"})
-        elif str(arr.dtype) == "float8_e4m3fn":
-            tensors[key] = arr.view(np.uint8)
-            meta.append({"key": key, "dtype": "float8_e4m3fn"})
-        else:
-            tensors[key] = arr
-            meta.append({"key": key, "dtype": str(arr.dtype)})
+        dt = str(arr.dtype)
+        meta["dtypes"][key] = dt
+        if dt == "bfloat16":
+            arr = arr.view(np.uint16)
+        elif dt == "float8_e4m3fn":
+            arr = arr.view(np.uint8)
+        tensors[key] = arr
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}{k}/")
+            return
+        key = prefix.rstrip("/")
+        if isinstance(tree, QTensor):
+            meta["qtensors"][key] = {
+                "kind": tree.kind.value,
+                "block": tree.block,
+            }
+            put(f"{key}#qt.data", tree.data)
+            put(f"{key}#qt.scale", tree.scale)
+            if tree.zeros is not None:
+                put(f"{key}#qt.zeros", tree.zeros)
+            return
+        put(key, tree)
+
+    walk(params)
     save_file(tensors, os.path.join(out_dir, "model.safetensors"))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -311,22 +329,48 @@ def save_preprocessed(params: Any, out_dir: str):
 def load_preprocessed(out_dir: str, mesh=None) -> Any:
     from safetensors.numpy import load_file
 
+    from chitu_tpu.ops.qtensor import QTensor, QuantKind
+
     tensors = load_file(os.path.join(out_dir, "model.safetensors"))
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
-    dtypes = {m["key"]: m["dtype"] for m in meta}
-    tree: Dict[str, Any] = {}
-    for key, arr in tensors.items():
+    dtypes = meta.get("dtypes", {})
+    qmeta = meta.get("qtensors", {})
+
+    def restore(key, arr):
         dt = dtypes.get(key, str(arr.dtype))
         if dt == "bfloat16":
-            val = jnp.asarray(arr).view(jnp.bfloat16)
-        elif dt == "float8_e4m3fn":
-            val = jnp.asarray(arr).view(jnp.float8_e4m3fn)
-        else:
-            val = jnp.asarray(arr)
+            return jnp.asarray(arr).view(jnp.bfloat16)
+        if dt == "float8_e4m3fn":
+            return jnp.asarray(arr).view(jnp.float8_e4m3fn)
+        return jnp.asarray(arr)
+
+    qparts: Dict[str, Dict[str, Any]] = {}
+    tree: Dict[str, Any] = {}
+
+    def insert(key, val):
         node = tree
         parts = key.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
+
+    for key, arr in tensors.items():
+        if "#qt." in key:
+            base, field = key.split("#qt.")
+            qparts.setdefault(base, {})[field] = restore(key, arr)
+        else:
+            insert(key, restore(key, arr))
+    for base, fields in qparts.items():
+        info = qmeta[base]
+        insert(
+            base,
+            QTensor(
+                data=fields["data"],
+                scale=fields["scale"],
+                zeros=fields.get("zeros"),
+                kind=QuantKind(info["kind"]),
+                block=info["block"],
+            ),
+        )
     return tree

@@ -107,3 +107,29 @@ def test_preprocessed_save_load(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(a, np.float32), np.asarray(b, np.float32)
         )
+
+
+def test_preprocessed_preserves_qtensors(tmp_path):
+    """Quantized trees survive the preprocess round trip as QTensors
+    (reference: skip_preprocess fast startup with quantized weights)."""
+    import jax.numpy as jnp
+    from chitu_tpu.ops.qtensor import QTensor, QuantKind
+    from chitu_tpu.quantize import quantize_params
+
+    cfg = tiny_cfg()
+    model = build_model(cfg.models, cfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    qargs = dataclasses.replace(cfg.quant, method="soft_fp8")
+    params = quantize_params(params, qargs, model)
+    out = str(tmp_path / "pre")
+    save_preprocessed(params, out)
+    loaded = load_preprocessed(out)
+    wq = loaded["layers"]["wqkv"]
+    assert isinstance(wq, QTensor)
+    assert wq.kind == QuantKind.SOFT_FP8
+    orig = params["layers"]["wqkv"]
+    np.testing.assert_array_equal(
+        np.asarray(orig.data.astype(jnp.float32)),
+        np.asarray(wq.data.astype(jnp.float32)),
+    )
+    np.testing.assert_array_equal(np.asarray(orig.scale), np.asarray(wq.scale))
