@@ -163,7 +163,7 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
     n = 0
     for key, tensor in iter_checkpoint(ckpt_dir):
         pm = re.fullmatch(
-            r"model\.layers\.(\d+)\.(self_attn|mlp)\.(\w+)\.(qweight|qzeros|scales)",
+            r"model\.layers\.(\d+)\.(self_attn|mlp)\.(\w+)\.(qweight|qzeros|scales|g_idx)",
             key,
         )
         if pm:
@@ -206,7 +206,10 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
                 q = unpack_awq(qw, parts["qzeros"], scales, group_size=group)
             else:
                 group = qw.shape[0] * 8 // scales.shape[0]
-                q = unpack_gptq(qw, parts["qzeros"], scales, group_size=group)
+                q = unpack_gptq(
+                    qw, parts["qzeros"], scales, group_size=group,
+                    g_idx=parts.get("g_idx"),
+                )
             by_name.setdefault(ours, [None] * L)[layer] = q
         for name, vals in by_name.items():
             missing = [i for i, v in enumerate(vals) if v is None]
@@ -317,6 +320,8 @@ def save_preprocessed(params: Any, out_dir: str):
             put(f"{key}#qt.scale", tree.scale)
             if tree.zeros is not None:
                 put(f"{key}#qt.zeros", tree.zeros)
+            if tree.in_perm is not None:
+                put(f"{key}#qt.in_perm", tree.in_perm)
             return
         put(key, tree)
 
@@ -371,6 +376,7 @@ def load_preprocessed(out_dir: str, mesh=None) -> Any:
                 zeros=fields.get("zeros"),
                 kind=QuantKind(info["kind"]),
                 block=info["block"],
+                in_perm=fields.get("in_perm"),
             ),
         )
     return tree

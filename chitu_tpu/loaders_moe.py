@@ -33,6 +33,17 @@ logger = get_logger()
 def _stack(vals: List[Any]):
     """Stack values or QTensors along a new leading axis."""
     if isinstance(vals[0], QTensor):
+        if any(v.in_perm is not None for v in vals):
+            # act-order GPTQ: every layer needs a perm row (identity where
+            # a layer happened to be in natural order)
+            perms = jnp.stack([
+                v.in_perm
+                if v.in_perm is not None
+                else jnp.arange(v.data.shape[-2], dtype=jnp.int32)
+                for v in vals
+            ])
+        else:
+            perms = None
         return QTensor(
             data=jnp.stack([v.data for v in vals]),
             scale=jnp.stack([v.scale for v in vals]),
@@ -43,6 +54,7 @@ def _stack(vals: List[Any]):
             ),
             kind=vals[0].kind,
             block=vals[0].block,
+            in_perm=perms,
         )
     return jnp.stack([jnp.asarray(v) for v in vals])
 

@@ -35,10 +35,14 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_CSRC, "hostops.cpp")
+        stale = os.path.exists(_LIB_PATH) and os.path.getmtime(
+            _LIB_PATH
+        ) < os.path.getmtime(src)
+        if not os.path.exists(_LIB_PATH) or stale:
             try:
                 subprocess.run(
-                    ["make", "-C", _CSRC, "libchituhost.so"],
+                    ["make", "-C", _CSRC, "-B", "libchituhost.so"],
                     check=True,
                     capture_output=True,
                     timeout=120,

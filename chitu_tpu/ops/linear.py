@@ -62,6 +62,15 @@ def linear(
 
 
 def _quantized_matmul(x: jnp.ndarray, w: QTensor, layer=None) -> jnp.ndarray:
+    if w.in_perm is not None:
+        # act-order (desc_act) GPTQ: rows are group-sorted in storage;
+        # gather x to match (exact — y = x[:, perm] @ w_sorted)
+        perm = w.in_perm[layer] if w.in_perm.ndim == 2 and layer is not None else w.in_perm
+        x = jnp.take(x, perm, axis=-1)
+        w = QTensor(
+            data=w.data, scale=w.scale, zeros=w.zeros, kind=w.kind,
+            block=w.block,
+        )
     impl = get_op_impl()
     if impl == "pallas":
         from chitu_tpu.ops import pallas_quant_gemm  # registers kernels

@@ -59,6 +59,12 @@ class QTensor:
     zeros: Optional[jnp.ndarray] = None
     kind: QuantKind = QuantKind.SOFT_FP8
     block: int = 128
+    # input-dim permutation for act-order (desc_act) GPTQ checkpoints:
+    # data rows are stored group-sorted (so scale/zeros keep the standard
+    # contiguous [in/G, out] layout) and `x` is gathered by in_perm before
+    # the GEMM — y = x[:, in_perm] @ data is exact (reference: AutoGPTQ
+    # QuantLinear g_idx handling, chitu/quantize/quantizer.py:53-85)
+    in_perm: Optional[jnp.ndarray] = None
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -73,15 +79,18 @@ class QTensor:
         return self.data.shape[-1]
 
     def tree_flatten(self):
-        children = (self.data, self.scale, self.zeros)
+        children = (self.data, self.scale, self.zeros, self.in_perm)
         aux = (self.kind, self.block)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scale, zeros = children
+        data, scale, zeros, in_perm = children
         kind, block = aux
-        return cls(data=data, scale=scale, zeros=zeros, kind=kind, block=block)
+        return cls(
+            data=data, scale=scale, zeros=zeros, kind=kind, block=block,
+            in_perm=in_perm,
+        )
 
     def __getitem__(self, idx) -> "QTensor":
         """Slice the leading (stacked-layer / expert) dim."""
@@ -91,6 +100,7 @@ class QTensor:
             zeros=self.zeros[idx] if self.zeros is not None else None,
             kind=self.kind,
             block=self.block,
+            in_perm=self.in_perm[idx] if self.in_perm is not None else None,
         )
 
     def astype(self, dtype):  # keep jnp-tree utilities happy
@@ -98,6 +108,14 @@ class QTensor:
 
     def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
         """Reference (XLA) dequantization to a dense weight."""
+        if self.in_perm is not None:
+            # rows are stored group-sorted; un-sort back to original order
+            base = QTensor(
+                data=self.data, scale=self.scale, zeros=self.zeros,
+                kind=self.kind, block=self.block,
+            ).dequantize(dtype)
+            inv = jnp.argsort(self.in_perm, axis=-1)
+            return jnp.take_along_axis(base, inv[..., None], axis=-2)
         d = self.data
         if self.kind in (QuantKind.SOFT_FP8, QuantKind.FP8):
             # storage is fp8 bytes, or int8 lanes after

@@ -38,11 +38,13 @@ def safe_named_sharding(
     """
     fixed = []
     for i, name in enumerate(spec):
+        if i >= len(shape):
+            break  # never emit spec axes beyond the array rank
         if name is None:
             fixed.append(None)
             continue
         size = _axis_size(mesh, name)
-        if i < len(shape) and shape[i] % size == 0:
+        if shape[i] % size == 0:
             fixed.append(name)
         else:
             fixed.append(None)
@@ -55,26 +57,54 @@ def shard_params(params: Any, specs: Any, mesh: Optional[Mesh]) -> Any:
     if mesh is None:
         return params
 
+    def qtensor_aux_spec(data_ndim: int, spec: P, aux_ndim: int) -> P:
+        """Spec for a QTensor's scale/zeros derived from the data spec.
+
+        Blockwise / groupwise auxiliaries (fp8 [.., in/B, out(/B)], W4A16
+        [.., in/G, out]) have the data's rank and the same dim semantics, so
+        the data spec applies directly. Per-out-channel auxiliaries
+        (W8A16/W8A8 scale [.., out]) drop the in dim: the spec keeps the
+        leading axes and the out-dim axis only — a row-parallel weight
+        (in dim sharded) then correctly *replicates* its scale instead of
+        sharding the wrong dim."""
+        entries = list(spec) + [None] * (data_ndim - len(spec))
+        entries = entries[:data_ndim]
+        if aux_ndim >= data_ndim:
+            return P(*entries)
+        # drop the second-to-last (in-features) axis
+        dropped = entries[:-2] + [entries[-1]]
+        return P(*dropped[:aux_ndim])
+
     def place(leaf, spec):
         from chitu_tpu.ops.qtensor import QTensor
 
         if isinstance(leaf, QTensor):
-            # shard packed data by the spec; scales follow blockwise
             data_sh = safe_named_sharding(mesh, spec, leaf.data.shape)
-            scale_sh = safe_named_sharding(mesh, spec, leaf.scale.shape)
+            s_spec = qtensor_aux_spec(leaf.data.ndim, spec, leaf.scale.ndim)
+            scale_sh = safe_named_sharding(mesh, s_spec, leaf.scale.shape)
+            zeros = None
+            if leaf.zeros is not None:
+                z_spec = qtensor_aux_spec(
+                    leaf.data.ndim, spec, leaf.zeros.ndim
+                )
+                zeros = jax.device_put(
+                    leaf.zeros,
+                    safe_named_sharding(mesh, z_spec, leaf.zeros.shape),
+                )
+            in_perm = leaf.in_perm
+            if in_perm is not None:
+                # the activation-gather permutation is needed whole on
+                # every shard
+                in_perm = jax.device_put(
+                    in_perm, NamedSharding(mesh, P(*([None] * in_perm.ndim)))
+                )
             return QTensor(
                 data=jax.device_put(leaf.data, data_sh),
                 scale=jax.device_put(leaf.scale, scale_sh),
-                zeros=(
-                    jax.device_put(
-                        leaf.zeros,
-                        safe_named_sharding(mesh, spec, leaf.zeros.shape),
-                    )
-                    if leaf.zeros is not None
-                    else None
-                ),
+                zeros=zeros,
                 kind=leaf.kind,
                 block=leaf.block,
+                in_perm=in_perm,
             )
         return jax.device_put(
             leaf, safe_named_sharding(mesh, spec, leaf.shape)

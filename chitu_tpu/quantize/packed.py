@@ -68,18 +68,41 @@ def unpack_gptq(
     scales: np.ndarray,  # fp16/fp32 [in/G, out]
     group_size: int = 128,
     gptq_zero_plus_one: bool = True,
+    g_idx: np.ndarray = None,  # int32 [in]: group of each input row
 ) -> QTensor:
+    """GPTQ unpack. `g_idx` (desc_act / act-order checkpoints) maps each
+    input row to its quantization group; when it encodes a non-identity
+    assignment the rows are stably sorted by group so scale/zeros keep the
+    contiguous [in/G, out] layout, and the sort permutation is stored as
+    QTensor.in_perm (applied to activations at matmul time — exact).
+    Reference honors g_idx via AutoGPTQ QuantLinear
+    (chitu/quantize/quantizer.py:53-85)."""
     data = _unpack_nibbles_firstdim(qweight)  # [in, out]
     order = np.arange(8)
     zeros = _unpack_nibbles_lastdim(qzeros, order).astype(np.float32)
     if gptq_zero_plus_one:
         zeros = zeros + 1.0
+    in_perm = None
+    if g_idx is not None:
+        g_idx = np.asarray(g_idx, np.int64)
+        identity = np.arange(data.shape[0]) // group_size
+        if not np.array_equal(g_idx, identity):
+            counts = np.bincount(g_idx, minlength=scales.shape[0])
+            if np.any(counts != group_size):
+                raise ValueError(
+                    "GPTQ g_idx groups are not uniformly sized "
+                    f"(expected {group_size} rows/group, got {sorted(set(counts))})"
+                )
+            perm = np.argsort(g_idx, kind="stable")
+            data = data[perm]
+            in_perm = jnp.asarray(perm, jnp.int32)
     return QTensor(
         data=jnp.asarray(data),
         scale=jnp.asarray(scales, jnp.float32),
         zeros=jnp.asarray(zeros),
         kind=QuantKind.W4A16,
         block=group_size,
+        in_perm=in_perm,
     )
 
 

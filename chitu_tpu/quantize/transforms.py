@@ -179,6 +179,7 @@ def pack_int4_storage(params: Any) -> Any:
                 zeros=leaf.zeros,
                 kind=leaf.kind,
                 block=leaf.block,
+                in_perm=leaf.in_perm,
             )
         return leaf
 
@@ -206,6 +207,7 @@ def unpack_int4_storage(q: QTensor) -> QTensor:
         zeros=q.zeros,
         kind=q.kind,
         block=q.block,
+        in_perm=q.in_perm,
     )
 
 

@@ -45,6 +45,20 @@ class SampleParams:
         if self.temperature == 0.0:
             self.top_k = 1
             self.temperature = 1.0
+        # the device sampler restricts to the top MAX_K logits
+        # (sampling.py design note); clamp loudly instead of silently
+        from chitu_tpu.sampling import MAX_K
+
+        if self.top_k > MAX_K:
+            from chitu_tpu.utils import get_logger
+
+            get_logger().warning(
+                "top_k=%d exceeds the sampler's MAX_K=%d and is clamped; "
+                "top_p renormalizes over at most MAX_K candidates",
+                self.top_k,
+                MAX_K,
+            )
+            self.top_k = MAX_K
 
 
 class TaskLoad:

@@ -162,3 +162,59 @@ def test_int4_pack_skips_odd_dims():
     q = quantize_weight(w, QuantKind.W4A16)
     qp = pack_int4_storage({"w": q})["w"]
     assert not is_packed_int4(qp)  # 300 not a tile multiple: unchanged
+
+
+def test_gptq_act_order_g_idx():
+    """desc_act GPTQ: g_idx permutes the group assignment of input rows;
+    the unpacked QTensor must dequantize exactly and the GEMM must honor
+    the permutation (ADVICE r1: silently-skipped g_idx produced garbage)."""
+    from chitu_tpu.ops.linear import linear
+
+    rng = np.random.default_rng(3)
+    K, N, G = 32, 8, 16  # 2 groups
+    data = rng.integers(0, 16, (K, N), dtype=np.int64)
+    qweight = np.zeros((K // 8, N), np.int64)
+    for r in range(K):
+        qweight[r // 8] |= (data[r] & 0xF) << ((r % 8) * 4)
+    zeros = rng.integers(0, 15, (K // G, N), dtype=np.int64)
+    qzeros = np.zeros((K // G, N // 8), np.int64)
+    for g in range(K // G):
+        for c in range(N):
+            qzeros[g, c // 8] |= (zeros[g, c] & 0xF) << ((c % 8) * 4)
+    scales = rng.uniform(0.1, 0.5, (K // G, N)).astype(np.float32)
+    # act-order: interleave rows between the two groups
+    g_idx = (np.arange(K) % 2).astype(np.int32)
+
+    q = unpack_gptq(
+        qweight.astype(np.int32), qzeros.astype(np.int32), scales,
+        group_size=G, g_idx=g_idx,
+    )
+    assert q.in_perm is not None
+
+    # ground truth dequant honoring g_idx per-row
+    w_ref = (data.astype(np.float32) - (zeros[g_idx] + 1.0)) * scales[g_idx]
+    np.testing.assert_allclose(
+        np.asarray(q.dequantize(jnp.float32)), w_ref, rtol=1e-5, atol=1e-5
+    )
+
+    x = (np.asarray(rng.standard_normal((4, K)), np.float32) * 0.5).astype(
+        np.float32
+    )
+    y = linear(jnp.asarray(x, jnp.bfloat16), q, out_dtype=jnp.float32)
+    y_ref = x @ w_ref
+    rel = float(np.linalg.norm(np.asarray(y) - y_ref) / np.linalg.norm(y_ref))
+    assert rel < 0.05
+
+
+def test_gptq_identity_g_idx_no_perm():
+    rng = np.random.default_rng(4)
+    K, N, G = 32, 8, 16
+    qweight = rng.integers(0, 2**31 - 1, (K // 8, N), dtype=np.int64)
+    qzeros = rng.integers(0, 2**31 - 1, (K // G, N // 8), dtype=np.int64)
+    scales = np.full((K // G, N), 0.5, np.float32)
+    g_idx = (np.arange(K) // G).astype(np.int32)
+    q = unpack_gptq(
+        qweight.astype(np.int32), qzeros.astype(np.int32), scales,
+        group_size=G, g_idx=g_idx,
+    )
+    assert q.in_perm is None

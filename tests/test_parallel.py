@@ -107,3 +107,34 @@ def test_shmap_pallas_attention_tp4():
     assert eng.executor.attn_impl == "pallas"
     got = eng.generate("shard map kernels", p)
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_w8a16_quantized_engine_under_mesh():
+    """Per-out-channel quant schemes (rank-2 scales) must shard correctly
+    under a mesh (ADVICE r1: rank-3 data spec applied to rank-2 scale
+    crashed engine init for w8a16/w8a8 under tp>1)."""
+    import dataclasses as dc
+
+    p = SampleParams(temperature=0.0, max_new_tokens=4)
+    base_cfg = _tp_friendly_cfg()
+    base_cfg = dc.replace(
+        base_cfg,
+        quant=dc.replace(base_cfg.quant, method="w8a16", quant_on_load=True),
+    )
+    want = Engine(base_cfg).generate("scale sharding check", p)
+
+    cfg = _tp_friendly_cfg(tp=2)
+    cfg = dc.replace(
+        cfg, quant=dc.replace(cfg.quant, method="w8a16", quant_on_load=True)
+    )
+    eng = Engine(cfg)
+    wq = eng.params["layers"]["wq"]  # column-parallel QTensor
+    # data: out dim sharded; scale [L, out]: out dim sharded the same way
+    assert wq.data.sharding.shard_shape(wq.data.shape)[-1] == wq.data.shape[-1] // 2
+    assert wq.scale.sharding.shard_shape(wq.scale.shape)[-1] == wq.scale.shape[-1] // 2
+    wo = eng.params["layers"]["wo"]  # row-parallel: scale has no in dim
+    assert wo.data.sharding.shard_shape(wo.data.shape)[-2] == wo.data.shape[-2] // 2
+    assert wo.scale.sharding.shard_shape(wo.scale.shape)[-1] == wo.scale.shape[-1]
+    got = eng.generate("scale sharding check", p)
+    assert got == want
