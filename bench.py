@@ -101,6 +101,20 @@ def _measure_engine(overrides):
     return BS * NEW / decode_s, decode_s, decode_steps, wall, cfg
 
 
+def _measure_moe():
+    """fp8-vs-bf16 decode on a 16-expert MoE geometry where experts are
+    >95% of the weights — the regime the reference's headline targets
+    (BASELINE.md: >=1.5x per unit HBM bandwidth at DeepSeek scale, where
+    ~99% of weights are experts). Exercises the sorted-dispatch grouped
+    Pallas MoE GEMM with in-kernel dequant."""
+    base = ["models=moe-16x-bench"]
+    bf16, *_ = _measure_engine(base)
+    fp8, *_ = _measure_engine(
+        base + ["quant.method=soft_fp8", "quant.quant_on_load=true"]
+    )
+    return bf16, fp8
+
+
 def main():
     import jax
 
@@ -110,6 +124,7 @@ def main():
     fp8_tok_per_s, *_ = _measure_engine(
         ["quant.method=soft_fp8", "quant.quant_on_load=true"]
     )
+    moe_bf16, moe_fp8 = _measure_moe()
 
     # roofline: per decode step reads all weights once + the live KV prefix
     backend = jax.default_backend()
@@ -143,6 +158,9 @@ def main():
                     "weight_gib": round(wbytes / 2**30, 3),
                     "soft_fp8_tok_per_s": round(fp8_tok_per_s, 2),
                     "fp8_vs_bf16": round(fp8_tok_per_s / tok_per_s, 3),
+                    "moe16x3.7b_bf16_tok_per_s": round(moe_bf16, 2),
+                    "moe16x3.7b_fp8_tok_per_s": round(moe_fp8, 2),
+                    "moe_fp8_vs_bf16": round(moe_fp8 / moe_bf16, 3),
                 },
             }
         )

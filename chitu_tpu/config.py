@@ -48,6 +48,10 @@ class MoEArgs:
     # first n_dense_layers use a dense FFN instead of MoE (DeepSeek)
     n_dense_layers: int = 0
     norm_topk_prob: bool = True
+    # capacity-einsum fallback sizing (the sorted-dispatch path is exact
+    # and ignores this); tokens beyond an expert's capacity are dropped
+    # on the fallback, so raise for skewed prefill loads under pp>1
+    capacity_factor: float = 2.0
 
 
 @dataclass(frozen=True)

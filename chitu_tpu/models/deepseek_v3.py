@@ -39,7 +39,7 @@ from chitu_tpu.models.common import (
     rms_norm,
     rope_tables,
 )
-from chitu_tpu.models.moe import expert_capacity, moe_ffn, route
+from chitu_tpu.models.moe import moe_ffn_auto, route
 from chitu_tpu.ops import attention as attn_ops
 from chitu_tpu.ops.linear import linear
 
@@ -316,7 +316,7 @@ class DeepSeekV3ForCausalLM:
 
     # -- FFNs ---------------------------------------------------------------
 
-    def _dense_ffn(self, x, layers, layer):
+    def _dense_ffn(self, x, layers, layer, mesh=None):
         from chitu_tpu.models.llama import _layer_leaf
 
         g = lambda name: _layer_leaf(layers, name, layer)
@@ -324,7 +324,7 @@ class DeepSeekV3ForCausalLM:
         up = linear(x, g("w_up"), layer=layer)
         return linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
 
-    def _moe_ffn(self, x, layers, layer):
+    def _moe_ffn(self, x, layers, layer, mesh=None):
         from chitu_tpu.models.llama import _layer_leaf
 
         g = lambda name: _layer_leaf(layers, name, layer)
@@ -336,17 +336,15 @@ class DeepSeekV3ForCausalLM:
         weights, sel = route(
             x, g("moe_gate"), self.moe, gate_bias=g("gate_bias")
         )
-        cap = expert_capacity(
-            x.shape[0], self.moe.n_routed_experts, self.moe.n_activated_experts
-        )
-        y = y + moe_ffn(
-            x, g("exp_gate"), g("exp_up"), g("exp_down"), weights, sel, cap
+        y = y + moe_ffn_auto(
+            x, g("exp_gate"), g("exp_up"), g("exp_down"), weights, sel,
+            self.moe, layer=layer, mesh=mesh,
         )
         return y
 
     # -- stacks -------------------------------------------------------------
 
-    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn):
+    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn, mesh=None):
         from chitu_tpu.models.llama import split_scan_leaves
 
         a = self.args
@@ -362,7 +360,7 @@ class DeepSeekV3ForCausalLM:
             )
             h = h + attn_out
             x = rms_norm(h, view["ffn_norm"], a.norm_eps)
-            h = h + ffn(x, view, layer)
+            h = h + ffn(x, view, layer, mesh)
             return (h, pool), None
 
         (h, kv_pool), _ = jax.lax.scan(
@@ -372,7 +370,7 @@ class DeepSeekV3ForCausalLM:
         )
         return h, kv_pool
 
-    def _forward(self, params, cache, h, cos, sin, append, attend):
+    def _forward(self, params, cache, h, cos, sin, append, attend, mesh=None):
         h, kv_dense = self._run_stack(
             params["dense_layers"],
             cache["kv_dense"],
@@ -383,6 +381,7 @@ class DeepSeekV3ForCausalLM:
             append,
             attend,
             self._dense_ffn,
+            mesh,
         )
         h, kv_moe = self._run_stack(
             params["moe_layers"],
@@ -394,6 +393,7 @@ class DeepSeekV3ForCausalLM:
             append,
             attend,
             self._moe_ffn,
+            mesh,
         )
         return h, {"kv_dense": kv_dense, "kv_moe": kv_moe}
 
@@ -446,7 +446,9 @@ class DeepSeekV3ForCausalLM:
                 mesh=mesh,
             )
 
-        h, cache = self._forward(params, cache, h, cos, sin, append, attend)
+        h, cache = self._forward(
+            params, cache, h, cos, sin, append, attend, mesh
+        )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         if return_all_logits:
             return self._logits(params, h), cache
@@ -492,6 +494,8 @@ class DeepSeekV3ForCausalLM:
                 mesh=mesh,
             )
 
-        h, cache = self._forward(params, cache, h, cos, sin, append, attend)
+        h, cache = self._forward(
+            params, cache, h, cos, sin, append, attend, mesh
+        )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         return self._logits(params, h), cache

@@ -37,15 +37,16 @@ from chitu_tpu.ops.linear import linear
 
 
 def split_scan_leaves(layers):
-    """(xs_leaves, static_leaves): dense arrays and expert stacks ride the
-    scan xs (windowed slicing, efficient); 2D-stacked QTensors stay out of
-    the scan whole — `linear(layer=l)` indexes them inside the GEMM kernel
+    """(xs_leaves, static_leaves): dense arrays ride the scan xs (windowed
+    slicing, efficient); stacked QTensors — per-layer weights (data ndim 3)
+    AND per-layer expert stacks (ndim 4) — stay out of the scan whole:
+    `linear(layer=l)` / the grouped MoE GEMM index them inside the kernel
     (a sliced pallas operand must be materialized = copied every layer)."""
     from chitu_tpu.ops.qtensor import QTensor
 
     xs, static = {}, {}
     for k, v in layers.items():
-        if isinstance(v, QTensor) and v.data.ndim == 3:
+        if isinstance(v, QTensor) and v.data.ndim >= 3:
             static[k] = v
         else:
             xs[k] = v
@@ -236,6 +237,7 @@ class LlamaForCausalLM:
         sin: jnp.ndarray,
         attend,  # fn(q, pool, layer) -> [T, H, Dv]
         append,  # fn(pool, layer, k, v) -> pool
+        mesh=None,
     ):
         a = self.args
         T = h.shape[0]
@@ -259,10 +261,10 @@ class LlamaForCausalLM:
         h = h + linear(o.reshape(T, H * Dh), g("wo"), layer=layer)
 
         x = rms_norm(h, g("ffn_norm"), a.norm_eps)
-        h = h + self._ffn(x, layers, layer)
+        h = h + self._ffn(x, layers, layer, mesh)
         return h, pool
 
-    def _ffn(self, x: jnp.ndarray, layers, layer) -> jnp.ndarray:
+    def _ffn(self, x: jnp.ndarray, layers, layer, mesh=None) -> jnp.ndarray:
         """SwiGLU FFN; MoE families override (mixtral, deepseek)."""
         g = lambda name: _layer_leaf(layers, name, layer)
         if "w_gate_up" in layers:
@@ -274,7 +276,7 @@ class LlamaForCausalLM:
             up = linear(x, g("w_up"), layer=layer)
         return linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
 
-    def _run_layers(self, params, pool, h, cos, sin, attend, append):
+    def _run_layers(self, params, pool, h, cos, sin, attend, append, mesh=None):
         """Scan over stacked layer params; the pool rides the CARRY whole
         and is indexed per layer inside the kernels/scatters — per-layer
         slicing through scan xs/ys copies the slice each iteration (cost
@@ -288,7 +290,7 @@ class LlamaForCausalLM:
             lp, layer = xs
             view = {**lp, **static_leaves}
             h, pool = self._layer(
-                h, view, pool, layer, cos, sin, attend, append
+                h, view, pool, layer, cos, sin, attend, append, mesh
             )
             return (h, pool), None
 
@@ -352,7 +354,7 @@ class LlamaForCausalLM:
             )
 
         h, pool = self._run_layers(
-            params, cache["kv"], h, cos, sin, attend, append
+            params, cache["kv"], h, cos, sin, attend, append, mesh
         )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         if return_all_logits:
@@ -411,7 +413,7 @@ class LlamaForCausalLM:
         # _layer treats the batch dim as the "token" dim; rope tables are
         # per-row so the [T, 1, R/2] broadcast in apply_rope still applies.
         h, pool = self._run_layers(
-            params, cache["kv"], h, cos, sin, attend, append
+            params, cache["kv"], h, cos, sin, attend, append, mesh
         )
         h = rms_norm(h, params["norm"], a.norm_eps)
         logits = self._logits(params, h)

@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 
 from chitu_tpu.models import register_model
 from chitu_tpu.models.llama import LlamaForCausalLM
-from chitu_tpu.models.moe import expert_capacity, moe_ffn, route
+from chitu_tpu.models.moe import moe_ffn_auto, route
 
 
 @register_model("mixtral")
@@ -69,14 +69,12 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
         return load_mixtral_params(self, cfg, mesh)
 
-    def _ffn(self, x: jnp.ndarray, layers, layer) -> jnp.ndarray:
+    def _ffn(self, x: jnp.ndarray, layers, layer, mesh=None) -> jnp.ndarray:
         from chitu_tpu.models.llama import _layer_leaf
 
         g = lambda name: _layer_leaf(layers, name, layer)
         weights, sel = route(x, g("moe_gate"), self.moe)
-        cap = expert_capacity(
-            x.shape[0], self.moe.n_routed_experts, self.moe.n_activated_experts
-        )
-        return moe_ffn(
-            x, g("w_gate"), g("w_up"), g("w_down"), weights, sel, cap
+        return moe_ffn_auto(
+            x, g("w_gate"), g("w_up"), g("w_down"), weights, sel, self.moe,
+            layer=layer, mesh=mesh,
         )

@@ -1,4 +1,4 @@
-"""Mixture-of-experts: routing + capacity-based expert dispatch.
+"""Mixture-of-experts: routing + token-sorted ragged expert dispatch.
 
 Capability parity with the reference's MoE stack
 (reference: chitu/models/model_deepseek_v3.py:774-1061 MoEDeepSeekV3 gate +
@@ -9,16 +9,23 @@ TPU-first:
 - Routing covers both gate flavors: softmax top-k with renormalization
   (Mixtral) and sigmoid + bias-corrected, group-limited top-k with
   route_scale (DeepSeek-V3; reference: model_deepseek_v3.py:774-842).
-- Dispatch is the einsum/capacity formulation instead of the reference's
-  CUDA `moe_align_block_size` + token-sorted GEMM: a static-shape
-  dispatch tensor routes tokens to per-expert slots, expert FFNs run as
-  one batched einsum on the MXU, and the combine einsum applies routing
-  weights. Static shapes keep XLA happy; experts shard over the mesh's
-  'tp' axis, which *is* expert parallelism (the reference only stubbed EP,
-  SURVEY.md §2.7) — XLA inserts the all-to-all/all-reduce.
-- Overflow policy (SURVEY.md §7 hard parts): tokens beyond an expert's
-  capacity drop that expert's contribution; capacity_factor sizes slots
-  (decode batches use full capacity, so serving decode is always exact).
+- The primary dispatch is **argsort-based and exact** (`sorted_dispatch`):
+  (token, choice) assignments are stably sorted by expert and laid out in
+  BM-row blocks padded per expert — the static-shape equivalent of the
+  reference's `moe_align_block_size` contract (chitu/fused_moe.py:314-610).
+  Expert GEMMs then run through the grouped Pallas kernel
+  (ops/pallas_moe_gemm.py) which indexes the (layer, expert) weight stack
+  in-kernel — quantized experts stay packed in HBM and dequantize inside
+  the GEMM, so weight-only fp8 keeps its bandwidth win at MoE scale
+  (the reference's in-kernel soft-fp8 dequant, fused_moe.py:195-246).
+  No token is ever dropped on this path.
+- Under a mesh the expert dim shards over 'tp' — real expert parallelism
+  (the reference only stubbed EP, SURVEY.md §2.7) — via a shard_map whose
+  shards each dispatch their local experts and psum the combine.
+- `moe_ffn` (capacity/einsum formulation) remains as the GSPMD fallback
+  for layouts shard_map does not cover (pp>1 meshes); its capacity factor
+  is configurable (MoEArgs.capacity_factor) and decode-sized batches get
+  exact capacity, so serving decode never drops tokens there either.
 """
 
 from __future__ import annotations
@@ -82,11 +89,243 @@ def route(
 
 def expert_capacity(T: int, E: int, k: int, factor: float = 2.0) -> int:
     """Static per-expert slot count; decode-sized batches get exact
-    capacity so no routed token is ever dropped in the serving hot loop."""
+    capacity so no routed token is ever dropped in the serving hot loop.
+    `factor` comes from MoEArgs.capacity_factor — raise it for prefill
+    batches with skewed expert load (tokens beyond capacity drop that
+    expert's contribution on this fallback path; the sorted path is
+    exact)."""
     if T <= 64:
         return T
     cap = int(math.ceil(T * k / E * factor))
     return max(min(cap, T), 4)
+
+
+# ---------------------------------------------------------------------------
+# Token-sorted ragged dispatch (the moe_align_block_size equivalent;
+# reference: chitu/fused_moe.py:314-610) — exact, static shapes.
+# ---------------------------------------------------------------------------
+
+
+def dispatch_geometry(T: int, k: int, E: int) -> Tuple[int, int]:
+    """(bm, NB): block row count and static block-count bound.
+
+    bm tracks the expected per-expert row count (~2*A/E, clamped to
+    [16, 256] powers of two) so that most active experts fit one block —
+    each live block DMAs its expert's full weights, so blocks/expert is
+    the weight-traffic multiplier. NB covers the worst case: ceil(A/bm)
+    full blocks plus one partial block per active expert."""
+    A = T * k
+    per = max(1, (2 * A) // max(E, 1))
+    bm = 16
+    while bm < per and bm < 256:
+        bm *= 2
+    NB = -(-A // bm) + min(E, A)
+    return bm, NB
+
+
+def sorted_dispatch(
+    sel: jnp.ndarray,  # [T, k] int32 expert ids in [0, E)
+    E: int,
+    bm: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort (token, choice) assignments by expert into bm-row blocks.
+
+    Returns (row_assign [NB*bm] int32, block_expert [NB] int32):
+    - row_assign[r] = flat assignment index (token*k + choice) occupying
+      padded row r, or A (sentinel) for padding rows;
+    - block_expert[b] = expert owning block b, or -1 for dead blocks
+      (beyond the live blocks; the grouped kernel skips their weight DMA
+      and writes zeros).
+    Experts appear in ascending order; each expert's rows are contiguous
+    and padded to a block multiple, so every live block holds exactly one
+    expert's rows — the `moe_align_block_size` contract."""
+    T, k = sel.shape
+    A = T * k
+    _, NB = dispatch_geometry(T, k, E)
+    e_flat = sel.reshape(A).astype(jnp.int32)
+    order = jnp.argsort(e_flat, stable=True).astype(jnp.int32)
+    e_sorted = jnp.take(e_flat, order)
+    counts = jnp.bincount(e_flat, length=E).astype(jnp.int32)
+    blocks_e = (counts + bm - 1) // bm
+    row_start = (jnp.cumsum(blocks_e) - blocks_e) * bm  # padded starts
+    tok_start = jnp.cumsum(counts) - counts
+    rank = jnp.arange(A, dtype=jnp.int32) - jnp.take(tok_start, e_sorted)
+    dest = jnp.take(row_start, e_sorted) + rank
+    row_assign = (
+        jnp.full((NB * bm,), A, jnp.int32).at[dest].set(order, mode="drop")
+    )
+    first = row_assign.reshape(NB, bm)[:, 0]
+    safe = jnp.minimum(first, A - 1)
+    block_expert = jnp.where(first < A, jnp.take(e_flat, safe), -1)
+    return row_assign, block_expert
+
+
+def sorted_combine(
+    out_rows: jnp.ndarray,  # [NB*bm, D]
+    row_assign: jnp.ndarray,  # [NB*bm]
+    weights: jnp.ndarray,  # [T, k] f32 routing weights
+) -> jnp.ndarray:
+    """Scatter expert outputs back to tokens, weighted. Returns [T, D]."""
+    T, k = weights.shape
+    A = T * k
+    valid = row_assign < A
+    safe = jnp.minimum(row_assign, A - 1)
+    tok = jnp.where(valid, safe // k, T)
+    w_row = jnp.take(weights.reshape(A), safe) * valid
+    contrib = out_rows.astype(jnp.float32) * w_row[:, None]
+    y = jnp.zeros((T, out_rows.shape[-1]), jnp.float32)
+    return y.at[tok].add(contrib, mode="drop")
+
+
+def moe_ffn_sorted(
+    x: jnp.ndarray,  # [T, D]
+    w_gate,  # [(L,) E, D, F] dense or QTensor
+    w_up,
+    w_down,  # [(L,) E, F, D]
+    weights: jnp.ndarray,  # [T, k]
+    sel: jnp.ndarray,  # [T, k] ids in [0, E_dispatch)
+    n_experts: int,  # real experts indexable in the stacks
+    layer=None,
+    interpret: bool = False,
+    e_dispatch: Optional[int] = None,  # ids >= n_experts mark invalid
+) -> jnp.ndarray:
+    """Exact token-sorted MoE SwiGLU through the grouped Pallas GEMM."""
+    from chitu_tpu.ops.pallas_moe_gemm import grouped_matmul
+
+    T, D = x.shape
+    k = sel.shape[-1]
+    Ed = e_dispatch or n_experts
+    bm, _ = dispatch_geometry(T, k, Ed)
+    row_assign, block_expert = sorted_dispatch(sel, Ed, bm)
+    # blocks of out-of-range experts (EP: owned by another shard) are dead
+    block_expert = jnp.where(block_expert >= n_experts, -1, block_expert)
+
+    A = T * k
+    valid = row_assign < A
+    tok = jnp.where(valid, jnp.minimum(row_assign, A - 1) // k, 0)
+    xs = jnp.take(x, tok, axis=0).astype(jnp.bfloat16)  # [NB*bm, D]
+
+    layer = 0 if layer is None else layer
+    g = grouped_matmul(xs, w_gate, layer, block_expert, bm, interpret)
+    u = grouped_matmul(xs, w_up, layer, block_expert, bm, interpret)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    d = grouped_matmul(h, w_down, layer, block_expert, bm, interpret)
+    return sorted_combine(d, row_assign, weights).astype(x.dtype)
+
+
+def _sorted_eligible(ws) -> bool:
+    from chitu_tpu.ops.pallas_moe_gemm import kernel_eligible
+
+    return all(kernel_eligible(w) for w in ws)
+
+
+def moe_ffn_auto(
+    x: jnp.ndarray,
+    w_gate,
+    w_up,
+    w_down,
+    weights: jnp.ndarray,
+    sel: jnp.ndarray,
+    moe,  # MoEArgs
+    layer=None,
+    mesh=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Pick the MoE execution path:
+
+    - no mesh: exact sorted dispatch + grouped kernel (interpret on CPU);
+    - mesh with pp=1 and experts divisible by tp: shard_map EP — each
+      shard sorts/dispatches its local experts, psum combine;
+    - otherwise: capacity-einsum fallback (GSPMD partitions the einsums;
+      quantized experts dequantize — the price of pp>1 layouts).
+    """
+    E = moe.n_routed_experts
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    eligible = _sorted_eligible((w_gate, w_up, w_down))
+    if mesh is None:
+        if eligible:
+            return moe_ffn_sorted(
+                x, w_gate, w_up, w_down, weights, sel, E,
+                layer=layer, interpret=interpret,
+            )
+    else:
+        tp = mesh.shape.get("tp", 1)
+        pp = mesh.shape.get("pp", 1)
+        if eligible and pp == 1 and E % tp == 0:
+            return _moe_ffn_ep(
+                x, w_gate, w_up, w_down, weights, sel, E, layer, mesh,
+                interpret,
+            )
+    cap = expert_capacity(
+        x.shape[0], E, moe.n_activated_experts, moe.capacity_factor
+    )
+
+    def slice_layer(w):
+        # stacked QTensor leaves stay whole for the kernel paths; the
+        # capacity einsums need this layer's [E, ...] stack
+        from chitu_tpu.ops.qtensor import QTensor
+
+        if isinstance(w, QTensor) and w.data.ndim == 4 and layer is not None:
+            return w[layer]
+        return w
+
+    return moe_ffn(
+        x, slice_layer(w_gate), slice_layer(w_up), slice_layer(w_down),
+        weights, sel, cap,
+    )
+
+
+def _moe_ffn_ep(
+    x, w_gate, w_up, w_down, weights, sel, E, layer, mesh, interpret
+):
+    """Expert-parallel sorted MoE: experts sharded over 'tp', tokens over
+    'dp' when present; each shard computes its experts' contributions and
+    the combine is a psum over 'tp' (the all-to-all-free EP formulation —
+    tokens are small next to expert weights at MoE scale)."""
+    from jax.sharding import PartitionSpec as P
+
+    from chitu_tpu.ops.qtensor import QTensor
+
+    tp = mesh.shape.get("tp", 1)
+    El = E // tp
+    dp_ax = "dp" if "dp" in mesh.shape else None
+
+    def leaf_spec(w):
+        nd = w.data.ndim if isinstance(w, QTensor) else w.ndim
+        return P(None, "tp") if nd == 4 else P("tp")
+
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer is None else layer, jnp.int32), (1,)
+    )
+
+    def local(x_l, weights_l, sel_l, layer_l, wg_l, wu_l, wd_l):
+        e0 = jax.lax.axis_index("tp") * El
+        sl = sel_l - e0
+        sl = jnp.where((sl < 0) | (sl >= El), El, sl)
+        y = moe_ffn_sorted(
+            x_l, wg_l, wu_l, wd_l, weights_l, sl, El,
+            layer=layer_l[0], interpret=interpret, e_dispatch=El + 1,
+        )
+        return jax.lax.psum(y, "tp")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(dp_ax, None),
+            P(dp_ax, None),
+            P(dp_ax, None),
+            P(None),
+            leaf_spec(w_gate),
+            leaf_spec(w_up),
+            leaf_spec(w_down),
+        ),
+        out_specs=P(dp_ax, None),
+        check_vma=False,
+    )(x, weights, sel, layer_arr, w_gate, w_up, w_down)
 
 
 def moe_ffn(

@@ -280,7 +280,10 @@ def quantize_params(
             and under_layers
             and "norm" not in name
             and not name.startswith("b")
-            and name not in ("embed", "lm_head")
+            # router gates stay dense: tiny weights, accuracy-critical
+            # (the reference's gate is a raw Parameter, never rewritten;
+            # model_deepseek_v3.py:774-842)
+            and name not in ("embed", "lm_head", "moe_gate", "gate_bias")
         )
         if keys is not None:
             eligible = eligible and name in keys
