@@ -114,6 +114,12 @@ class ModelArgs:
     partial_rotary_factor: float = 1.0
     # qkv bias (qwen2 uses attention bias)
     attn_bias: bool = False
+    # sliding-window attention: tokens attend only to the last N positions
+    # (0 = full attention; reference: attn_backend.py:43-44 window_size)
+    sliding_window: int = 0
+    # logit soft-capping: s = tanh(s / cap) * cap (gemma2-style;
+    # reference: attn_backend.py:84-85 softcap)
+    attn_softcap: float = 0.0
 
     # Meta-llama FFN sizing (reference: model_llama.py:131-158); used when
     # inter_dim == 0 and type == "llama".

@@ -219,6 +219,110 @@ class Executor:
             self._jit_decode[key] = fn
         return fn
 
+    def _packed_q_block(self) -> int:
+        """Query-block granularity for packed varlen prefill (each
+        request's tokens pad to a multiple of this)."""
+        if not hasattr(self, "_tq_cache"):
+            from chitu_tpu.ops.pallas_attention import packed_q_block
+
+            M = next(iter(self.cache.arrays.values())).shape[-1]
+            self._tq_cache = packed_q_block(
+                self.model.args.n_heads, M, self.page, self.model.head_dim
+            )
+        return self._tq_cache
+
+    def _prefill_packed_fn(self, R: int, T: int, mp: int):
+        """ONE jitted call for R ragged prompts (packed varlen; reference:
+        chitu/utils.py:84-100 VarLens + executor.py:118-131)."""
+        key = ("packed", R, T, mp)
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            model, page, impl = self.model, self.page, self.attn_impl
+            mesh = self.mesh
+
+            def run(
+                params, cache, tokens, seg_ids, pos, bts, total_lens,
+                last_idx, block_seg, block_qstart,
+            ):
+                return model.prefill_packed(
+                    params,
+                    cache,
+                    tokens,
+                    seg_ids,
+                    pos,
+                    bts,
+                    total_lens,
+                    last_idx,
+                    block_seg,
+                    block_qstart,
+                    page_size=page,
+                    attn_impl=impl,
+                    mesh=mesh,
+                )
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._jit_prefill[key] = fn
+        return fn
+
+    def _prefill_packed_step(self, tasks_g: List[Task]):
+        """Pack R one-chunk prompts into one call; returns logits rows."""
+        Tq = self._packed_q_block()
+        lens = [len(t.tokens) for t in tasks_g]
+        padded = [(n + Tq - 1) // Tq * Tq for n in lens]
+        T_total = sum(padded)
+        T_bucket = Tq  # pow2 bucket of the PACKED total (can exceed
+        while T_bucket < T_total:  # max_seq_len: it spans R requests)
+            T_bucket *= 2
+        NB = T_bucket // Tq
+        R = _bucket(len(tasks_g), _pow2_buckets(1, self.max_reqs))
+        pages_needed = max(
+            (n + self.page - 1) // self.page for n in lens
+        )
+        mp = min(
+            _bucket(pages_needed, _pow2_buckets(1, self.mp_full)),
+            self.mp_full,
+        )
+
+        tokens = np.zeros((T_bucket,), np.int32)
+        seg_ids = np.full((T_bucket,), -1, np.int32)
+        pos = np.full((T_bucket,), -1, np.int32)
+        block_seg = np.full((NB,), -1, np.int32)
+        block_qstart = np.zeros((NB,), np.int32)
+        bts = np.full((R, mp), -1, np.int32)
+        total_lens = np.zeros((R,), np.int32)
+        last_idx = np.zeros((R,), np.int32)
+        off = 0
+        for r, t in enumerate(tasks_g):
+            n = lens[r]
+            tokens[off : off + n] = t.tokens
+            seg_ids[off : off + n] = r
+            pos[off : off + n] = np.arange(n)
+            total_lens[r] = n
+            last_idx[r] = off + n - 1
+            bts[r] = self.cache.allocator.block_table([t.task_id], mp)[0]
+            nb_r = padded[r] // Tq
+            b0 = off // Tq
+            block_seg[b0 : b0 + nb_r] = r
+            block_qstart[b0 : b0 + nb_r] = np.arange(nb_r) * Tq
+            off += padded[r]
+
+        fn = self._prefill_packed_fn(R, T_bucket, mp)
+        logits_r, self.cache.arrays = fn(
+            self.params,
+            self.cache.arrays,
+            jnp.asarray(tokens),
+            jnp.asarray(seg_ids),
+            jnp.asarray(pos),
+            jnp.asarray(bts),
+            jnp.asarray(total_lens),
+            jnp.asarray(last_idx),
+            jnp.asarray(block_seg),
+            jnp.asarray(block_qstart),
+        )
+        for r, t in enumerate(tasks_g):
+            t.prefilled_len = len(t.tokens)
+        return logits_r
+
     def _prefill_batch_fn(self, R: int, T: int, mp: int):
         """Prefill R same-bucket requests in ONE jitted call: lax.scan over
         requests carrying the cache (saves a host round trip per request
@@ -350,14 +454,21 @@ class Executor:
             timers("prefill").stop()
             return
 
-        # group one-chunk prompts by (T, mp) bucket -> one jitted scan per
-        # group; long prompts fall back to the chunked per-request path
+        # pack ALL one-chunk prompts into ONE jitted varlen call (the
+        # reference's packed VarLens prefill, utils.py:84-100); long
+        # prompts fall back to the chunked per-request path, and models
+        # without a packed forward use the per-(T, mp)-bucket scan
         chunk_cap = max(self.cfg.infer.prefill_chunk, 16)
         logits_by_task = {}
+        packable: List[Task] = []
         groups: Dict[Tuple[int, int], List[Task]] = {}
+        has_packed = hasattr(self.model, "prefill_packed")
         for t in admitted:
             n_tok = len(t.tokens) - t.prefilled_len
             if t.prefilled_len == 0 and n_tok <= chunk_cap:
+                if has_packed:
+                    packable.append(t)
+                    continue
                 T = _bucket(n_tok, self.prefill_buckets)
                 pages_needed = (n_tok + self.page - 1) // self.page
                 mp = min(
@@ -367,6 +478,15 @@ class Executor:
                 groups.setdefault((T, mp), []).append(t)
             else:
                 logits_by_task[t.task_id] = self._prefill_one(t)
+
+        if len(packable) == 1:
+            logits_by_task[packable[0].task_id] = self._prefill_one(
+                packable[0]
+            )
+        elif packable:
+            logits_r = self._prefill_packed_step(packable)
+            for r, t in enumerate(packable):
+                logits_by_task[t.task_id] = logits_r[r]
 
         for (T, mp), tasks_g in groups.items():
             if len(tasks_g) == 1:

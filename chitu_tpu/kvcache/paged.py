@@ -177,7 +177,7 @@ class PagedKVCache:
         layer_groups: Optional[Dict[str, int]] = None,
         max_slots: int = 0,
     ):
-        from chitu_tpu.models.common import pad_kv_minor
+        from chitu_tpu.models.common import kv_pool_minor, pad_kv_minor
 
         self.n_layers = n_layers
         self.num_pages = num_pages
@@ -197,8 +197,10 @@ class PagedKVCache:
                 for name, n in groups.items()
             }
         else:
-            # packed [K || V] page rows: one DMA per page fetches both
-            self.minor = 2 * pad_kv_minor(kv_heads, head_dim)
+            # per-head interleaved [K_h || V_h] page rows: one DMA per page
+            # fetches both, and the minor dim shards over 'tp' on whole
+            # KV-head boundaries
+            self.minor = kv_pool_minor(kv_heads, head_dim)
             shape = (n_layers, num_pages, page_size, self.minor)
             self.arrays = {"kv": jnp.zeros(shape, dtype=dtype)}
         if sharding is not None:

@@ -208,6 +208,17 @@ def pad_kv_minor(kv_heads: int, head_dim: int, lane: int = 128) -> int:
     return (c + lane - 1) // lane * lane
 
 
+def kv_pool_minor(kv_heads: int, head_dim: int, lane: int = 128) -> int:
+    """GQA pool minor: per-head interleaved [K_0 V_0 K_1 V_1 ...] blocks of
+    width head_dim, padded to a lane multiple. The interleaving puts each
+    KV head's K and V in one contiguous 2*D block, so sharding the minor
+    dim over 'tp' gives every shard whole (K, V) head pairs — the
+    TP-sharded cache the reference sizes per-rank
+    (reference: backend.py:181-217 n_local_kv_heads)."""
+    c = 2 * kv_heads * head_dim
+    return (c + lane - 1) // lane * lane
+
+
 def paged_append(
     pool: jnp.ndarray,  # [L, num_pages, page, C] (the WHOLE stacked pool)
     layer: jnp.ndarray,  # scalar i32

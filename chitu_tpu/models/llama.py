@@ -95,6 +95,21 @@ class LlamaForCausalLM:
         self.rotary_layout = (
             "hf-llama" if args.rotary_type == "hf-llama" else args.rotary_type
         )
+        # TP-sharded KV cache (VERDICT r1 item 2; reference sizes per-rank
+        # caches by n_local_kv_heads, backend.py:181-217): the interleaved
+        # pool minor shards over 'tp' when every shard gets whole KV-head
+        # pairs in 128-lane-aligned slices
+        tp = cfg.infer.tp_size
+        kvd2 = 2 * args.n_kv_heads * self.head_dim
+        from chitu_tpu.models.common import kv_pool_minor
+
+        self.kv_tp_shard = (
+            tp > 1
+            and args.n_kv_heads % tp == 0
+            and args.n_heads % tp == 0
+            and kv_pool_minor(args.n_kv_heads, self.head_dim) == kvd2
+            and (kvd2 // tp) % 128 == 0
+        )
 
     # -- cache geometry -----------------------------------------------------
 
@@ -210,11 +225,11 @@ class LlamaForCausalLM:
         return specs
 
     def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
-        # layer dim follows the PP stage layout; the packed [K||V] minor
-        # interleaves K and V halves, so a plain minor-dim shard would
-        # split them across devices — replicated until the shard_map
-        # kernel phase shards each half on head boundaries
-        return P("pp", None, None, None)
+        # layer dim follows the PP stage layout; the per-head interleaved
+        # minor shards over 'tp' on whole KV-head boundaries when aligned
+        # (per-device pool bytes = total / tp — the reference's per-rank
+        # n_local_kv_heads sizing, backend.py:181-217)
+        return P("pp", None, None, "tp" if self.kv_tp_shard else None)
 
     def load_params(self, cfg, mesh=None):
         if self.args.rotary_type == "glm4":
@@ -244,7 +259,9 @@ class LlamaForCausalLM:
         H, KV, Dh = a.n_heads, a.n_kv_heads, self.head_dim
         g = lambda name: _layer_leaf(layers, name, layer)
 
-        x = rms_norm(h, g("attn_norm"), a.norm_eps)
+        x = self._norm_acts(
+            h, g("attn_norm"), layers.get("wqkv", layers.get("wq")), mesh
+        )
         if "wqkv" in layers:
             qkv = linear(x, g("wqkv"), g("b_qkv"), layer=layer)
             q = qkv[:, : H * Dh].reshape(T, H, Dh)
@@ -260,9 +277,49 @@ class LlamaForCausalLM:
         o = attend(q, pool, layer)
         h = h + linear(o.reshape(T, H * Dh), g("wo"), layer=layer)
 
-        x = rms_norm(h, g("ffn_norm"), a.norm_eps)
+        x = self._norm_acts(
+            h, g("ffn_norm"), layers.get("w_gate_up", layers.get("w_gate")),
+            mesh,
+        )
         h = h + self._ffn(x, layers, layer, mesh)
         return h, pool
+
+    def _norm_acts(self, h, norm_w, proj_w, mesh):
+        """RMSNorm, fused with per-token int8 act quantization when the
+        consuming projections are W8A8 (reference fused norm+quant:
+        chitu/quantize/muxi_w8a8.py:15-36 NormAndQuant)."""
+        from chitu_tpu.ops.linear import get_op_impl
+        from chitu_tpu.ops.qtensor import QTensor, QuantKind
+
+        if (
+            mesh is None
+            and isinstance(proj_w, QTensor)
+            and proj_w.kind == QuantKind.W8A8
+            and get_op_impl() == "pallas"
+        ):
+            from chitu_tpu.ops.pallas_norm_quant import rms_norm_quant
+
+            return rms_norm_quant(
+                h, norm_w, self.args.norm_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return rms_norm(h, norm_w, self.args.norm_eps)
+
+    def _maybe_quant_acts(self, x, proj_w, mesh):
+        """Mid-FFN activation quantization feeding a W8A8 down-projection."""
+        from chitu_tpu.ops.linear import get_op_impl
+        from chitu_tpu.ops.qtensor import QTensor, QuantKind
+
+        if (
+            mesh is None
+            and isinstance(proj_w, QTensor)
+            and proj_w.kind == QuantKind.W8A8
+            and get_op_impl() == "pallas"
+        ):
+            from chitu_tpu.ops.pallas_norm_quant import quant_acts
+
+            return quant_acts(x, interpret=jax.default_backend() != "tpu")
+        return x
 
     def _ffn(self, x: jnp.ndarray, layers, layer, mesh=None) -> jnp.ndarray:
         """SwiGLU FFN; MoE families override (mixtral, deepseek)."""
@@ -274,7 +331,9 @@ class LlamaForCausalLM:
         else:
             gate = linear(x, g("w_gate"), layer=layer)
             up = linear(x, g("w_up"), layer=layer)
-        return linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
+        hid = jax.nn.silu(gate) * up
+        hid = self._maybe_quant_acts(hid.astype(jnp.bfloat16), g("w_down"), mesh)
+        return linear(hid, g("w_down"), layer=layer)
 
     def _run_layers(self, params, pool, h, cos, sin, attend, append, mesh=None):
         """Scan over stacked layer params; the pool rides the CARRY whole
@@ -351,6 +410,9 @@ class LlamaForCausalLM:
                 scale=self.attn_scale,
                 impl=attn_impl,
                 mesh=mesh,
+                kv_tp_shard=self.kv_tp_shard,
+                window=self.args.sliding_window,
+                softcap=self.args.attn_softcap,
             )
 
         h, pool = self._run_layers(
@@ -363,6 +425,70 @@ class LlamaForCausalLM:
             last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
             logits = self._logits(params, last)
         return logits, {"kv": pool}
+
+    def prefill_packed(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        tokens: jnp.ndarray,  # [T] int32 packed (per-segment padded)
+        seg_ids: jnp.ndarray,  # [T] int32 segment per token (-1 = pad)
+        pos: jnp.ndarray,  # [T] int32 position within its sequence (-1 pad)
+        block_tables: jnp.ndarray,  # [R, mp] int32
+        total_lens: jnp.ndarray,  # [R] int32
+        last_idx: jnp.ndarray,  # [R] int32 packed row of each seg's last tok
+        block_seg: jnp.ndarray,  # [NB] int32
+        block_qstart: jnp.ndarray,  # [NB] int32
+        page_size: int,
+        attn_impl: str = "xla",
+        mesh=None,
+    ):
+        """R ragged prompts in ONE jitted call -> (logits [R, V], cache).
+
+        The packed-varlen prefill the reference runs through
+        flash_attn_varlen (reference: chitu/utils.py:84-100 VarLens,
+        executor.py:118-131). Each request's tokens are padded to the
+        kernel's q-block size so every block maps to one segment.
+        """
+        pos_safe = jnp.maximum(pos, 0)
+        h = jnp.take(params["embed"], tokens, axis=0)
+        idx = jnp.minimum(pos_safe, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+
+        def append(pool, layer, k, v):
+            return attn_ops.append_prefill_packed(
+                pool, layer, k, v, block_tables, seg_ids, pos, page_size
+            )
+
+        def attend(q, pool, layer):
+            return attn_ops.attend_prefill_packed(
+                q,
+                pool,
+                layer,
+                block_tables,
+                seg_ids,
+                pos_safe,
+                total_lens,
+                block_seg,
+                block_qstart,
+                page_size,
+                self.args.n_kv_heads,
+                self.head_dim,
+                split_kv=True,
+                scale=self.attn_scale,
+                impl=attn_impl,
+                mesh=mesh,
+                kv_tp_shard=self.kv_tp_shard,
+                window=self.args.sliding_window,
+                softcap=self.args.attn_softcap,
+            )
+
+        h, pool = self._run_layers(
+            params, cache["kv"], h, cos, sin, attend, append, mesh
+        )
+        h = rms_norm(h, params["norm"], self.args.norm_eps)
+        last = jnp.take(h, last_idx, axis=0)  # [R, D]
+        return self._logits(params, last), {"kv": pool}
 
     def decode(
         self,
@@ -408,6 +534,9 @@ class LlamaForCausalLM:
                 scale=self.attn_scale,
                 impl=attn_impl,
                 mesh=mesh,
+                kv_tp_shard=self.kv_tp_shard,
+                window=self.args.sliding_window,
+                softcap=self.args.attn_softcap,
             )
 
         # _layer treats the batch dim as the "token" dim; rope tables are

@@ -13,8 +13,10 @@ implementations selected by `op_impl`:
   equivalents (reference: attn_backend.py:167-243,504-572,687-774).
 
 KV pool layout: ONE pool per layer, [num_pages, page, M].
-- GQA/MHA models: M = 2*C with C = pad128(KV*D); a page row holds
-  [K || V] so one DMA fetches both (split_kv=True).
+- GQA/MHA models: M = pad128(2*KV*D), per-head interleaved
+  [K_0 V_0 K_1 V_1 ...] rows — one DMA fetches both, and the minor dim
+  shards over 'tp' on whole-KV-head boundaries (split_kv=True; the
+  per-rank n_local_kv_heads sizing of reference backend.py:181-217).
 - MLA models: M = pad128(kv_dim); K and V are the same latent rows
   (split_kv=False; reference merged cache: backend.py:181-217).
 
@@ -42,19 +44,21 @@ from chitu_tpu.models.common import (
 def pack_kv(k: jnp.ndarray, v: Optional[jnp.ndarray], minor: int) -> jnp.ndarray:
     """[N, KV, D] k (+v) -> [N, minor] page-row values.
 
-    split layout: [k_flat | pad | v_flat | pad] with each half pad128-sized;
-    merged (v=None): [k_flat | pad]."""
+    GQA layout: per-head interleaved [K_0 V_0 K_1 V_1 ... | pad] — each KV
+    head's K and V are one contiguous 2*D block, so the minor dim shards
+    over 'tp' on whole-head boundaries (models.common.kv_pool_minor);
+    merged-MLA (v=None): [k_flat | pad]."""
     N = k.shape[0]
-    kf = k.reshape(N, -1)
     if v is None:
+        kf = k.reshape(N, -1)
         if kf.shape[-1] < minor:
             kf = jnp.pad(kf, ((0, 0), (0, minor - kf.shape[-1])))
         return kf
-    C = minor // 2
-    vf = v.reshape(N, -1)
-    kf = jnp.pad(kf, ((0, 0), (0, C - kf.shape[-1])))
-    vf = jnp.pad(vf, ((0, 0), (0, C - vf.shape[-1])))
-    return jnp.concatenate([kf, vf], axis=-1)
+    kv = jnp.stack([k, v], axis=2)  # [N, KV, 2, D]
+    flat = kv.reshape(N, -1)
+    if flat.shape[-1] < minor:
+        flat = jnp.pad(flat, ((0, 0), (0, minor - flat.shape[-1])))
+    return flat
 
 
 def unpack_pool(
@@ -67,10 +71,8 @@ def unpack_pool(
     B, S, M = gathered.shape
     n = kv_heads * head_dim
     if split_kv:
-        C = M // 2
-        k = gathered[..., :n].reshape(B, S, kv_heads, head_dim)
-        v = gathered[..., C : C + n].reshape(B, S, kv_heads, head_dim)
-        return k, v
+        kv = gathered[..., : 2 * n].reshape(B, S, kv_heads, 2, head_dim)
+        return kv[..., 0, :], kv[..., 1, :]
     k = gathered[..., :n].reshape(B, S, kv_heads, head_dim)
     return k, k
 
@@ -130,12 +132,16 @@ def attend_prefill(
     scale: Optional[float] = None,
     impl: str = "xla",
     mesh=None,
+    kv_tp_shard: bool = False,
+    window: int = 0,
+    softcap: float = 0.0,
 ) -> jnp.ndarray:
     """Chunk attention against the paged context (append must precede)."""
     if impl == "pallas" and mesh is not None:
         return _shmap_prefill(
             q, pool, layer, block_table, q_pos, total_len,
             page_size, kv_heads, head_dim, split_kv, scale, mesh,
+            kv_tp_shard, window, softcap,
         )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
@@ -143,13 +149,116 @@ def attend_prefill(
         return pallas_attention.attend_prefill(
             q, pool, layer, block_table, q_pos, total_len,
             page_size, kv_heads, head_dim, split_kv, scale=scale,
+            window=window, softcap=softcap,
         )
     gathered = _gather(pool, layer, block_table[None])
     k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
     S = k.shape[1]
     cols = jnp.arange(S)[None, :]
     mask = (cols <= q_pos[:, None]) & (cols < total_len)
-    return grouped_attention(q, k[0], v[0], mask, scale=scale)
+    if window > 0:
+        mask = mask & (cols > q_pos[:, None] - window)
+    return grouped_attention(
+        q, k[0], v[0], mask, scale=scale, softcap=softcap
+    )
+
+
+def append_prefill_packed(
+    pool: jnp.ndarray,  # [L, P, page, M]
+    layer: jnp.ndarray,
+    k: jnp.ndarray,  # [T, KV, D] packed tokens
+    v: Optional[jnp.ndarray],
+    block_tables: jnp.ndarray,  # [R, mp]
+    seg_ids: jnp.ndarray,  # [T] int32 (-1 = padding token)
+    pos: jnp.ndarray,  # [T] absolute position within its sequence
+    page_size: int,
+) -> jnp.ndarray:
+    """Packed-varlen append: each token scatters into its own segment's
+    pages (reference VarLens contract: chitu/utils.py:84-100)."""
+    bt = jnp.take(block_tables, jnp.maximum(seg_ids, 0), axis=0)  # [T, mp]
+    flat = paged_flat_index(bt, jnp.maximum(pos, 0), page_size)
+    flat = jnp.where((seg_ids >= 0) & (pos >= 0), flat, jnp.iinfo(jnp.int32).max)
+    return paged_append(pool, layer, pack_kv(k, v, pool.shape[-1]), flat)
+
+
+def _oracle_prefill_packed(
+    q, pool, layer, block_tables, seg_ids, pos, total_lens,
+    kv_heads, head_dim, split_kv, scale, window=0, softcap=0.0,
+):
+    import math
+
+    gathered = _gather(pool, layer, block_tables)  # [R, S, M]
+    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+    seg_safe = jnp.maximum(seg_ids, 0)
+    kt = jnp.take(k, seg_safe, axis=0)  # [T, S, KV, D]
+    vt = jnp.take(v, seg_safe, axis=0)
+    T, H, D = q.shape
+    S = k.shape[1]
+    G = H // kv_heads
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    spos = jnp.arange(S)[None, :]
+    mask = (
+        (spos <= pos[:, None])
+        & (spos < jnp.take(total_lens, seg_safe)[:, None])
+        & (seg_ids >= 0)[:, None]
+    )
+    if window > 0:
+        mask = mask & (spos > pos[:, None] - window)
+    qg = q.reshape(T, kv_heads, G, D).astype(jnp.float32) * scale
+    scores = jnp.einsum("tkgd,tskd->tkgs", qg, kt.astype(jnp.float32))
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    from chitu_tpu.models.common import NEG_INF
+
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgs,tskd->tkgd", p, vt.astype(jnp.float32))
+    return out.reshape(T, H, D).astype(q.dtype)
+
+
+def attend_prefill_packed(
+    q: jnp.ndarray,  # [T, H, D]
+    pool: jnp.ndarray,
+    layer: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [R, mp]
+    seg_ids: jnp.ndarray,  # [T]
+    pos: jnp.ndarray,  # [T]
+    total_lens: jnp.ndarray,  # [R]
+    block_seg: jnp.ndarray,  # [NB]
+    block_qstart: jnp.ndarray,  # [NB]
+    page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
+    scale: Optional[float] = None,
+    impl: str = "xla",
+    mesh=None,
+    kv_tp_shard: bool = False,
+    window: int = 0,
+    softcap: float = 0.0,
+) -> jnp.ndarray:
+    """R ragged prompts' chunk attention in one call (reference packed
+    varlen prefill: chitu/utils.py:84-100, executor.py:118-131)."""
+    if impl == "pallas" and mesh is not None:
+        if _supports_shmap(mesh, q.shape[1]):
+            return _shmap_prefill_packed(
+                q, pool, layer, block_tables, block_seg, block_qstart,
+                total_lens, page_size, kv_heads, head_dim, split_kv, scale,
+                mesh, kv_tp_shard, window, softcap,
+            )
+        impl = "xla"  # oracle under GSPMD for unsupported layouts
+    if impl == "pallas":
+        from chitu_tpu.ops import pallas_attention
+
+        return pallas_attention.attend_prefill_packed(
+            q, pool, layer, block_tables, block_seg, block_qstart,
+            total_lens, page_size, kv_heads, head_dim, split_kv,
+            scale=scale, window=window, softcap=softcap,
+        )
+    return _oracle_prefill_packed(
+        q, pool, layer, block_tables, seg_ids, pos, total_lens,
+        kv_heads, head_dim, split_kv, scale, window, softcap,
+    )
 
 
 def attend_decode(
@@ -165,12 +274,16 @@ def attend_decode(
     scale: Optional[float] = None,
     impl: str = "xla",
     mesh=None,
+    kv_tp_shard: bool = False,
+    window: int = 0,
+    softcap: float = 0.0,
 ) -> jnp.ndarray:
     """One-token decode attention (new token's K/V already appended)."""
     if impl == "pallas" and mesh is not None:
         return _shmap_decode(
             q, pool, layer, block_tables, seq_lens,
             page_size, kv_heads, head_dim, split_kv, scale, mesh,
+            kv_tp_shard, window, softcap,
         )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
@@ -178,15 +291,20 @@ def attend_decode(
         return pallas_attention.attend_decode(
             q, pool, layer, block_tables, seq_lens,
             page_size, kv_heads, head_dim, split_kv, scale=scale,
+            window=window, softcap=softcap,
         )
     gathered = _gather(pool, layer, block_tables)
     k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
     S = k.shape[1]
     cols = jnp.arange(S)[None, :]
     mask = cols <= seq_lens[:, None]
+    if window > 0:
+        mask = mask & (cols > seq_lens[:, None] - window)
 
     def one(qb, kb, vb, mb):
-        return grouped_attention(qb[None], kb, vb, mb[None], scale=scale)[0]
+        return grouped_attention(
+            qb[None], kb, vb, mb[None], scale=scale, softcap=softcap
+        )[0]
 
     return jax.vmap(one)(q, k, v, mask)
 
@@ -212,7 +330,7 @@ def _supports_shmap(mesh, H: int) -> bool:
 
 def _shmap_decode(
     q, pool, layer, block_tables, seq_lens, page_size, kv_heads, head_dim,
-    split_kv, scale, mesh,
+    split_kv, scale, mesh, kv_tp_shard=False, window=0, softcap=0.0,
 ):
     from jax.sharding import PartitionSpec as P
 
@@ -228,21 +346,30 @@ def _shmap_decode(
         cols = jnp.arange(S)[None, :]
         mask = cols <= seq_lens[:, None]
 
+        if window > 0:
+            mask = mask & (cols > seq_lens[:, None] - window)
+
         def one(qb, kb, vb, mb):
-            return grouped_attention(qb[None], kb, vb, mb[None], scale=scale)[0]
+            return grouped_attention(
+                qb[None], kb, vb, mb[None], scale=scale, softcap=softcap
+            )[0]
 
         return jax.vmap(one)(q, k, v, mask)
 
     group = H // kv_heads
+    sharded = kv_tp_shard and split_kv and tp > 1 and kv_heads % tp == 0
+    kv_local = kv_heads // tp if sharded else kv_heads
     interpret = jax.default_backend() != "tpu"
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
 
     def local(q_l, pool_l, layer_l, bt_l, sl_l):
-        off = jax.lax.axis_index("tp") * (H // tp)
+        # sharded pool: the local head slice is aligned with the local KV
+        # slice (both contiguous over 'tp'), so local kv = h // group
+        off = 0 if sharded else jax.lax.axis_index("tp") * (H // tp)
         return pallas_attention.attend_decode(
-            q_l, pool_l, layer_l[0], bt_l, sl_l, page_size, kv_heads,
+            q_l, pool_l, layer_l[0], bt_l, sl_l, page_size, kv_local,
             head_dim, split_kv, scale=scale, interpret=interpret,
-            group=group, head_offset=off,
+            group=group, head_offset=off, window=window, softcap=softcap,
         )
 
     return jax.shard_map(
@@ -250,7 +377,7 @@ def _shmap_decode(
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),
-            P(None, None, None, None),
+            P(None, None, None, "tp" if sharded else None),
             P(None),
             P(None, None),
             P(None),
@@ -262,7 +389,8 @@ def _shmap_decode(
 
 def _shmap_prefill(
     q, pool, layer, block_table, q_pos, total_len, page_size, kv_heads,
-    head_dim, split_kv, scale, mesh,
+    head_dim, split_kv, scale, mesh, kv_tp_shard=False, window=0,
+    softcap=0.0,
 ):
     from jax.sharding import PartitionSpec as P
 
@@ -276,20 +404,26 @@ def _shmap_prefill(
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
         mask = (cols <= q_pos[:, None]) & (cols < total_len)
-        return grouped_attention(q, k[0], v[0], mask, scale=scale)
+        if window > 0:
+            mask = mask & (cols > q_pos[:, None] - window)
+        return grouped_attention(
+            q, k[0], v[0], mask, scale=scale, softcap=softcap
+        )
 
     group = H // kv_heads
+    sharded = kv_tp_shard and split_kv and tp > 1 and kv_heads % tp == 0
+    kv_local = kv_heads // tp if sharded else kv_heads
     interpret = jax.default_backend() != "tpu"
     info = jnp.stack(
         [jnp.asarray(total_len, jnp.int32), layer.astype(jnp.int32)]
     )
 
     def local(q_l, pool_l, bt_l, qp_l, info_l):
-        off = jax.lax.axis_index("tp") * (H // tp)
+        off = 0 if sharded else jax.lax.axis_index("tp") * (H // tp)
         return pallas_attention.attend_prefill(
             q_l, pool_l, info_l[1], bt_l, qp_l, info_l[0], page_size,
-            kv_heads, head_dim, split_kv, scale=scale, interpret=interpret,
-            group=group, head_offset=off,
+            kv_local, head_dim, split_kv, scale=scale, interpret=interpret,
+            group=group, head_offset=off, window=window, softcap=softcap,
         )
 
     return jax.shard_map(
@@ -297,7 +431,7 @@ def _shmap_prefill(
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),
-            P(None, None, None, None),
+            P(None, None, None, "tp" if sharded else None),
             P(None),
             P(None),
             P(None),
@@ -305,3 +439,50 @@ def _shmap_prefill(
         out_specs=P(None, "tp", None),
         check_vma=False,
     )(q, pool, block_table, q_pos, info)
+
+
+def _shmap_prefill_packed(
+    q, pool, layer, block_tables, block_seg, block_qstart, total_lens,
+    page_size, kv_heads, head_dim, split_kv, scale, mesh, kv_tp_shard=False,
+    window=0, softcap=0.0,
+):
+    from jax.sharding import PartitionSpec as P
+
+    from chitu_tpu.ops import pallas_attention
+
+    T, H, D = q.shape
+    tp = mesh.shape["tp"]
+    if not _supports_shmap(mesh, H):
+        raise NotImplementedError(
+            "packed prefill oracle fallback under mesh requires seg/pos; "
+            "callers guard on _supports_shmap"
+        )
+    group = H // kv_heads
+    sharded = kv_tp_shard and split_kv and tp > 1 and kv_heads % tp == 0
+    kv_local = kv_heads // tp if sharded else kv_heads
+    interpret = jax.default_backend() != "tpu"
+    layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    def local(q_l, pool_l, bt_l, bs_l, bq_l, tl_l, layer_l):
+        off = 0 if sharded else jax.lax.axis_index("tp") * (H // tp)
+        return pallas_attention.attend_prefill_packed(
+            q_l, pool_l, layer_l[0], bt_l, bs_l, bq_l, tl_l, page_size,
+            kv_local, head_dim, split_kv, scale=scale, interpret=interpret,
+            group=group, head_offset=off, window=window, softcap=softcap,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "tp", None),
+            P(None, None, None, "tp" if sharded else None),
+            P(None, None),
+            P(None),
+            P(None),
+            P(None),
+            P(None),
+        ),
+        out_specs=P(None, "tp", None),
+        check_vma=False,
+    )(q, pool, block_tables, block_seg, block_qstart, total_lens, layer_arr)

@@ -13,16 +13,21 @@ triton split-KV decode, chitu/triton_decode_attention.py:20-291):
   reference: attn_backend.py:88-101).
 
 Layouts (see ops/attention.py): one pool per layer, [P, page, M].
-split_kv=True packs [K || V] in each page row (one DMA fetches both);
-split_kv=False is the merged-MLA latent cache where V rows are the K rows
+split_kv=True packs per-head interleaved [K_0 V_0 K_1 V_1 ...] page rows
+(one DMA fetches both, TP-shardable on head boundaries); split_kv=False is
+the merged-MLA latent cache where V rows are the K rows
 (reference: backend.py:181-217 MLA-absorb shapes).
 
 GQA is handled with an *expanded query*: head h's D query lanes are placed
-into its KV head's block (zeros elsewhere), so Q@K^T over the packed row
-computes every head against its own KV head in one MXU matmul — no
-per-head slicing inside the kernel (64-wide head slices break Mosaic's
-128-lane tiling). The PV product runs against the full row and folds back
-to D with a block mask + constant fold matrix.
+into its KV head's K block of the interleaved page row (zeros elsewhere,
+including every V block), so Q@K^T over the packed row computes every head
+against its own KV head in one MXU matmul — no per-head slicing inside the
+kernel (64-wide head slices break Mosaic's 128-lane tiling). The PV
+product runs against the full row; a block mask selects each head's V
+block and a constant fold matrix sums it back to D lanes. The same
+expand/mask/fold machinery covers the merged-MLA latent row (split_kv=
+False), so ONE kernel body serves both layouts — and the interleaved rows
+shard over 'tp' on KV-head boundaries with plain NamedShardings.
 
 Both kernels match the jnp oracle in ops/attention.py
 (tests/test_pallas_attention.py: CPU interpret mode + real TPU).
@@ -67,11 +72,17 @@ def _fit_q_block(T: int, H: int, C: int, page: int, D: int) -> int:
 def _expand_q(
     q: jnp.ndarray,
     kv_heads: int,
-    C: int,
+    M: int,
     group: Optional[int] = None,
     head_offset=0,
+    interleaved: bool = True,
 ) -> jnp.ndarray:
-    """[..., H, D] -> [..., H, C]: head h occupies its KV head's D-block.
+    """[..., H, D] -> [..., H, M]: head h occupies its KV head's K block.
+
+    Interleaved (GQA) rows have 2*KV blocks of width D ([K_0 V_0 ...]);
+    head h's query goes to block 2*kv_h, zeros elsewhere — so Q @ row^T
+    reads only K lanes. Merged rows (MLA) have KV blocks and head h maps
+    to block kv_h (identity for the 1-"head" latent).
 
     `group` is the GLOBAL heads-per-KV-head ratio and `head_offset` the
     global index of local head 0 — under shard_map each tp shard holds a
@@ -79,13 +90,15 @@ def _expand_q(
     """
     *lead, H, D = q.shape
     G = group or (H // kv_heads)
-    out = jnp.zeros((*lead, H, kv_heads, D), q.dtype)
     h_idx = jnp.arange(H)
     kv_idx = (head_offset + h_idx) // G
-    out = out.at[..., h_idx, kv_idx, :].set(q)
-    out = out.reshape(*lead, H, kv_heads * D)
-    if kv_heads * D < C:
-        pad = [(0, 0)] * (len(lead) + 1) + [(0, C - kv_heads * D)]
+    blk = 2 * kv_idx if interleaved else kv_idx
+    nblk = (2 if interleaved else 1) * kv_heads
+    out = jnp.zeros((*lead, H, nblk, D), q.dtype)
+    out = out.at[..., h_idx, blk, :].set(q)
+    out = out.reshape(*lead, H, nblk * D)
+    if nblk * D < M:
+        pad = [(0, 0)] * (len(lead) + 1) + [(0, M - nblk * D)]
         out = jnp.pad(out, pad)
     return out
 
@@ -94,33 +107,33 @@ def _head_block_mask(
     H: int,
     kv_heads: int,
     D: int,
-    C: int,
+    M: int,
     group: Optional[int] = None,
     head_offset=0,
+    interleaved: bool = True,
 ) -> jnp.ndarray:
-    """[H, C] 1.0 where column belongs to head h's KV block."""
+    """[H, M] 1.0 where column belongs to head h's V block (interleaved)
+    or its KV block (merged)."""
     G = group or (H // kv_heads)
     kv_idx = (head_offset + jnp.arange(H)) // G  # [H]
-    colblk = jnp.arange(C) // D  # [C]
+    target = 2 * kv_idx + 1 if interleaved else kv_idx
+    nblk = (2 if interleaved else 1) * kv_heads
+    colblk = jnp.arange(M) // D
     return (
-        (colblk[None, :] == kv_idx[:, None]) & (colblk[None, :] < kv_heads)
+        (colblk[None, :] == target[:, None]) & (colblk[None, :] < nblk)
     ).astype(jnp.float32)
 
 
-def _fold_matrix(kv_heads: int, D: int, C: int) -> np.ndarray:
-    """[C, D]: sums the KV blocks of a masked [_, C] row into D columns."""
-    f = np.zeros((C, D), np.float32)
+def _fold_matrix(
+    kv_heads: int, D: int, M: int, interleaved: bool = True
+) -> np.ndarray:
+    """[M, D]: sums the V blocks of a masked [_, M] row into D columns."""
+    f = np.zeros((M, D), np.float32)
     for k in range(kv_heads):
-        f[k * D : (k + 1) * D, :] = np.eye(D, dtype=np.float32)
+        b = 2 * k + 1 if interleaved else k
+        if (b + 1) * D <= M:
+            f[b * D : (b + 1) * D, :] = np.eye(D, dtype=np.float32)
     return f
-
-
-def _halves(buf, split_kv: bool):
-    """VMEM page row -> (k part [page, C], v part [page, C])."""
-    if split_kv:
-        C = buf.shape[-1] // 2
-        return buf[:, :C], buf[:, C:]
-    return buf, buf
 
 
 # ---------------------------------------------------------------------------
@@ -144,10 +157,19 @@ def _decode_kernel(
     scale: float,
     split_kv: bool,
     ring: int,
+    window: int = 0,
+    softcap: float = 0.0,
 ):
     b = pl.program_id(0)
     total = seq_lens_ref[b] + 1  # new token's K/V already appended
     n_pages = jax.lax.div(total + page - 1, page)
+    # sliding window: only the last `window` positions matter — skip the
+    # pages before them entirely (free perf; reference window_size,
+    # attn_backend.py:43-44)
+    if window > 0:
+        p0 = jnp.maximum(total - window, 0) // page
+    else:
+        p0 = 0
     H = q_ref.shape[1]
     D = fold_ref.shape[1]
     layer = layer_ref[0]
@@ -160,9 +182,9 @@ def _decode_kernel(
 
     # fill the ring
     for w in range(ring):
-        @pl.when(w < n_pages)
+        @pl.when(p0 + w < n_pages)
         def _():
-            dma(w, w).start()
+            dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
 
     q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
 
@@ -171,14 +193,20 @@ def _decode_kernel(
         slot = jax.lax.rem(i, ring)
         dma(slot, i).wait()
 
-        kpage, vpage = _halves(buf[slot].astype(jnp.float32), split_kv)
+        rows = buf[slot].astype(jnp.float32)  # [page, M]
         pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         valid = pos < total
 
+        # q is zero outside each head's K block, so the full-row product
+        # reads only K lanes (V lanes contribute nothing)
         s = jax.lax.dot_general(
-            q, kpage, (((1,), (1,)), ((), ())),
+            q, rows, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, page]
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+        if window > 0:
+            valid = valid & (pos >= total - window)
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -187,9 +215,9 @@ def _decode_kernel(
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         pv_full = jax.lax.dot_general(
-            p, vpage, (((1,), (0,)), ((), ())),
+            p, rows, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [H, C]
+        )  # [H, M]
         pv = jax.lax.dot_general(
             pv_full * mask_ref[...], fold_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -205,7 +233,7 @@ def _decode_kernel(
     m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((H, 1), jnp.float32)
     acc0 = jnp.zeros((H, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -213,7 +241,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "page_size", "kv_heads", "head_dim", "split_kv", "scale",
-        "interpret", "group",
+        "interpret", "group", "window", "softcap",
     ),
 )
 def attend_decode(
@@ -230,10 +258,11 @@ def attend_decode(
     interpret: bool = False,
     group: Optional[int] = None,
     head_offset=0,
+    window: int = 0,
+    softcap: float = 0.0,
 ) -> jnp.ndarray:
     B, H, D = q.shape
     L, P, page, M = pool.shape
-    C = M // 2 if split_kv else M
     assert page == page_size and D == head_dim
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     ring = min(
@@ -241,16 +270,16 @@ def attend_decode(
         max(block_tables.shape[-1], 2),
     )
 
-    q_exp = _expand_q(q, kv_heads, C, group, head_offset)
-    mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
+    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
+    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, H, C), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, H, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -265,7 +294,8 @@ def attend_decode(
         ],
     )
     kernel = functools.partial(
-        _decode_kernel, page=page, scale=scale, split_kv=split_kv, ring=ring
+        _decode_kernel, page=page, scale=scale, split_kv=split_kv,
+        ring=ring, window=window, softcap=softcap,
     )
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
     return pl.pallas_call(
@@ -300,6 +330,8 @@ def _prefill_kernel(
     scale: float,
     split_kv: bool,
     ring: int,
+    window: int = 0,
+    softcap: float = 0.0,
 ):
     qb = pl.program_id(0)
     total = info_ref[0]
@@ -313,6 +345,11 @@ def _prefill_kernel(
     # causal: this q block only needs pages up to its last row's position
     last_pos = jnp.minimum(q_start + Tq, total)
     n_pages = jax.lax.div(last_pos + page - 1, page)
+    # sliding window: the earliest position any row in this block can see
+    if window > 0:
+        p0 = jnp.maximum(q_start - window + 1, 0) // page
+    else:
+        p0 = 0
 
     def dma(slot, i):
         pid = jnp.maximum(block_table_ref[i], 0)
@@ -321,9 +358,9 @@ def _prefill_kernel(
         )
 
     for w in range(ring):
-        @pl.when(w < n_pages)
+        @pl.when(p0 + w < n_pages)
         def _():
-            dma(w, w).start()
+            dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
 
     q = q_ref[...].astype(jnp.float32).reshape(Tq * H, C) * scale
     row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
@@ -337,21 +374,25 @@ def _prefill_kernel(
         slot = jax.lax.rem(i, ring)
         dma(slot, i).wait()
 
-        kpage, vpage = _halves(buf[slot].astype(jnp.float32), split_kv)
+        rows = buf[slot].astype(jnp.float32)  # [page, M]
         kpos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         keep = (kpos < total) & (kpos <= q_pos)  # [Tq*H, page]
 
         s = jax.lax.dot_general(
-            q, kpage, (((1,), (1,)), ((), ())),
+            q, rows, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+        if window > 0:
+            keep = keep & (kpos > q_pos - window)
         s = jnp.where(keep, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv_full = jax.lax.dot_general(
-            p, vpage, (((1,), (0,)), ((), ())),
+            p, rows, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         pv = jax.lax.dot_general(
@@ -369,7 +410,7 @@ def _prefill_kernel(
     m0 = jnp.full((TH, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((TH, 1), jnp.float32)
     acc0 = jnp.zeros((TH, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[...] = out.reshape(Tq, H, D).astype(o_ref.dtype)
 
@@ -378,7 +419,7 @@ def _prefill_kernel(
     jax.jit,
     static_argnames=(
         "page_size", "kv_heads", "head_dim", "split_kv", "scale",
-        "interpret", "group",
+        "interpret", "group", "window", "softcap",
     ),
 )
 def attend_prefill(
@@ -396,21 +437,22 @@ def attend_prefill(
     interpret: bool = False,
     group: Optional[int] = None,
     head_offset=0,
+    window: int = 0,
+    softcap: float = 0.0,
 ) -> jnp.ndarray:
     T, H, D = q.shape
     L, P, page, M = pool.shape
-    C = M // 2 if split_kv else M
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
-    Tq = _fit_q_block(T, H, C, page, D)
+    Tq = _fit_q_block(T, H, M, page, D)
     assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
     ring = min(
         _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
         max(block_table.shape[-1], 2),
     )
 
-    q_exp = _expand_q(q, kv_heads, C, group, head_offset)
-    mask = _head_block_mask(H, kv_heads, D, C, group, head_offset)
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, C))
+    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
+    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
     info = jnp.stack(
         [
             jnp.asarray(total_len, jnp.int32),
@@ -424,7 +466,7 @@ def attend_prefill(
         grid=(T // Tq,),
         in_specs=[
             pl.BlockSpec(
-                (Tq, H, C), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (Tq, H, M), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -445,6 +487,8 @@ def attend_prefill(
         scale=scale,
         split_kv=split_kv,
         ring=ring,
+        window=window,
+        softcap=softcap,
     )
     return pl.pallas_call(
         kernel,
@@ -455,3 +499,212 @@ def attend_prefill(
             dimension_semantics=("arbitrary",),
         ),
     )(block_table, info, q_exp, pool, mask, fold)
+
+
+# ---------------------------------------------------------------------------
+# Packed varlen prefill kernel: R ragged prompts in ONE call
+# ---------------------------------------------------------------------------
+
+
+def packed_q_block(H: int, M: int, page: int, D: int) -> int:
+    """Query-block granularity for packed prefill: each request's tokens
+    are padded to a multiple of this so every grid block belongs to
+    exactly one segment (the moe-align trick applied to attention)."""
+    return _fit_q_block(1 << 30, H, M, page, D)
+
+
+def _prefill_packed_kernel(
+    bt_ref,  # [R, mp] int32 (scalar prefetch)
+    seg_ref,  # [NB] int32 block -> segment (-1 = dead/pad block)
+    qstart_ref,  # [NB] int32 block's first-row position within its seq
+    total_ref,  # [R] int32 per-segment total context length
+    layer_ref,  # [1] int32
+    q_ref,  # [Tq, H, M] VMEM block
+    pool_ref,  # [L, P, page, M] ANY
+    mask_ref,  # [H, M]
+    fold_ref,  # [M, D]
+    o_ref,  # [Tq, H, D]
+    buf,
+    sems,
+    *,
+    page: int,
+    heads: int,
+    scale: float,
+    ring: int,
+    window: int = 0,
+    softcap: float = 0.0,
+):
+    b = pl.program_id(0)
+    seg = seg_ref[b]
+    live = seg >= 0
+    ss = jnp.maximum(seg, 0)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(live)
+    def _():
+        total = total_ref[ss]
+        q_start = qstart_ref[b]
+        layer = layer_ref[0]
+        Tq = q_ref.shape[0]
+        H = heads
+        D = fold_ref.shape[1]
+        M = q_ref.shape[2]
+
+        last_pos = jnp.minimum(q_start + Tq, total)
+        n_pages = jax.lax.div(last_pos + page - 1, page)
+        if window > 0:
+            p0 = jnp.maximum(q_start - window + 1, 0) // page
+        else:
+            p0 = 0
+
+        def dma(slot, i):
+            pid = jnp.maximum(bt_ref[ss, i], 0)
+            return pltpu.make_async_copy(
+                pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
+            )
+
+        for w in range(ring):
+            @pl.when(p0 + w < n_pages)
+            def _():
+                dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
+
+        q = q_ref[...].astype(jnp.float32).reshape(Tq * H, M) * scale
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
+        q_pos = q_start + row_t
+        mask_tc = jnp.broadcast_to(
+            mask_ref[...][None, :, :], (Tq, H, M)
+        ).reshape(Tq * H, M)
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, ring)
+            dma(slot, i).wait()
+
+            rows = buf[slot].astype(jnp.float32)
+            kpos = i * page + jax.lax.broadcasted_iota(
+                jnp.int32, (1, page), 1
+            )
+            keep = (kpos < total) & (kpos <= q_pos)
+
+            sc = jax.lax.dot_general(
+                q, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if softcap > 0.0:
+                sc = jnp.tanh(sc / softcap) * softcap
+            if window > 0:
+                keep = keep & (kpos > q_pos - window)
+            sc = jnp.where(keep, sc, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+            pr = jnp.exp(sc - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+            pv_full = jax.lax.dot_general(
+                pr, rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv = jax.lax.dot_general(
+                pv_full * mask_tc, fold_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(i + ring < n_pages)
+            def _():
+                dma(slot, i + ring).start()
+
+            return m_new, l_new, acc * alpha + pv
+
+        TH = Tq * H
+        m0 = jnp.full((TH, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((TH, 1), jnp.float32)
+        acc0 = jnp.zeros((TH, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[...] = out.reshape(Tq, H, D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "head_dim", "split_kv", "scale",
+        "interpret", "group", "window", "softcap",
+    ),
+)
+def attend_prefill_packed(
+    q: jnp.ndarray,  # [T, H, D] packed tokens (padded per segment)
+    pool: jnp.ndarray,  # [L, P, page, M]
+    layer: jnp.ndarray,  # scalar i32
+    block_tables: jnp.ndarray,  # [R, mp] int32
+    block_seg: jnp.ndarray,  # [NB] int32 (-1 = pad block)
+    block_qstart: jnp.ndarray,  # [NB] int32
+    total_lens: jnp.ndarray,  # [R] int32
+    page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    group: Optional[int] = None,
+    head_offset=0,
+    window: int = 0,
+    softcap: float = 0.0,
+) -> jnp.ndarray:
+    """R ragged prompts' chunk attention in one kernel call (the packed
+    VarLens contract; reference: chitu/utils.py:84-100, executor.py:118-131
+    flash_attn_varlen)."""
+    T, H, D = q.shape
+    L, P, page, M = pool.shape
+    NB = block_seg.shape[0]
+    Tq = T // NB
+    assert Tq * NB == T
+    assert Tq <= _fit_q_block(1 << 30, H, M, page, D), (
+        f"packed q block {Tq} exceeds the VMEM fit"
+    )
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    ring = min(
+        _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
+        max(block_tables.shape[-1], 2),
+    )
+    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
+    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
+    layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(
+                (Tq, H, M), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Tq, H, D), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ring, page, M), pool.dtype),
+            pltpu.SemaphoreType.DMA((ring,)),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_packed_kernel, page=page, heads=H, scale=scale, ring=ring,
+        window=window, softcap=softcap,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, H, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        block_tables, block_seg, block_qstart, total_lens, layer_arr,
+        q_exp, pool, mask, fold,
+    )

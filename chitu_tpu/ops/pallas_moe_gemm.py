@@ -68,6 +68,7 @@ def _moe_gemm_kernel(
     stacked: bool,
 ):
     b = pl.program_id(0)
+    NB = pl.num_programs(0)
     e = be_ref[b]
     live = e >= 0
     bm, K = x_ref.shape
@@ -80,37 +81,70 @@ def _moe_gemm_kernel(
         # shard owns these assignments and the combine psum adds all shards
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    # Cross-block DMA pipeline: the chunk sequence c = block*nk + k chains
+    # across grid steps through the persistent scratch buffers — while
+    # chunk c computes, chunk c+1 (possibly the NEXT block's first chunk,
+    # a different expert) is already in flight, so block boundaries cost
+    # no DMA stall. The sorted layout guarantees dead blocks form a tail,
+    # so the lookahead chain simply stops at the first dead block.
+    def chunk_dma(c):
+        bb = c // nk
+        kk = c - bb * nk
+        ee = be_ref[bb]
+        src = (
+            w_ref.at[layer_ref[0], ee, pl.ds(kk * bk, bk)]
+            if stacked
+            else w_ref.at[ee, pl.ds(kk * bk, bk)]
+        )
+        return pltpu.make_async_copy(
+            src, wbuf.at[jax.lax.rem(c, 2)], sems.at[jax.lax.rem(c, 2)]
+        )
+
+    if quant:
+
+        def scale_dma(bb):
+            ee = be_ref[bb]
+            src = s_ref.at[layer_ref[0], ee] if stacked else s_ref.at[ee]
+            return pltpu.make_async_copy(
+                src, sbuf.at[jax.lax.rem(bb, 2)], sems.at[2 + jax.lax.rem(bb, 2)]
+            )
+
     @pl.when(live)
     def _():
-        l = layer_ref[0]
-        es = jnp.maximum(e, 0)
+        c0 = b * nk
 
-        def wdma(slot, ki):
-            src = (
-                w_ref.at[l, es, pl.ds(ki * bk, bk)]
-                if stacked
-                else w_ref.at[es, pl.ds(ki * bk, bk)]
-            )
-            return pltpu.make_async_copy(src, wbuf.at[slot], sems.at[slot])
+        @pl.when(b == 0)
+        def _():
+            chunk_dma(0).start()
+            if quant:
+                scale_dma(0).start()
 
+        # lookahead: next block's scale slab
         if quant:
-            ssrc = s_ref.at[l, es] if stacked else s_ref.at[es]
-            sdma = pltpu.make_async_copy(ssrc, sbuf, sems.at[2])
-            sdma.start()
-        wdma(0, 0).start()
-        if quant:
-            sdma.wait()
+            @pl.when((b + 1 < NB) & (be_ref[jnp.minimum(b + 1, NB - 1)] >= 0))
+            def _():
+                scale_dma(b + 1).start()
 
         def body(ki, acc):
-            slot = jax.lax.rem(ki, 2)
+            c = c0 + ki
+            b1 = (c + 1) // nk
 
-            @pl.when(ki + 1 < nk)
+            @pl.when(
+                (c + 1 < NB * nk)
+                & (be_ref[jnp.minimum(b1, NB - 1)] >= 0)
+            )
             def _():
-                wdma(1 - slot, ki + 1).start()
+                chunk_dma(c + 1).start()
 
-            wdma(slot, ki).wait()
+            chunk_dma(c).wait()
+            if quant:
+                @pl.when(ki == 0)
+                def _():
+                    scale_dma(b).wait()
+            slot = jax.lax.rem(c, 2)
 
             if quant:
+                sslot = jax.lax.rem(b, 2)
                 # per-quant-block dequant: scale constant along K within a
                 # group, so (x @ w_packed) * scale_row == x @ (w * scale)
                 for g in range(groups):
@@ -130,7 +164,7 @@ def _moe_gemm_kernel(
                         xg, wg, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    srow = sbuf[pl.ds(ki * groups + g, 1), :]
+                    srow = sbuf[sslot, pl.ds(ki * groups + g, 1), :]
                     acc = acc + partial * srow
             else:
                 xg = x_ref[:, pl.ds(ki * bk, bk)].astype(jnp.bfloat16)
@@ -178,8 +212,12 @@ def _grouped_gemm(
     if quant:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(scale_rows)
-        scratch.append(pltpu.VMEM((K // QBLK, N), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+        # double-buffered scale slabs (next block's scales prefetch while
+        # this block computes); rows mirror the sublane-padded slab
+        scratch.append(
+            pltpu.VMEM((2, scale_rows.shape[-2], N), jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
 
     kernel = functools.partial(
         _moe_gemm_kernel,
@@ -248,6 +286,15 @@ def grouped_matmul(
             data = jax.lax.bitcast_convert_type(data, jnp.int8)
             scale_rows = scale_rows * jnp.float32(2.0**120)
             fp8_bits = True
+        # the kernel DMAs the whole [nq, N] scale slab per block; Mosaic
+        # needs the sublane dim 8-aligned (requantize_fp8_storage pre-pads
+        # engine-loaded expert stacks, so this pad is a no-op there)
+        nq = data.shape[-2] // QBLK
+        nq_pad = -(-nq // 8) * 8
+        if scale_rows.shape[-2] < nq_pad:
+            widths = [(0, 0)] * scale_rows.ndim
+            widths[-2] = (0, nq_pad - scale_rows.shape[-2])
+            scale_rows = jnp.pad(scale_rows, widths)
         return _grouped_gemm(
             xs, layer if stacked else 0, block_expert, data, scale_rows,
             bm=bm, quant=True, fp8_bits=fp8_bits, stacked=stacked,

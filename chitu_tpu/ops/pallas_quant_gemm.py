@@ -254,16 +254,16 @@ def _quant_gemm_stacked(
         bk //= 2
     assert bk >= QBLK, f"stacked gemm needs a {QBLK}-multiple K for {K}"
     groups = bk // QBLK
-    assert T <= bm, "stacked path assumes a single m-tile (decode shapes)"
 
     xp = _pad_to(x, bm, 0)
     xp = _pad_to(xp, bk, 1) if K % bk else xp
+    Tp = xp.shape[0]
     n_k = K // bk
     sp = scale_rows.reshape(L, n_k, groups, N)
     zp = zero_rows.reshape(L, n_k, groups, N)
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
 
-    grid = (1, N // bn, n_k)
+    grid = (Tp // bm, N // bn, n_k)
     bnw = bn // 2 if int4_packed else bn
     out = pl.pallas_call(
         functools.partial(
@@ -273,7 +273,7 @@ def _quant_gemm_stacked(
             fp8_bits=fp8_bits,
             int4_packed=int4_packed,
         ),
-        out_shape=jax.ShapeDtypeStruct((bm, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -456,11 +456,26 @@ def _w8a8_matmul(x: jnp.ndarray, q: QTensor, interpret: bool = False):
     per-out-channel weight scales."""
     *lead, K = x.shape
     x2 = x.reshape(-1, K).astype(jnp.float32)
-    T = x2.shape[0]
     N = q.data.shape[-1]
     # per-token symmetric quant
     x_scale = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x2 / x_scale[:, None]), -127, 127).astype(jnp.int8)
+    y = _w8a8_matmul_pre(xq, x_scale, q, interpret=interpret)
+    return y.reshape(*lead, N)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w8a8_matmul_pre(
+    xq: jnp.ndarray,  # [T, K] int8 (pre-quantized, e.g. fused norm+quant)
+    x_scale: jnp.ndarray,  # [T] f32
+    q: QTensor,
+    interpret: bool = False,
+):
+    """int8 GEMM with externally quantized activations — the consumer of
+    the fused RMSNorm+quant kernel (reference: quantize/muxi_w8a8.py
+    (int8, scale) tuples between layers)."""
+    T, K = xq.shape
+    N = q.data.shape[-1]
 
     bm = min(BM_MAX, max(32, (T + 31) // 32 * 32))  # int8 sublane tile = 32
     bn = min(BN, N)
@@ -490,17 +505,21 @@ def _w8a8_matmul(x: jnp.ndarray, q: QTensor, interpret: bool = False):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(xp, dp)
-    y = (
+    return (
         out[:T, :N].astype(jnp.float32)
         * x_scale[:, None]
         * q.scale[None, :].astype(jnp.float32)
     )
-    return y.reshape(*lead, N)
 
 
 def _wrap(kind):
     def fn(x, q: QTensor):
+        from chitu_tpu.ops.pallas_norm_quant import QuantizedActs
+
         interpret = jax.default_backend() != "tpu"
+        if isinstance(x, QuantizedActs):
+            assert kind == QuantKind.W8A8 and q.data.ndim == 2
+            return _w8a8_matmul_pre(x.data, x.scale, q, interpret=interpret)
         if kind == QuantKind.W8A8 and q.data.ndim == 2:
             return _w8a8_matmul(x, q, interpret=interpret)
         if q.data.ndim != 2 or q.block != QBLK:

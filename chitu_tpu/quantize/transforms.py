@@ -133,6 +133,16 @@ def requantize_fp8_storage(params: Any) -> Any:
             scale = jnp.repeat(
                 tree.scale * (F8_MAX / 127.0), tree.block, axis=-1
             )[..., :n].astype(jnp.float32)
+            if tree.data.ndim == 4:
+                # expert stacks: the grouped MoE kernel DMAs the whole
+                # [in/B, out] scale slab per block — pad the sublane dim
+                # to the 8-row tile so the DMA slice is Mosaic-aligned
+                nq = scale.shape[-2]
+                pad = (-nq) % 8
+                if pad:
+                    widths = [(0, 0)] * scale.ndim
+                    widths[-2] = (0, pad)
+                    scale = jnp.pad(scale, widths)
             return QTensor(
                 data=convert(tree.data),
                 scale=scale,

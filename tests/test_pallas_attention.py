@@ -96,3 +96,42 @@ def test_prefill_kernel_matches_oracle(start, n):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
     )
+
+
+@pytest.mark.parametrize("window,softcap", [(8, 0.0), (0, 5.0), (12, 3.0)])
+def test_decode_window_softcap_matches_oracle(window, softcap):
+    """Sliding window + logit softcap in-kernel vs the oracle
+    (reference: attn_backend.py:43-44 window_size, :84-85 softcap)."""
+    q, pool, bt, seq_lens = _setup()
+    want = xla_attn.attend_decode(
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, 4, 64,
+        split_kv=True, impl="xla", window=window, softcap=softcap,
+    )
+    got = pk.attend_decode(
+        q, pool, jnp.int32(LAYER), bt, seq_lens, PAGE, 4, 64,
+        split_kv=True, interpret=_interp(), window=window, softcap=softcap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+@pytest.mark.parametrize("window,softcap", [(8, 0.0), (0, 5.0), (12, 3.0)])
+def test_prefill_window_softcap_matches_oracle(window, softcap):
+    q, pool, bt, _ = _setup()
+    T = 32
+    total = 40  # chunked: 8 tokens of context precede this chunk
+    q_pos = jnp.arange(8, 8 + T, dtype=jnp.int32)
+    qp = jax.random.normal(jax.random.PRNGKey(9), (T, 8, 64)) * 0.5
+    want = xla_attn.attend_prefill(
+        qp, pool, jnp.int32(LAYER), bt[0], q_pos, jnp.int32(total), PAGE,
+        4, 64, split_kv=True, impl="xla", window=window, softcap=softcap,
+    )
+    got = pk.attend_prefill(
+        qp, pool, jnp.int32(LAYER), bt[0], q_pos, jnp.int32(total), PAGE,
+        4, 64, split_kv=True, interpret=_interp(), window=window,
+        softcap=softcap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )

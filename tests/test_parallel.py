@@ -138,3 +138,41 @@ def test_w8a16_quantized_engine_under_mesh():
     assert wo.scale.sharding.shard_shape(wo.scale.shape)[-1] == wo.scale.shape[-1]
     got = eng.generate("scale sharding check", p)
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_tp_sharded_kv_cache():
+    """The interleaved pool minor shards over 'tp': per-device pool bytes
+    = total / tp, and tokens still match the single-device engine
+    (VERDICT r1 item 2; reference per-rank sizing backend.py:181-217)."""
+    import dataclasses as dc
+
+    # kv=4, head_dim=64 -> minor 512; tp=2 -> 256 lanes/shard (aligned)
+    def cfg(tp=1):
+        c = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
+        m = dc.replace(
+            c.models, n_layers=2, dim=512, n_heads=8, n_kv_heads=4,
+            inter_dim=512, vocab_size=512, head_dim=64,
+        )
+        return dc.replace(
+            c, models=m, infer=dc.replace(c.infer, tp_size=tp)
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(cfg())
+    want = base.generate("sharded cache check", p)
+
+    eng = Engine(cfg(tp=2))
+    assert eng.model.kv_tp_shard
+    pool = eng.cache.arrays["kv"]
+    shard_shape = pool.sharding.shard_shape(pool.shape)
+    assert shard_shape[-1] == pool.shape[-1] // 2  # bytes/device = total/tp
+    got = eng.generate("sharded cache check", p)
+    assert got == want
+
+    # pallas kernels (interpret) under the sharded pool
+    c = cfg(tp=2)
+    c = dc.replace(c, infer=dc.replace(c.infer, attn_type="pallas"))
+    eng2 = Engine(c)
+    got2 = eng2.generate("sharded cache check", p)
+    assert got2 == want
