@@ -48,9 +48,13 @@ PROMPT = 128
 NEW = 128
 
 
+ROUNDS = 3  # steady-state rounds measured after a full warmup round
+
+
 def _measure_engine(overrides):
-    """Build an engine, warm it, run one synthetic batch; returns
-    (tok_per_s, decode_s, decode_steps, wall, cfg)."""
+    """Build an engine, warm it, run ROUNDS synthetic batches; returns
+    (decode tok/s median-of-rounds, decode_s, per-round list, wall, cfg,
+    prefill tok/s)."""
     from chitu_tpu.config import load_config
     from chitu_tpu.engine import Engine
     from chitu_tpu.task import SampleParams
@@ -85,20 +89,34 @@ def _measure_engine(overrides):
             for _ in range(BS)
         ]
 
-    synthetic_batch(4)
+    # warmup round compiles prefill+decode+sample for the measured shapes
+    synthetic_batch(NEW)
     eng.run_until_complete()
 
     timers = get_timers()
-    timers.reset()
-    reqs = synthetic_batch(NEW)
+    per_round = []
+    prefill_per_round = []
     t0 = time.perf_counter()
-    eng.run_until_complete()
+    for _ in range(ROUNDS):
+        timers.reset()
+        reqs = synthetic_batch(NEW)
+        eng.run_until_complete()
+        assert all(len(r.async_stream.tokens) == NEW for r in reqs)
+        dec = timers.timers.get("decode")
+        pre = timers.timers.get("prefill")
+        per_round.append(BS * NEW / dec.elapsed_)
+        if pre and pre.elapsed_ > 0:
+            prefill_per_round.append(BS * PROMPT / pre.elapsed_)
     wall = time.perf_counter() - t0
-    assert all(len(r.async_stream.tokens) == NEW for r in reqs)
-    dec = timers.timers.get("decode")
-    decode_s = dec.elapsed_ if dec else wall
-    decode_steps = dec.count if dec else NEW
-    return BS * NEW / decode_s, decode_s, decode_steps, wall, cfg
+    per_round.sort()
+    tok_per_s = per_round[len(per_round) // 2]  # median round
+    decode_s = BS * NEW / tok_per_s
+    prefill_tok_s = (
+        sorted(prefill_per_round)[len(prefill_per_round) // 2]
+        if prefill_per_round
+        else 0.0
+    )
+    return tok_per_s, decode_s, per_round, wall, cfg, prefill_tok_s
 
 
 def _measure_moe():
@@ -118,7 +136,9 @@ def _measure_moe():
 def main():
     import jax
 
-    tok_per_s, decode_s, decode_steps, wall, cfg = _measure_engine([])
+    tok_per_s, decode_s, per_round, wall, cfg, prefill_tok_s = (
+        _measure_engine([])
+    )
     # north-star companion (BASELINE.md): soft-fp8 weight-only decode —
     # the reference's headline is fp8 >= 1.5x bf16 per unit HBM bandwidth
     fp8_tok_per_s, *_ = _measure_engine(
@@ -151,7 +171,8 @@ def main():
                 "vs_baseline": round(tok_per_s / ideal_tok, 4),
                 "detail": {
                     "backend": backend,
-                    "decode_steps": decode_steps,
+                    "rounds_tok_per_s": [round(r, 1) for r in per_round],
+                    "prefill_tok_per_s": round(prefill_tok_s, 1),
                     "decode_s": round(decode_s, 3),
                     "wall_s": round(wall, 3),
                     "roofline_tok_per_s": round(ideal_tok, 1),

@@ -49,6 +49,25 @@ def linear(
     With `layer` given and a stacked [L, in, out] QTensor, the kernel
     indexes the layer in-place (no per-layer weight slice copies in the
     layer scan)."""
+    from chitu_tpu.ops.pallas_norm_quant import QuantizedActs
+
+    if isinstance(x, QuantizedActs):
+        out_dtype = out_dtype or jnp.bfloat16
+        if isinstance(w, QTensor):
+            y = _quantized_matmul(x, w, layer)
+        else:
+            # dense weight: reconstruct bf16 activations
+            xd = (x.data.astype(jnp.float32) * x.scale[:, None]).astype(
+                jnp.bfloat16
+            )
+            if layer is not None and w.ndim == 3:
+                w = w[layer]
+            y = jnp.dot(
+                xd, w.astype(xd.dtype), preferred_element_type=jnp.float32
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(out_dtype)
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QTensor):
         y = _quantized_matmul(x, w, layer)
@@ -61,7 +80,16 @@ def linear(
     return y.astype(out_dtype)
 
 
-def _quantized_matmul(x: jnp.ndarray, w: QTensor, layer=None) -> jnp.ndarray:
+def _quantized_matmul(x, w: QTensor, layer=None) -> jnp.ndarray:
+    from chitu_tpu.ops.pallas_norm_quant import QuantizedActs
+
+    if isinstance(x, QuantizedActs):
+        from chitu_tpu.ops import pallas_quant_gemm  # registers kernels
+        from chitu_tpu.ops import quant_gemm
+
+        if layer is not None and w.data.ndim == 3:
+            w = w[layer]
+        return quant_gemm.PALLAS_GEMMS[w.kind](x, w)
     if w.in_perm is not None:
         # act-order (desc_act) GPTQ: rows are group-sorted in storage;
         # gather x to match (exact — y = x[:, perm] @ w_sorted)

@@ -1,0 +1,121 @@
+"""AWQ auto-scale / auto-clip calibration (reference:
+chitu/awq/auto_scale.py:100-140, chitu/awq/auto_clip.py)."""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chitu_tpu.ops.qtensor import QuantKind
+from chitu_tpu.quantize import quantize_weight
+from chitu_tpu.quantize.awq import (
+    auto_clip_search,
+    auto_scale_search,
+    awq_quantize_llama_params,
+    calibrate_llama,
+)
+
+from helpers import tiny_cfg
+
+
+def _outlier_problem(seed=0, K=256, N=128, S=64):
+    """Activations with planted outlier channels — the regime AWQ exists
+    for: RTN's uniform noise hits the high-activation channels hardest."""
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x = jax.random.normal(ks[0], (S, K))
+    boost = jnp.where(jax.random.uniform(ks[1], (K,)) < 0.05, 30.0, 1.0)
+    x = x * boost[None, :]
+    w = jax.random.normal(ks[2], (K, N)) * 0.05
+    return x, w
+
+
+def _mse(x, w, wq, s=None):
+    y_ref = x @ w
+    y = (x / s[None, :] if s is not None else x) @ wq
+    return float(jnp.mean((y - y_ref) ** 2))
+
+
+def test_auto_scale_beats_rtn_on_outliers():
+    x, w = _outlier_problem()
+    rtn = quantize_weight(w, QuantKind.W4A16).dequantize(jnp.float32)
+    mse_rtn = _mse(x, w, rtn)
+
+    s, _ = auto_scale_search(w, x)
+    awq = quantize_weight(w * s[:, None], QuantKind.W4A16).dequantize(
+        jnp.float32
+    )
+    mse_awq = _mse(x, w, awq, s=s)
+    assert mse_awq < mse_rtn * 0.8, (mse_awq, mse_rtn)
+
+
+def test_auto_clip_never_hurts():
+    x, w = _outlier_problem(seed=1)
+    rtn = quantize_weight(w, QuantKind.W4A16).dequantize(jnp.float32)
+    mse_rtn = _mse(x, w, rtn)
+    wc = auto_clip_search(w, x)
+    clipped = quantize_weight(wc, QuantKind.W4A16).dequantize(jnp.float32)
+    mse_clip = _mse(x, w, clipped)
+    assert mse_clip <= mse_rtn * 1.01, (mse_clip, mse_rtn)
+
+
+def test_awq_pipeline_on_tiny_llama():
+    """End-to-end: calibrate a tiny llama, fold scales into norms,
+    produce W4A16 QTensors; AWQ logits track bf16 at least as well as
+    plain RTN W4 (the VERDICT r1 done-criterion, measured as teacher-
+    forced logit MSE on held-out tokens)."""
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.ops.qtensor import QTensor
+    from chitu_tpu.quantize import quantize_params
+
+    cfg = tiny_cfg()
+    m = dc.replace(
+        cfg.models, n_layers=2, dim=256, n_heads=8, n_kv_heads=4,
+        inter_dim=256, vocab_size=512,
+    )
+    cfg = dc.replace(cfg, models=m)
+    eng = Engine(cfg)
+    model, params = eng.model, eng.params
+
+    rng = np.random.default_rng(0)
+    calib = rng.integers(5, 500, 96)
+    hold = rng.integers(5, 500, 64)
+
+    # plant activation outliers via embedding columns so AWQ has signal
+    boost = jnp.where(
+        jax.random.uniform(jax.random.PRNGKey(7), (m.dim,)) < 0.05, 8.0, 1.0
+    )
+    params["embed"] = (params["embed"].astype(jnp.float32) * boost).astype(
+        params["embed"].dtype
+    )
+
+    stats = calibrate_llama(model, params, calib)
+    assert set(stats) >= {"wo", "w_down"}
+
+    awq_params = awq_quantize_llama_params(model, params, calib)
+    name = "wqkv" if "wqkv" in params["layers"] else "wq"
+    assert isinstance(awq_params["layers"][name], QTensor)
+    assert awq_params["layers"][name].kind == QuantKind.W4A16
+
+    rtn_params = quantize_params(
+        jax.tree_util.tree_map(lambda x: x, params),
+        dc.replace(cfg.quant, method="awq", quant_on_load=True),
+        model,
+    )
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_hf_parity import _engine_all_logits
+
+    class Shim:
+        pass
+
+    def logits_for(p):
+        shim = Shim()
+        shim.model, shim.params, shim.cfg = model, p, cfg
+        return _engine_all_logits(shim, list(hold))
+
+    ref = logits_for(params)
+    mse_awq = float(np.mean((logits_for(awq_params) - ref) ** 2))
+    mse_rtn = float(np.mean((logits_for(rtn_params) - ref) ** 2))
+    assert mse_awq <= mse_rtn * 1.05, (mse_awq, mse_rtn)

@@ -1,0 +1,189 @@
+"""Real-checkpoint accuracy gate: engine logits vs HF transformers.
+
+Builds tiny HF-format checkpoints *with transformers on CPU*, loads them
+through the full loader.py path (safetensors, name remaps, transposes,
+merged splits), and asserts the engine's teacher-forced logits match
+transformers' forward — the gate VERDICT r1 demanded (every loader
+transpose/remap/merge fails this test if wrong). Reference analogue:
+test/test_eval.py:105-194 done against ground truth.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chitu_tpu.engine import Engine
+from chitu_tpu.kvcache import PagedKVCache
+
+from helpers import tiny_cfg
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+
+def _engine_all_logits(eng, ids):
+    """Teacher-forced prefill logits [n, V] through the engine's model."""
+    model, params, cfg = eng.model, eng.params, eng.cfg
+    page = cfg.infer.page_size
+    spec = model.kv_cache_spec()
+    n = len(ids)
+    T = 16
+    while T < n:
+        T *= 2
+    cache = PagedKVCache(
+        spec["n_layers"], T // page + 1, page, spec["kv_heads"],
+        spec["head_dim"], kv_dim=spec.get("kv_dim", 0),
+        layer_groups=spec.get("layer_groups"),
+    )
+    bt = jnp.arange(T // page + 1, dtype=jnp.int32)
+    tok = jnp.zeros((T,), jnp.int32).at[:n].set(jnp.asarray(ids))
+    logits, _ = model.prefill(
+        params, cache.arrays, tok, bt, jnp.int32(0), jnp.int32(n),
+        page_size=page, attn_impl="xla", return_all_logits=True,
+    )
+    return np.asarray(logits[:n], np.float32)
+
+
+def _check_parity(eng, hf_model, ids, top1_frac=0.95, rel_tol=0.05):
+    got = _engine_all_logits(eng, ids)
+    with torch.no_grad():
+        want = hf_model(torch.tensor([ids])).logits[0].float().numpy()
+    # bf16 engine vs f32 torch: compare argmax agreement + relative error
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= top1_frac, f"top-1 agreement {agree}"
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < rel_tol, f"logits rel err {rel}"
+
+
+def _mk_cfg(tmp_path, margs_kw, infer_kw=None):
+    cfg = tiny_cfg(**(infer_kw or {}))
+    m = dc.replace(cfg.models, ckpt_dir=str(tmp_path), **margs_kw)
+    infer = dc.replace(cfg.infer, do_load=True)
+    return dc.replace(cfg, models=m, infer=infer)
+
+
+IDS = list(np.random.default_rng(0).integers(5, 500, 48))
+
+
+def test_llama_checkpoint_parity(tmp_path):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rope_theta=10000.0,
+            rotary_type="hf-llama",
+        ),
+    )
+    _check_parity(Engine(cfg), hf, IDS)
+
+
+def test_llama_checkpoint_parity_merged_qkv(tmp_path):
+    """merge_qkv_gate_up=on exercises the merge transform."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+        ),
+        {"infer.merge_qkv_gate_up": "on"},
+    )
+    _check_parity(Engine(cfg), hf, IDS)
+
+
+def test_qwen2_checkpoint_parity(tmp_path):
+    """Qwen2: qkv bias quirk through the loader."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    hf = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+            attn_bias=True,
+        ),
+        {"infer.merge_qkv_gate_up": "off"},
+    )
+    _check_parity(Engine(cfg), hf, IDS)
+
+
+def test_mixtral_checkpoint_parity(tmp_path):
+    """Mixtral: expert stacking + router through loaders_moe."""
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf = transformers.MixtralForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    from chitu_tpu.config import MoEArgs
+
+    cfg = tiny_cfg()
+    m = dc.replace(
+        cfg.models, type="mixtral", ckpt_dir=str(tmp_path), dim=128,
+        inter_dim=256, n_layers=2, n_heads=8, n_kv_heads=4, vocab_size=512,
+        rotary_type="hf-llama",
+        moe=MoEArgs(
+            n_routed_experts=4, n_activated_experts=2, score_func="softmax",
+            moe_inter_dim=256, norm_topk_prob=True,
+        ),
+    )
+    cfg = dc.replace(
+        cfg, models=m, infer=dc.replace(cfg.infer, do_load=True)
+    )
+    _check_parity(Engine(cfg), hf, IDS)
+
+
+def test_quantized_ppl_vs_hf_ground_truth(tmp_path):
+    """soft-fp8 quantization of a REAL checkpoint must track the bf16
+    engine's logits closely (the quant accuracy gate grounded in HF
+    weights instead of the engine's own output)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    margs = dict(
+        type="hf-llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+        n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+    )
+    cfg = _mk_cfg(tmp_path, margs)
+    qcfg = dc.replace(
+        cfg, quant=dc.replace(cfg.quant, method="soft_fp8", quant_on_load=True)
+    )
+    got = _engine_all_logits(Engine(qcfg), IDS)
+    with torch.no_grad():
+        want = hf(torch.tensor([IDS])).logits[0].float().numpy()
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.9, f"quantized top-1 agreement {agree}"
