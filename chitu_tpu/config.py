@@ -193,6 +193,14 @@ class InferArgs:
     # host syncs once per window (amortizes dispatch/fetch latency the way
     # the reference's CUDA graphs amortize kernel launches)
     decode_window: int = 16
+
+    # multi-host bring-up (reference: backend.py:88-89 init_process_group
+    # + script/srun_multi_node.sh): coordinator "host:port" + process
+    # count/id wire jax.distributed; env fallbacks CHITU_TPU_COORDINATOR /
+    # CHITU_TPU_NUM_PROCESSES / CHITU_TPU_PROCESS_ID
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = -1
     prefill_chunk: int = 512  # prefill token-count bucket granularity
     pp_layer_partition: Tuple[int, ...] = ()
 

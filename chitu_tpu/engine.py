@@ -46,6 +46,11 @@ class Engine:
         init_logger()
         self.cfg = cfg
         self.state = EngineState.RUNNING
+        # multi-host: wire jax.distributed BEFORE any device use so
+        # jax.devices() spans all hosts (reference: backend.py:88-89)
+        from chitu_tpu.parallel.distributed import maybe_initialize
+
+        self.multihost = maybe_initialize(cfg)
         if mesh is None:
             from chitu_tpu.parallel import mesh_from_config
 

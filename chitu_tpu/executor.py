@@ -600,6 +600,12 @@ class Executor:
         if not live:
             timers("decode").stop()
             return
+        from chitu_tpu.parallel.pipeline import supports_pipeline
+
+        if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
+            self._decode_pipelined(live, window)
+            timers("decode").stop()
+            return
         B = _bucket(len(live), self.decode_buckets)
         tokens = np.zeros((B,), np.int32)
         seq_lens = np.zeros((B,), np.int32)
@@ -676,6 +682,92 @@ class Executor:
                 if t.need_remove():
                     break
         timers("decode").stop()
+
+    def _decode_pipelined(self, live: List[Task], window: int):
+        """Microbatch pipeline-parallel decode window (pp > 1): S = pp
+        slot groups stream through the stage pipeline so every stage works
+        on a different group each phase (reference: scheduler.py:139-186 +
+        executor.py:179-299, redesigned as one shard_map program —
+        chitu_tpu/parallel/pipeline.py)."""
+        from chitu_tpu.parallel.pipeline import decode_pipelined
+
+        pp = self.mesh.shape["pp"]
+        S = pp
+        groups: List[List[Task]] = [[] for _ in range(S)]
+        # round-robin grouping; the skew_pipeline policy emits decodes in
+        # group-interleaved order so this reconstructs its slot groups
+        for i, t in enumerate(live):
+            groups[i % S].append(t)
+        Bg = _bucket(
+            max(len(g) for g in groups),
+            _pow2_buckets(1, max(self.max_reqs // S, 1)),
+        )
+        mp = self.mp_full
+
+        tokens0 = np.zeros((S, Bg), np.int32)
+        seq0 = np.zeros((S, Bg), np.int32)
+        bts = np.full((S, Bg, mp), -1, np.int32)
+        valid = np.zeros((S, Bg), bool)
+        temps = np.ones((S, Bg), np.float32)
+        tks = np.ones((S, Bg), np.int32)
+        tps = np.ones((S, Bg), np.float32)
+        slots = np.full((S, Bg), np.iinfo(np.int32).max, np.int32)
+        for s, g in enumerate(groups):
+            for j, t in enumerate(g):
+                tokens0[s, j] = (
+                    t.response_tokens[-1] if t.response_tokens else t.tokens[-1]
+                )
+                seq0[s, j] = t.seq_len - 1
+                bts[s, j] = self.cache.allocator.block_table(
+                    [t.task_id], mp
+                )[0]
+                valid[s, j] = True
+                p = t.req.params
+                temps[s, j] = max(p.temperature, 1e-6)
+                tks[s, j] = p.top_k
+                tps[s, j] = p.top_p
+                slots[s, j] = t.slot
+
+        toks, self.cache.arrays = decode_pipelined(
+            self.model,
+            self.params,
+            self.cache.arrays,
+            jnp.asarray(tokens0),
+            jnp.asarray(seq0),
+            jnp.asarray(bts),
+            jnp.asarray(valid),
+            jnp.asarray(temps),
+            jnp.asarray(tks),
+            jnp.asarray(tps),
+            self._next_key(),
+            window=window,
+            page_size=self.page,
+            mesh=self.mesh,
+        )
+        toks_host = np.asarray(toks)  # [W, S, Bg]
+        new_counts = []
+        new_slots = []
+        for s, g in enumerate(groups):
+            for j, t in enumerate(g):
+                for k in range(toks_host.shape[0]):
+                    tok = int(toks_host[k, s, j])
+                    if tok < 0:
+                        break
+                    t.append_token(tok)
+                    new_counts.append(tok)
+                    new_slots.append(t.slot)
+                    if (
+                        t.need_remove()
+                        or len(t.response_tokens) >= t.max_new_tokens
+                        or (t.stop_with_eos and tok in t.stop_tokens)
+                    ):
+                        break
+        if new_counts:
+            # frequency-penalty counts update post-window (the pipelined
+            # step samples without in-window penalties; see pipeline.py)
+            self.counts = self.counts.at[
+                jnp.asarray(new_slots), jnp.asarray(new_counts)
+            ].add(1, mode="drop")
 
     def _stop_ids(self, tasks: List[Task], n: int) -> jnp.ndarray:
         """Per-row stop-token ids [n, 8], -2 padded (per-request sets so one

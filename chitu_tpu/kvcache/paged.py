@@ -201,8 +201,13 @@ class PagedKVCache:
             # fetches both, and the minor dim shards over 'tp' on whole
             # KV-head boundaries
             self.minor = kv_pool_minor(kv_heads, head_dim)
-            shape = (n_layers, num_pages, page_size, self.minor)
-            self.arrays = {"kv": jnp.zeros(shape, dtype=dtype)}
+            groups = layer_groups or {"kv": n_layers}
+            self.arrays = {
+                name: jnp.zeros(
+                    (n, num_pages, page_size, self.minor), dtype=dtype
+                )
+                for name, n in groups.items()
+            }
         if sharding is not None:
             # sharding = (mesh, PartitionSpec); divisibility checked per
             # array (layer groups differ in size)

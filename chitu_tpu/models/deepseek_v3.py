@@ -58,6 +58,13 @@ class DeepSeekV3ForCausalLM:
         self.kv_minor = pad_kv_minor(1, self.kv_dim)  # 640
         self.n_dense = self.moe.n_dense_layers
         self.n_moe = args.n_layers - self.n_dense
+        # mla_absorb=none: the dense per-head path — cache holds full
+        # per-head K (nope|pe = 192) and V (padded to 192); absorb is the
+        # production path (576-float latent cache)
+        # (reference: model_deepseek_v3.py:612-670 dense decode)
+        self.absorb = cfg.infer.mla_absorb != "none"
+        # attention head width seen by the kernels (executor geometry)
+        self.head_dim = self.kv_minor if self.absorb else self.qk_head_dim
 
         # softmax scale with yarn mscale correction
         # (reference: model_deepseek_v3.py:1420-1445)
@@ -81,6 +88,18 @@ class DeepSeekV3ForCausalLM:
     # -- cache geometry -----------------------------------------------------
 
     def kv_cache_spec(self) -> Dict[str, Any]:
+        if not self.absorb:
+            # dense MLA: per-head K/V rows (V padded to qk_head_dim)
+            return dict(
+                n_layers=self.args.n_layers,
+                kv_heads=self.args.n_heads,
+                head_dim=self.qk_head_dim,
+                kv_dim=0,
+                layer_groups={
+                    "kv_dense": self.n_dense,
+                    "kv_moe": self.n_moe,
+                },
+            )
         # merged-MLA cache: 576 floats/token shared across heads
         # (reference: backend.py:186-197)
         return dict(
@@ -314,6 +333,66 @@ class DeepSeekV3ForCausalLM:
             kv_pool,
         )
 
+    def _mla_dense(self, x, layers, kv_pool, layer, cos, sin, append, attend):
+        """mla_absorb=none: materialize per-head K/V and run standard MHA
+        (reference dense paths: model_deepseek_v3.py:612-670). The cache
+        holds [k_nope | k_pe] (192) and V padded to 192 per head."""
+        from chitu_tpu.models.llama import _layer_leaf
+
+        a, m = self.args, self.mla
+        T = x.shape[0]
+        H = a.n_heads
+        dn, dr, dv, dc = (
+            m.qk_nope_head_dim,
+            m.qk_rope_head_dim,
+            m.v_head_dim,
+            m.kv_lora_rank,
+        )
+        g = lambda name: _layer_leaf(layers, name, layer)
+
+        if m.q_lora_rank > 0:
+            q = linear(
+                rms_norm(
+                    linear(x, g("wq_a"), layer=layer), g("q_norm"), a.norm_eps
+                ),
+                g("wq_b"),
+                layer=layer,
+            )
+        else:
+            q = linear(x, g("wq"), layer=layer)
+        q = q.reshape(T, H, self.qk_head_dim)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)  # [T, H, 192]
+
+        kv_a = linear(x, g("wkv_a"), layer=layer)
+        c_kv = rms_norm(kv_a[:, :dc], g("kv_norm"), a.norm_eps)
+        k_pe = apply_rope(
+            kv_a[:, None, dc:], cos, sin, self.rotary_layout
+        )  # [T, 1, 64]
+
+        from chitu_tpu.ops.qtensor import QTensor
+
+        wkv_b = layers["wkv_b"]
+        if isinstance(wkv_b, QTensor):
+            wkv_b_d = wkv_b[layer].dequantize(x.dtype)
+        else:
+            wkv_b_d = wkv_b.astype(x.dtype)
+        kv = linear(c_kv, wkv_b_d).reshape(T, H, dn + dv)
+        k = jnp.concatenate(
+            [kv[..., :dn], jnp.broadcast_to(k_pe, (T, H, dr))], axis=-1
+        )  # [T, H, 192]
+        v = kv[..., dn:]  # [T, H, 128]
+        v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, self.qk_head_dim - dv)))
+
+        kv_pool = append(kv_pool, layer, (k, v_pad))
+        o = attend(q, kv_pool, layer)  # [T, H, 192]
+        o = o[..., :dv]
+        return (
+            linear(o.reshape(T, H * dv), g("wo"), layer=layer),
+            kv_pool,
+        )
+
     # -- FFNs ---------------------------------------------------------------
 
     def _dense_ffn(self, x, layers, layer, mesh=None):
@@ -355,7 +434,8 @@ class DeepSeekV3ForCausalLM:
             lp, layer = xs
             view = {**lp, **static_leaves}
             x = rms_norm(h, view["attn_norm"], a.norm_eps)
-            attn_out, pool = self._mla(
+            mla = self._mla if self.absorb else self._mla_dense
+            attn_out, pool = mla(
                 x, view, pool, layer, cos, sin, append, attend
             )
             h = h + attn_out
@@ -423,10 +503,13 @@ class DeepSeekV3ForCausalLM:
         cos = jnp.take(self.cos, idx, 0)
         sin = jnp.take(self.sin, idx, 0)
 
+        kvh = 1 if self.absorb else self.args.n_heads
+        kvd = self.kv_minor if self.absorb else self.qk_head_dim
+
         def append(pool, layer, new_kv):
+            k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
             return attn_ops.append_prefill(
-                pool, layer, new_kv, None, block_table, pos, valid_len,
-                page_size,
+                pool, layer, k, v, block_table, pos, valid_len, page_size
             )
 
         def attend(q, pool, layer):
@@ -438,9 +521,9 @@ class DeepSeekV3ForCausalLM:
                 jnp.where(jnp.arange(T) < valid_len, pos, 0),
                 total_len,
                 page_size,
-                1,
-                self.kv_minor,
-                split_kv=False,
+                kvh,
+                kvd,
+                split_kv=not self.absorb,
                 scale=self.attn_scale,
                 impl=attn_impl,
                 mesh=mesh,
@@ -453,6 +536,66 @@ class DeepSeekV3ForCausalLM:
         if return_all_logits:
             return self._logits(params, h), cache
         last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
+        return self._logits(params, last), cache
+
+    def prefill_packed(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        tokens: jnp.ndarray,  # [T] packed (per-segment padded)
+        seg_ids: jnp.ndarray,  # [T] (-1 = pad)
+        pos: jnp.ndarray,  # [T] (-1 = pad)
+        block_tables: jnp.ndarray,  # [R, mp]
+        total_lens: jnp.ndarray,  # [R]
+        last_idx: jnp.ndarray,  # [R]
+        block_seg: jnp.ndarray,  # [NB]
+        block_qstart: jnp.ndarray,  # [NB]
+        page_size: int,
+        attn_impl: str = "xla",
+        mesh=None,
+    ):
+        """Packed varlen prefill over the merged-MLA latent cache (same
+        contract as LlamaForCausalLM.prefill_packed; reference:
+        chitu/utils.py:84-100 VarLens)."""
+        pos_safe = jnp.maximum(pos, 0)
+        h = jnp.take(params["embed"], tokens, axis=0)
+        idx = jnp.minimum(pos_safe, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+        kvh = 1 if self.absorb else self.args.n_heads
+        kvd = self.kv_minor if self.absorb else self.qk_head_dim
+
+        def append(pool, layer, new_kv):
+            k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+            return attn_ops.append_prefill_packed(
+                pool, layer, k, v, block_tables, seg_ids, pos, page_size
+            )
+
+        def attend(q, pool, layer):
+            return attn_ops.attend_prefill_packed(
+                q,
+                pool,
+                layer,
+                block_tables,
+                seg_ids,
+                pos_safe,
+                total_lens,
+                block_seg,
+                block_qstart,
+                page_size,
+                kvh,
+                kvd,
+                split_kv=not self.absorb,
+                scale=self.attn_scale,
+                impl=attn_impl,
+                mesh=mesh,
+            )
+
+        h, cache = self._forward(
+            params, cache, h, cos, sin, append, attend, mesh
+        )
+        h = rms_norm(h, params["norm"], self.args.norm_eps)
+        last = jnp.take(h, last_idx, axis=0)
         return self._logits(params, last), cache
 
     def decode(
@@ -472,10 +615,13 @@ class DeepSeekV3ForCausalLM:
         cos = jnp.take(self.cos, idx, 0)
         sin = jnp.take(self.sin, idx, 0)
 
+        kvh = 1 if self.absorb else self.args.n_heads
+        kvd = self.kv_minor if self.absorb else self.qk_head_dim
+
         def append(pool, layer, new_kv):
+            k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
             return attn_ops.append_decode(
-                pool, layer, new_kv, None, block_tables, seq_lens, valid,
-                page_size,
+                pool, layer, k, v, block_tables, seq_lens, valid, page_size
             )
 
         def attend(q, pool, layer):
@@ -486,9 +632,9 @@ class DeepSeekV3ForCausalLM:
                 block_tables,
                 seq_lens,
                 page_size,
-                1,
-                self.kv_minor,
-                split_kv=False,
+                kvh,
+                kvd,
+                split_kv=not self.absorb,
                 scale=self.attn_scale,
                 impl=attn_impl,
                 mesh=mesh,

@@ -339,10 +339,13 @@ class LlamaForCausalLM:
         """Scan over stacked layer params; the pool rides the CARRY whole
         and is indexed per layer inside the kernels/scatters — per-layer
         slicing through scan xs/ys copies the slice each iteration (cost
-        scales with pool size)."""
-        L = self.args.n_layers
-
+        scales with pool size). The layer count derives from the leaves so
+        pipeline stages can pass LOCAL layer slices."""
         xs_leaves, static_leaves = split_scan_leaves(params["layers"])
+        if xs_leaves:
+            L = next(iter(xs_leaves.values())).shape[0]
+        else:
+            L = next(iter(static_leaves.values())).data.shape[0]
 
         def body(carry, xs):
             h, pool = carry

@@ -83,6 +83,29 @@ def linear(
 def _quantized_matmul(x, w: QTensor, layer=None) -> jnp.ndarray:
     from chitu_tpu.ops.pallas_norm_quant import QuantizedActs
 
+    extra = None
+    if w.oc_idx is not None:
+        # LLM.int8 outlier decomposition: dense bf16 GEMM over the few
+        # outlier input channels (their int8 rows are zero)
+        idx = w.oc_idx[layer] if w.oc_idx.ndim == 2 and layer is not None else w.oc_idx
+        ocw = w.oc_w[layer] if w.oc_w.ndim == 3 and layer is not None else w.oc_w
+        if isinstance(x, QuantizedActs):
+            xo = (
+                jnp.take(x.data, idx, axis=-1).astype(jnp.float32)
+                * x.scale[:, None]
+            ).astype(jnp.bfloat16)
+        else:
+            xo = jnp.take(x, idx, axis=-1)
+        # f32 operands: the outlier slab is tiny and the CPU backend
+        # lacks a BF16xBF16->F32 dot thunk
+        extra = jnp.dot(
+            xo.astype(jnp.float32), ocw.astype(jnp.float32)
+        )
+        w = QTensor(
+            data=w.data, scale=w.scale, zeros=w.zeros, kind=w.kind,
+            block=w.block, in_perm=w.in_perm,
+        )
+        return _quantized_matmul(x, w, layer) + extra
     if isinstance(x, QuantizedActs):
         from chitu_tpu.ops import pallas_quant_gemm  # registers kernels
         from chitu_tpu.ops import quant_gemm

@@ -161,37 +161,52 @@ def _decode_kernel(
     softcap: float = 0.0,
 ):
     b = pl.program_id(0)
-    total = seq_lens_ref[b] + 1  # new token's K/V already appended
-    n_pages = jax.lax.div(total + page - 1, page)
-    # sliding window: only the last `window` positions matter — skip the
-    # pages before them entirely (free perf; reference window_size,
-    # attn_backend.py:43-44)
-    if window > 0:
-        p0 = jnp.maximum(total - window, 0) // page
-    else:
-        p0 = 0
+    B = pl.num_programs(0)
+
+    def row_geometry(row):
+        total = seq_lens_ref[row] + 1  # new token's K/V already appended
+        n_pages = jax.lax.div(total + page - 1, page)
+        # sliding window: only the last `window` positions matter — skip
+        # the pages before them entirely (free perf; reference
+        # window_size, attn_backend.py:43-44)
+        if window > 0:
+            p0 = jnp.maximum(total - window, 0) // page
+        else:
+            p0 = 0
+        return total, p0, n_pages
+
+    total, p0, n_pages = row_geometry(b)
     H = q_ref.shape[1]
     D = fold_ref.shape[1]
     layer = layer_ref[0]
 
-    def dma(slot, i):
-        pid = jnp.maximum(block_tables_ref[b, i], 0)
+    def dma(slot, i, row):
+        pid = jnp.maximum(block_tables_ref[row, i], 0)
         return pltpu.make_async_copy(
             pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
         )
 
-    # fill the ring
-    for w in range(ring):
-        @pl.when(p0 + w < n_pages)
-        def _():
-            dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
+    def fill_ring(row):
+        _, q0, np_r = row_geometry(row)
+        for w in range(ring):
+            @pl.when(q0 + w < np_r)
+            def _():
+                dma(jax.lax.rem(q0 + w, ring), q0 + w, row).start()
+
+    # cross-row pipelining: row b's ring was filled at the END of row
+    # b-1's grid step (bootstrap at b == 0), so the first pages are
+    # already in flight when this step starts — batch-row boundaries
+    # cost no DMA stall
+    @pl.when(b == 0)
+    def _():
+        fill_ring(0)
 
     q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
 
     def body(i, carry):
         m, l, acc = carry  # [H, 1], [H, 1], [H, D]
         slot = jax.lax.rem(i, ring)
-        dma(slot, i).wait()
+        dma(slot, i, b).wait()
 
         rows = buf[slot].astype(jnp.float32)  # [page, M]
         pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
@@ -226,7 +241,7 @@ def _decode_kernel(
         # refill the ring slot we just freed
         @pl.when(i + ring < n_pages)
         def _():
-            dma(slot, i + ring).start()
+            dma(slot, i + ring, b).start()
 
         return m_new, l_new, acc * alpha + pv
 
@@ -234,6 +249,11 @@ def _decode_kernel(
     l0 = jnp.zeros((H, 1), jnp.float32)
     acc0 = jnp.zeros((H, D), jnp.float32)
     m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
+    # prefetch the NEXT row's first pages while this row's output flushes
+    @pl.when(b + 1 < B)
+    def _():
+        fill_ring(b + 1)
+
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 

@@ -65,6 +65,12 @@ class QTensor:
     # the GEMM — y = x[:, in_perm] @ data is exact (reference: AutoGPTQ
     # QuantLinear g_idx handling, chitu/quantize/quantizer.py:53-85)
     in_perm: Optional[jnp.ndarray] = None
+    # LLM.int8-style outlier decomposition (reference: bitsandbytes
+    # Linear8bitLt via chitu/quantize/quantizer.py:14-50): the rows at
+    # oc_idx are kept dense in oc_w and ZEROED in the int8 data, so
+    # y = int8_gemm(x) + x[:, oc_idx] @ oc_w
+    oc_idx: Optional[jnp.ndarray] = None  # [(L,) K_o] int32
+    oc_w: Optional[jnp.ndarray] = None  # [(L,) K_o, N] bf16
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -79,28 +85,34 @@ class QTensor:
         return self.data.shape[-1]
 
     def tree_flatten(self):
-        children = (self.data, self.scale, self.zeros, self.in_perm)
+        children = (
+            self.data, self.scale, self.zeros, self.in_perm,
+            self.oc_idx, self.oc_w,
+        )
         aux = (self.kind, self.block)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scale, zeros, in_perm = children
+        data, scale, zeros, in_perm, oc_idx, oc_w = children
         kind, block = aux
         return cls(
             data=data, scale=scale, zeros=zeros, kind=kind, block=block,
-            in_perm=in_perm,
+            in_perm=in_perm, oc_idx=oc_idx, oc_w=oc_w,
         )
 
     def __getitem__(self, idx) -> "QTensor":
         """Slice the leading (stacked-layer / expert) dim."""
+        sub = lambda v: v[idx] if v is not None else None
         return QTensor(
             data=self.data[idx],
             scale=self.scale[idx],
-            zeros=self.zeros[idx] if self.zeros is not None else None,
+            zeros=sub(self.zeros),
             kind=self.kind,
             block=self.block,
-            in_perm=self.in_perm[idx] if self.in_perm is not None else None,
+            in_perm=sub(self.in_perm),
+            oc_idx=sub(self.oc_idx),
+            oc_w=sub(self.oc_w),
         )
 
     def astype(self, dtype):  # keep jnp-tree utilities happy
@@ -108,6 +120,22 @@ class QTensor:
 
     def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
         """Reference (XLA) dequantization to a dense weight."""
+        if self.oc_idx is not None:
+            base = QTensor(
+                data=self.data, scale=self.scale, zeros=self.zeros,
+                kind=self.kind, block=self.block, in_perm=self.in_perm,
+            ).dequantize(dtype)
+            # scatter the dense outlier rows back (their int8 rows are 0)
+            if self.oc_idx.ndim == 1:
+                return base.at[..., self.oc_idx, :].add(
+                    self.oc_w.astype(dtype)
+                )
+            out = base
+            for l in range(self.oc_idx.shape[0]):
+                out = out.at[l, self.oc_idx[l], :].add(
+                    self.oc_w[l].astype(dtype)
+                )
+            return out
         if self.in_perm is not None:
             # rows are stored group-sorted; un-sort back to original order
             base = QTensor(

@@ -98,6 +98,36 @@ def quantize_weight(
     raise ValueError(f"unknown quant kind {kind}")
 
 
+OUTLIER_FRAC = 0.005  # fraction of input channels kept dense (llmint8)
+
+
+def quantize_llmint8(w: jnp.ndarray, frac: float = OUTLIER_FRAC) -> QTensor:
+    """LLM.int8-style quantization: the highest-magnitude input channels
+    stay dense in bf16 (outlier decomposition), the rest quantize to
+    per-out-channel int8 (reference: bitsandbytes Linear8bitLt threshold
+    6.0 decomposes by ACTIVATION magnitude at runtime,
+    chitu/quantize/quantizer.py:14-50; the TPU-native variant picks a
+    STATIC outlier set by per-channel weight magnitude so shapes stay
+    jit-constant — calibration can refine the set offline)."""
+    wf = w.astype(jnp.float32)
+    *lead, K, N = wf.shape
+    k_o = max(8, int(K * frac) // 8 * 8)
+    norms = jnp.max(jnp.abs(wf), axis=-1)  # [..., K]
+    _, idx = jax.lax.top_k(norms, k_o)  # [..., k_o]
+    idx = jnp.sort(idx, axis=-1).astype(jnp.int32)
+    oc_w = jnp.take_along_axis(
+        wf, idx[..., None], axis=-2
+    ).astype(jnp.bfloat16)
+    zeroed = jnp.put_along_axis(
+        wf, idx[..., None], 0.0, axis=-2, inplace=False
+    )
+    q = quantize_weight(zeroed, QuantKind.W8A16)
+    return QTensor(
+        data=q.data, scale=q.scale, kind=QuantKind.W8A16, block=q.block,
+        oc_idx=idx, oc_w=oc_w,
+    )
+
+
 def requantize_fp8_storage(params: Any) -> Any:
     """fp8-e4m3 QTensor storage -> int8 lanes with rescaled block scales.
 
@@ -239,11 +269,12 @@ _KIND_BY_METHOD = {
     "w4a16_gptq": QuantKind.W4A16,
     "awq": QuantKind.W4A16,
     "gptq": QuantKind.W4A16,
-    # llmint8 maps onto the int8 weight-only kernel (the reference uses
-    # bitsandbytes' outlier decomposition; per-channel int8 covers the
-    # storage/bandwidth capability, quantizer.py:14-50)
+    # llmint8: int8 weight-only + dense outlier input channels
+    # (quantize_llmint8; reference: quantizer.py:14-50)
     "llmint8": QuantKind.W8A16,
 }
+
+_OUTLIER_METHODS = {"llmint8"}
 
 
 def quantize_params(
@@ -298,27 +329,32 @@ def quantize_params(
         if keys is not None:
             eligible = eligible and name in keys
         if eligible:
+            qfn = (
+                quantize_llmint8
+                if method in _OUTLIER_METHODS
+                else lambda w: _quantize_weight_jit(w, kind, block)
+            )
             if tree.ndim >= 3 and tree.shape[0] > 1:
                 # stacked leaves quantize layer-by-layer: whole-leaf f32
                 # intermediates peak at several GB for large models
-                parts = [
-                    _quantize_weight_jit(tree[i], kind, block)
-                    for i in range(tree.shape[0])
-                ]
+                parts = [qfn(tree[i]) for i in range(tree.shape[0])]
+
+                def stk(field):
+                    vals = [getattr(p, field) for p in parts]
+                    return jnp.stack(vals) if vals[0] is not None else None
+
                 out = QTensor(
-                    data=jnp.stack([p.data for p in parts]),
-                    scale=jnp.stack([p.scale for p in parts]),
-                    zeros=(
-                        jnp.stack([p.zeros for p in parts])
-                        if parts[0].zeros is not None
-                        else None
-                    ),
+                    data=stk("data"),
+                    scale=stk("scale"),
+                    zeros=stk("zeros"),
                     kind=kind,
                     block=block,
+                    oc_idx=stk("oc_idx"),
+                    oc_w=stk("oc_w"),
                 )
                 del parts
                 return out
-            return _quantize_weight_jit(tree, kind, block)
+            return qfn(tree)
         return tree
 
     return walk(params)

@@ -34,7 +34,16 @@ def sample_tokens(
     """Sample one token per row. Returns [B] int32."""
     B, V = logits.shape
     k_eff = min(MAX_K, V)
-    vals, idx = jax.lax.top_k(logits, k_eff)  # [B, K] descending
+    # greedy rows use an EXACT argmax (cheap max-reduce); the stochastic
+    # candidate set uses the TPU-optimized approximate top-k (a documented
+    # refinement of the already-approximate MAX_K truncation)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if V > 4 * k_eff:
+        vals, idx = jax.lax.approx_max_k(
+            logits, k_eff, recall_target=0.95
+        )
+    else:
+        vals, idx = jax.lax.top_k(logits, k_eff)  # [B, K] descending
 
     j = jnp.arange(k_eff)[None, :]
     kk = jnp.where(top_k <= 0, k_eff, jnp.minimum(top_k, k_eff))[:, None]
@@ -55,11 +64,9 @@ def sample_tokens(
         -jnp.log(jax.random.uniform(key, (B, k_eff), minval=1e-10, maxval=1.0))
     )
     choice = jnp.argmax(scaled + gumbel, axis=-1)
-    # greedy rows ignore noise entirely for determinism
-    choice = jnp.where(top_k == 1, 0, choice)
-    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
-        jnp.int32
-    )
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    # greedy rows take the exact argmax (no noise, no approximation)
+    return jnp.where(top_k == 1, greedy, sampled).astype(jnp.int32)
 
 
 def apply_frequency_penalty(

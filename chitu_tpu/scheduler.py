@@ -1,10 +1,10 @@
 """Batch scheduling policies.
 
-Capability parity with the reference's scheduler suite
+Capability parity with the reference's scheduler suite — all 7 policies
 (reference: chitu/scheduler.py:13-356): fcfs, prefill_first (default),
-stride, deadline, prefix_align, balance. The skew-pipeline policy
-(reference: scheduler.py:139-186) is PP-specific and lives with the
-pipeline executor.
+stride, deadline, prefix_align, balance, and skew_pipeline (PP slot-group
+decode scheduling feeding the pipelined decode step,
+chitu_tpu/parallel/pipeline.py).
 
 A schedule() returns a list of task_ids forming one engine step's batch.
 Like the reference, a batch is homogeneous (all-prefill or all-decode)
@@ -167,6 +167,57 @@ class BalanceScheduler(Scheduler):
         ]
 
 
+class SkewPipelineScheduler(Scheduler):
+    """PP-aware decode scheduling (reference: scheduler.py:139-186
+    SkewPipelineScheduler + global_vars.py:230-268 SlotHandle): decodes
+    are pinned to one of `pp` slot groups and scheduled only when every
+    group can contribute, so the pipelined decode step keeps all stages
+    busy with different microbatches. Prefills run whenever pending
+    (filling empty groups quickly)."""
+
+    def __init__(self, pool: TaskPool, cfg):
+        super().__init__(pool, cfg)
+        self.n_groups = max(cfg.infer.pp_size, 1)
+        self._group_of = {}
+        self._next = 0
+
+    def group_of(self, task_id: str) -> int:
+        g = self._group_of.get(task_id)
+        if g is None:
+            g = self._next % self.n_groups
+            self._group_of[task_id] = g
+            self._next += 1
+        return g
+
+    def schedule(self, admit=None) -> List[str]:
+        tasks = self._runnable(admit)
+        prefills = [t for t in tasks if t.task_type == TaskType.PREFILL]
+        if prefills:
+            return [t.task_id for t in prefills[: self.max_tasks]]
+        decodes = [t for t in tasks if t.task_type == TaskType.DECODE]
+        # interleave groups so the executor's round-robin grouping
+        # reconstructs full slot groups
+        by_group: dict = {}
+        for t in decodes:
+            by_group.setdefault(self.group_of(t.task_id), []).append(t)
+        out: List[str] = []
+        i = 0
+        while len(out) < min(len(decodes), self.max_tasks):
+            g = i % self.n_groups
+            if by_group.get(g):
+                out.append(by_group[g].pop(0).task_id)
+            i += 1
+            if i > self.n_groups * self.max_tasks:
+                break
+        return out
+
+    def update(self, batch_ids=None) -> List[str]:
+        removed = super().update(batch_ids)
+        for tid in removed:
+            self._group_of.pop(tid, None)
+        return removed
+
+
 _POLICIES = {
     "fcfs": FcfsScheduler,
     "prefill_first": PrefillFirstScheduler,
@@ -174,4 +225,5 @@ _POLICIES = {
     "deadline": DeadlineScheduler,
     "prefix_align": PrefixAlignScheduler,
     "balance": BalanceScheduler,
+    "skew_pipeline": SkewPipelineScheduler,
 }

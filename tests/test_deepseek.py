@@ -127,3 +127,26 @@ def test_deepseek_tp4_matches():
     eng = Engine(_ds_cfg(**{"infer.tp_size": 4}))
     got = eng.generate("tensor parallel mla", p)
     assert got == want
+
+
+def test_mla_absorb_none_matches_absorb():
+    """mla_absorb=none (dense per-head K/V) must produce the same greedy
+    tokens as the absorb path (reference: model_deepseek_v3.py:612-670
+    dense vs :475-536 absorb — mathematically identical attention)."""
+    import dataclasses as dc
+
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    base = Engine(_ds_cfg())
+    want = base.generate("absorb equivalence", p)
+
+    cfg = _ds_cfg()
+    cfg = dc.replace(cfg, infer=dc.replace(cfg.infer, mla_absorb="none"))
+    eng = Engine(cfg)
+    assert not eng.model.absorb
+    # dense cache is per-head (bigger rows than the 576-float latent)
+    assert eng.cache.arrays["kv_moe"].shape[-1] > base.cache.arrays["kv_moe"].shape[-1]
+    got = eng.generate("absorb equivalence", p)
+    assert got == want

@@ -176,3 +176,51 @@ def test_tp_sharded_kv_cache():
     eng2 = Engine(c)
     got2 = eng2.generate("sharded cache check", p)
     assert got2 == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_pipelined_decode_pp2_with_skew_scheduler():
+    """Microbatch PP decode + the skew_pipeline policy: pp=2 tokens must
+    match the single-device engine (VERDICT r1 item 6; reference:
+    scheduler.py:139-186 + executor.py:179-299)."""
+    import dataclasses as dc
+
+    from chitu_tpu.parallel.pipeline import supports_pipeline
+    from chitu_tpu.scheduler import SkewPipelineScheduler
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_tp_friendly_cfg())
+    prompts = [f"pipeline group test {i}" for i in range(4)]
+    want = [base.generate(s, p) for s in prompts]
+
+    cfg = _tp_friendly_cfg()
+    cfg = dc.replace(
+        cfg,
+        infer=dc.replace(cfg.infer, pp_size=2),
+        scheduler=dc.replace(cfg.scheduler, policy="skew_pipeline"),
+    )
+    eng = Engine(cfg)
+    assert isinstance(eng.scheduler, SkewPipelineScheduler)
+    assert supports_pipeline(eng.model, eng.mesh)
+    reqs = [eng.submit(s, p) for s in prompts]
+    eng.run_until_complete()
+    got = [list(r.async_stream.tokens) for r in reqs]
+    assert got == want
+
+
+def test_multihost_two_process_smoke():
+    """jax.distributed over localhost: two processes, one global mesh,
+    identical tokens (VERDICT r1 item 10; reference multi-node serving,
+    script/srun_multi_node.sh)."""
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/multihost_smoke.py"],
+        capture_output=True, text=True, timeout=500,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "MULTIHOST-SMOKE-OK" in r.stdout

@@ -119,3 +119,54 @@ def test_requantize_fp8_storage_accuracy():
     yf = linear(x, q, out_dtype=jnp.float32)
     rel = float(jnp.linalg.norm(y8 - yf) / jnp.linalg.norm(yf))
     assert rel < 0.03
+
+
+def test_llmint8_outlier_decomposition():
+    """Outlier input channels stay dense (reference: bitsandbytes
+    Linear8bitLt, quantizer.py:14-50): with planted huge rows, llmint8
+    must beat plain W8A16 by a wide margin."""
+    import jax
+    import numpy as np
+
+    from chitu_tpu.ops.linear import linear
+    from chitu_tpu.quantize.transforms import quantize_llmint8
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    w = jax.random.normal(ks[0], (256, 128)) * 0.02
+    rows = jax.random.choice(ks[1], 256, (8,), replace=False)
+    w = w.at[rows].mul(100.0)  # planted outlier channels
+    x = (jax.random.normal(ks[2], (4, 256)) * 0.5).astype(jnp.bfloat16)
+    y_ref = jnp.dot(x.astype(jnp.float32), w)
+
+    q8 = quantize_weight(w, QuantKind.W8A16)
+    qo = quantize_llmint8(w, frac=8 / 256)
+    assert qo.oc_idx is not None and qo.oc_w.shape == (8, 128)
+    err8 = float(jnp.linalg.norm(linear(x, q8, out_dtype=jnp.float32) - y_ref))
+    erro = float(jnp.linalg.norm(linear(x, qo, out_dtype=jnp.float32) - y_ref))
+    assert erro < err8 * 0.2, (erro, err8)
+    # dequantize() reconstructs the outlier rows
+    np.testing.assert_allclose(
+        np.asarray(qo.dequantize(jnp.float32)), np.asarray(w),
+        atol=float(jnp.max(jnp.abs(w))) * 0.02,
+    )
+
+
+def test_llmint8_engine_end_to_end():
+    import dataclasses as dc
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_cfg
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+    from chitu_tpu.ops.qtensor import QTensor
+
+    cfg = tiny_cfg()
+    cfg = dc.replace(
+        cfg, quant=dc.replace(cfg.quant, method="llmint8", quant_on_load=True)
+    )
+    eng = Engine(cfg)
+    name = "wqkv" if "wqkv" in eng.params["layers"] else "wq"
+    q = eng.params["layers"][name]
+    assert isinstance(q, QTensor) and q.oc_idx is not None
+    toks = eng.generate("llmint8", SampleParams(temperature=0.0, max_new_tokens=4))
+    assert len(toks) == 4
