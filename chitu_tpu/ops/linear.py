@@ -23,6 +23,9 @@ from chitu_tpu.ops.qtensor import QTensor
 # the hot quantized GEMMs; "xla" is the pure-XLA fallback that works on any
 # backend (including CPU tests).
 _OP_IMPL = os.environ.get("CHITU_TPU_OP_IMPL", "auto")
+# A/B switch: route dense stacked-layer weights through the Pallas dense
+# GEMM (kernel-side layer indexing) instead of XLA's matmul
+_DENSE_KERNEL = os.environ.get("CHITU_TPU_DENSE_KERNEL", "0") == "1"
 
 
 def set_op_impl(impl: str):
@@ -73,6 +76,18 @@ def linear(
         y = _quantized_matmul(x, w, layer)
     else:
         if layer is not None and w.ndim == 3:
+            if _DENSE_KERNEL and get_op_impl() == "pallas":
+                from chitu_tpu.ops.pallas_quant_gemm import (
+                    dense_matmul_stacked,
+                )
+
+                y = dense_matmul_stacked(
+                    x.reshape(-1, x.shape[-1]), layer, w,
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(*x.shape[:-1], w.shape[-1])
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y.astype(out_dtype)
             w = w[layer]
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if bias is not None:

@@ -542,3 +542,85 @@ for _kind in (
     QuantKind.W4A16,
 ):
     register(_kind)(_wrap(_kind))
+
+
+# ---------------------------------------------------------------------------
+# Dense stacked-layer GEMM: same kernel-side layer indexing for plain bf16
+# weights (A/B path vs XLA's matmul; enable with CHITU_TPU_DENSE_KERNEL=1)
+# ---------------------------------------------------------------------------
+
+
+def _dense_kernel_stacked(layer_ref, x_ref, w_ref, o_ref, acc, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    w = w_ref.at[0] if w_ref.ndim == 3 else w_ref
+    acc[...] += jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16),
+        w[...].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def dense_matmul_stacked(
+    x: jnp.ndarray,  # [T, K]
+    layer,  # scalar i32
+    w: jnp.ndarray,  # [L, K, N] bf16
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+):
+    T, K = x.shape
+    L, _, N = w.shape
+    bm = min(BM_MAX, max(8, (T + 7) // 8 * 8))
+    bn = min(BN, N)
+    while N % bn:
+        bn //= 2
+    bk = BK
+    while K % bk:
+        bk //= 2
+    if bn < 128 or bk < 128:
+        # fall back for non-128-multiple dims
+        return jnp.dot(
+            x, w[layer].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+    xp = _pad_to(x, bm, 0)
+    Tp = xp.shape[0]
+    n_k = K // bk
+    layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+    out = pl.pallas_call(
+        functools.partial(_dense_kernel_stacked, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Tp // bm, N // bn, n_k),
+            in_specs=[
+                pl.BlockSpec(
+                    (bm, bk), lambda i, j, k, s: (i, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bk, bn), lambda i, j, k, s: (s[0], k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, k, s: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(layer_arr, xp, w)
+    return out[:T]
