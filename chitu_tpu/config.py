@@ -181,6 +181,11 @@ class InferArgs:
     # (reference: serve_config.yaml:15): "pallas" | "xla"
     op_impl: str = "auto"
     mla_absorb: str = "absorb"  # "none" | "absorb"
+    # sequence-parallel (ring-attention) prefill for long prompts: shards
+    # the prompt's token dim over the mesh's 'dp' axis (idle during a
+    # single prompt's prefill) and rotates K/V slices around the ring.
+    # ADDITIVE over the reference (no SP there; SURVEY.md §5).
+    ring_prefill: bool = False
     # fuse qkv and gate+up projections into single GEMMs (reference policy:
     # backend.py:273-285). "auto" merges when unsharded (merged column
     # sharding would split across q/k/v segment boundaries under tp)

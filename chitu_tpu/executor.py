@@ -104,13 +104,16 @@ class Executor:
 
     # -- jit builders -------------------------------------------------------
 
-    def _prefill_fn(self, T: int, mp: int, all_logits: bool = False):
-        key = (T, mp, all_logits)
+    def _prefill_fn(
+        self, T: int, mp: int, all_logits: bool = False, ring: bool = False
+    ):
+        key = (T, mp, all_logits, ring)
         fn = self._jit_prefill.get(key)
         if fn is None:
             model, page, impl = self.model, self.page, self.attn_impl
 
             mesh = self.mesh
+            kwargs = {"ring_axis": "dp"} if ring else {}
 
             def run(params, cache, tokens, block_table, start_pos, valid_len):
                 return model.prefill(
@@ -124,11 +127,24 @@ class Executor:
                     attn_impl=impl,
                     return_all_logits=all_logits,
                     mesh=mesh,
+                    **kwargs,
                 )
 
             fn = jax.jit(run, donate_argnums=(1,))
             self._jit_prefill[key] = fn
         return fn
+
+    def _ring_ok(self, n_tokens: int, pos: int) -> bool:
+        """Sequence-parallel ring prefill applies to a whole-prompt chunk
+        on a dp>1 mesh (parallel/ring.py; additive over the reference)."""
+        if not self.cfg.infer.ring_prefill or self.mesh is None:
+            return False
+        dp = self.mesh.shape.get("dp", 1)
+        return (
+            dp > 1
+            and pos == 0
+            and hasattr(self.model, "kv_tp_shard")  # llama family
+        )
 
     def _decode_fn(self, B: int, mp: int, window: int):
         """K decode+sample steps fused into one jitted program with
@@ -551,7 +567,8 @@ class Executor:
             chunk = np.zeros((T,), np.int32)
             chunk[:n] = tokens[pos : pos + n]
             bt = self.cache.allocator.block_table([t.task_id], mp)[0]
-            fn = self._prefill_fn(T, mp)
+            ring = self._ring_ok(n, pos) and pos + n == len(tokens)
+            fn = self._prefill_fn(T, mp, ring=ring)
             logits, self.cache.arrays = fn(
                 self.params,
                 self.cache.arrays,

@@ -381,6 +381,7 @@ class LlamaForCausalLM:
         attn_impl: str = "xla",
         return_all_logits: bool = False,
         mesh=None,
+        ring_axis: str = "",
     ):
         """One request's prefill chunk -> (last-token logits [V], cache).
 
@@ -418,9 +419,40 @@ class LlamaForCausalLM:
                 softcap=self.args.attn_softcap,
             )
 
-        h, pool = self._run_layers(
-            params, cache["kv"], h, cos, sin, attend, append, mesh
-        )
+        if ring_axis:
+            # sequence-parallel ring prefill: valid only for a whole-
+            # prompt chunk (start_pos == 0) — attention reads the chunk's
+            # own fresh K/V (ring-rotated), never the pool; appends still
+            # fill the pool for later decode. ADDITIVE over the reference
+            # (no SP there; parallel/ring.py).
+            from chitu_tpu.parallel.ring import ring_attention
+
+            ring_pos = jnp.where(jnp.arange(T) < valid_len, pos, -1)
+
+            # _layer computes k/v then calls attend(q, pool, layer);
+            # thread the fresh k/v through a trace-time cell per layer
+            # (append always runs right before attend in _layer)
+            cell = {}
+
+            def append_ring(pool, layer, k, v):
+                cell["kv"] = (k, v)
+                return append(pool, layer, k, v)
+
+            def attend_ring(q, pool, layer):
+                k_cur, v_cur = cell["kv"]
+                return ring_attention(
+                    q, k_cur, v_cur, ring_pos, mesh, axis=ring_axis,
+                    scale=self.attn_scale,
+                )
+
+            h, pool = self._run_layers(
+                params, cache["kv"], h, cos, sin, attend_ring, append_ring,
+                mesh,
+            )
+        else:
+            h, pool = self._run_layers(
+                params, cache["kv"], h, cos, sin, attend, append, mesh
+            )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         if return_all_logits:
             logits = self._logits(params, h)

@@ -57,3 +57,35 @@ def test_ring_with_padding_rows():
     np.testing.assert_allclose(
         np.asarray(got[:n]), np.asarray(want), atol=2e-3, rtol=2e-3
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ring_prefill_engine_matches_default():
+    """infer.ring_prefill=true on a dp=4 mesh: same greedy tokens as the
+    default prefill path (the prompt's token dim rides the ring)."""
+    import dataclasses as dc
+    import sys
+
+    sys.path.insert(0, "tests")
+    from helpers import tiny_cfg
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+
+    def cfg(ring):
+        c = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
+        m = dc.replace(
+            c.models, n_layers=2, dim=256, n_heads=8, n_kv_heads=4,
+            inter_dim=512, vocab_size=512,
+        )
+        return dc.replace(
+            c, models=m,
+            infer=dc.replace(c.infer, dp_size=4 if ring else 1,
+                             ring_prefill=ring, prefill_chunk=1024),
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    prompt = "a fairly long ring prefill prompt " * 3
+    want = Engine(cfg(False)).generate(prompt, p)
+    eng = Engine(cfg(True))
+    got = eng.generate(prompt, p)
+    assert got == want
