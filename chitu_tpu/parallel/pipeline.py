@@ -27,7 +27,6 @@ sequential path's host loop does).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,8 +78,6 @@ def decode_pipelined(
     S, Bg = tokens0.shape
     assert S == pp, "one microbatch group per stage"
     a = model.args
-    L = a.n_layers
-    Ll = L // pp
     n_phases = pp * window + pp - 1
 
     layer_leaves = params["layers"]
