@@ -98,6 +98,10 @@ class Engine:
 
             self.params = requantize_fp8_storage(self.params)
             self.params = pack_int4_storage(self.params)
+        # one grouped GEMM per MoE layer for gate+up (half the dispatches)
+        from chitu_tpu.quantize import merge_moe_gate_up
+
+        self.params = merge_moe_gate_up(self.params)
         if self.mesh is not None:
             from chitu_tpu.parallel import shard_params
 

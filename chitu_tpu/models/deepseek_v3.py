@@ -237,9 +237,9 @@ class DeepSeekV3ForCausalLM:
             moe_l["shared_up"] = P("pp", None, "tp")
             moe_l["shared_down"] = P("pp", "tp", None)
         # expert parallelism over 'tp'
-        moe_l["exp_gate"] = P("pp", "tp", None, None)
-        moe_l["exp_up"] = P("pp", "tp", None, None)
-        moe_l["exp_down"] = P("pp", "tp", None, None)
+        for name in ("exp_gate", "exp_up", "exp_gu", "exp_down"):
+            if name in params["moe_layers"]:
+                moe_l[name] = P("pp", "tp", None, None)
 
         return {
             "embed": P("tp", None),
@@ -415,10 +415,16 @@ class DeepSeekV3ForCausalLM:
         weights, sel = route(
             x, g("moe_gate"), self.moe, gate_bias=g("gate_bias")
         )
-        y = y + moe_ffn_auto(
-            x, g("exp_gate"), g("exp_up"), g("exp_down"), weights, sel,
-            self.moe, layer=layer, mesh=mesh,
-        )
+        if "exp_gu" in layers:
+            y = y + moe_ffn_auto(
+                x, g("exp_gu"), None, g("exp_down"), weights, sel,
+                self.moe, layer=layer, mesh=mesh,
+            )
+        else:
+            y = y + moe_ffn_auto(
+                x, g("exp_gate"), g("exp_up"), g("exp_down"), weights, sel,
+                self.moe, layer=layer, mesh=mesh,
+            )
         return y
 
     # -- stacks -------------------------------------------------------------

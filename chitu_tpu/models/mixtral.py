@@ -59,9 +59,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
         # expert parallelism: shard the expert dim over 'tp'
         # (realizes the EP the reference stubbed, SURVEY.md §2.7)
         ls["moe_gate"] = P("pp", None, None)
-        ls["w_gate"] = P("pp", "tp", None, None)
-        ls["w_up"] = P("pp", "tp", None, None)
-        ls["w_down"] = P("pp", "tp", None, None)
+        for name in ("w_gate", "w_up", "w_gu", "w_down"):
+            if name in params["layers"]:
+                ls[name] = P("pp", "tp", None, None)
         return specs
 
     def load_params(self, cfg, mesh=None):
@@ -74,6 +74,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
         g = lambda name: _layer_leaf(layers, name, layer)
         weights, sel = route(x, g("moe_gate"), self.moe)
+        if "w_gu" in layers:
+            return moe_ffn_auto(
+                x, g("w_gu"), None, g("w_down"), weights, sel, self.moe,
+                layer=layer, mesh=mesh,
+            )
         return moe_ffn_auto(
             x, g("w_gate"), g("w_up"), g("w_down"), weights, sel, self.moe,
             layer=layer, mesh=mesh,

@@ -179,8 +179,8 @@ def sorted_combine(
 
 def moe_ffn_sorted(
     x: jnp.ndarray,  # [T, D]
-    w_gate,  # [(L,) E, D, F] dense or QTensor
-    w_up,
+    w_gate,  # [(L,) E, D, F] dense or QTensor; or merged [.., D, 2F]
+    w_up,  # None when w_gate holds the merged [gate | up] stack
     w_down,  # [(L,) E, F, D]
     weights: jnp.ndarray,  # [T, k]
     sel: jnp.ndarray,  # [T, k] ids in [0, E_dispatch)
@@ -206,8 +206,14 @@ def moe_ffn_sorted(
     xs = jnp.take(x, tok, axis=0).astype(jnp.bfloat16)  # [NB*bm, D]
 
     layer = 0 if layer is None else layer
-    g = grouped_matmul(xs, w_gate, layer, block_expert, bm, interpret)
-    u = grouped_matmul(xs, w_up, layer, block_expert, bm, interpret)
+    if w_up is None:
+        # merged [gate | up] stack: ONE grouped GEMM, split halves
+        gu = grouped_matmul(xs, w_gate, layer, block_expert, bm, interpret)
+        F = gu.shape[-1] // 2
+        g, u = gu[:, :F], gu[:, F:]
+    else:
+        g = grouped_matmul(xs, w_gate, layer, block_expert, bm, interpret)
+        u = grouped_matmul(xs, w_up, layer, block_expert, bm, interpret)
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
         jnp.bfloat16
     )
@@ -218,7 +224,7 @@ def moe_ffn_sorted(
 def _sorted_eligible(ws) -> bool:
     from chitu_tpu.ops.pallas_moe_gemm import kernel_eligible
 
-    return all(kernel_eligible(w) for w in ws)
+    return all(kernel_eligible(w) for w in ws if w is not None)
 
 
 def moe_ffn_auto(
@@ -272,6 +278,18 @@ def moe_ffn_auto(
             return w[layer]
         return w
 
+    if w_up is None:
+        # merged stacks on the capacity fallback: split the halves
+        gu = slice_layer(w_gate)
+        from chitu_tpu.ops.qtensor import QTensor
+
+        if isinstance(gu, QTensor):
+            gu = gu.dequantize(x.dtype)
+        F = gu.shape[-1] // 2
+        return moe_ffn(
+            x, gu[..., :F], gu[..., F:], slice_layer(w_down),
+            weights, sel, cap,
+        )
     return moe_ffn(
         x, slice_layer(w_gate), slice_layer(w_up), slice_layer(w_down),
         weights, sel, cap,
@@ -301,7 +319,12 @@ def _moe_ffn_ep(
         jnp.asarray(0 if layer is None else layer, jnp.int32), (1,)
     )
 
-    def local(x_l, weights_l, sel_l, layer_l, wg_l, wu_l, wd_l):
+    merged = w_up is None
+
+    def local(x_l, weights_l, sel_l, layer_l, *wls):
+        wg_l, wu_l, wd_l = (
+            (wls[0], None, wls[1]) if merged else wls
+        )
         e0 = jax.lax.axis_index("tp") * El
         sl = sel_l - e0
         sl = jnp.where((sl < 0) | (sl >= El), El, sl)
@@ -311,6 +334,7 @@ def _moe_ffn_ep(
         )
         return jax.lax.psum(y, "tp")
 
+    wleaves = (w_gate, w_down) if merged else (w_gate, w_up, w_down)
     return jax.shard_map(
         local,
         mesh=mesh,
@@ -319,13 +343,11 @@ def _moe_ffn_ep(
             P(dp_ax, None),
             P(dp_ax, None),
             P(None),
-            leaf_spec(w_gate),
-            leaf_spec(w_up),
-            leaf_spec(w_down),
+            *[leaf_spec(w) for w in wleaves],
         ),
         out_specs=P(dp_ax, None),
         check_vma=False,
-    )(x, weights, sel, layer_arr, w_gate, w_up, w_down)
+    )(x, weights, sel, layer_arr, *wleaves)
 
 
 def moe_ffn(

@@ -3,6 +3,6 @@ from chitu_tpu.quantize.transforms import (
     pack_int4_storage,
     quantize_params,
     quantize_weight,
-    requantize_fp8_storage,
+    requantize_fp8_storage, merge_moe_gate_up,
     unpack_int4_storage,
 )

@@ -358,3 +358,57 @@ def quantize_params(
         return tree
 
     return walk(params)
+
+
+def merge_moe_gate_up(params: Any) -> Any:
+    """Concatenate MoE expert gate/up stacks into one [.., D, 2F] leaf so
+    each MoE layer runs ONE grouped GEMM for gate+up (half the kernel
+    dispatches and DMA chains; the reference's fused_moe w13 merge,
+    chitu/models/model_deepseek_v3.py:1167-1288). Applies to 4-D expert
+    stacks only; dense bf16 and fp8/int8 QTensors merge along the out dim
+    (rowwise/blockwise scales concat the same way). W4A16 expert stacks
+    stay separate (tile-relative nibble packing is not concat-safe)."""
+
+    def mergeable(a, b):
+        if a is None or b is None:
+            return False
+        if isinstance(a, QTensor) != isinstance(b, QTensor):
+            return False
+        if isinstance(a, QTensor):
+            return (
+                a.kind == b.kind
+                and a.kind in (QuantKind.SOFT_FP8, QuantKind.FP8,
+                               QuantKind.W8A16, QuantKind.W8A8)
+                and a.data.ndim == 4
+                and a.in_perm is None and b.in_perm is None
+                and a.oc_idx is None and b.oc_idx is None
+            )
+        return hasattr(a, "ndim") and a.ndim == 4 and b.ndim == 4
+
+    def cat(a, b):
+        if isinstance(a, QTensor):
+            return QTensor(
+                data=jnp.concatenate([a.data, b.data], axis=-1),
+                scale=jnp.concatenate([a.scale, b.scale], axis=-1),
+                zeros=None,
+                kind=a.kind,
+                block=a.block,
+            )
+        return jnp.concatenate([a, b], axis=-1)
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        for key in list(tree.keys()):
+            tree[key] = walk(tree[key])
+        for gate, up, merged in (
+            ("exp_gate", "exp_up", "exp_gu"),
+            ("w_gate", "w_up", "w_gu"),
+        ):
+            if gate in tree and up in tree and mergeable(
+                tree[gate], tree[up]
+            ):
+                tree[merged] = cat(tree.pop(gate), tree.pop(up))
+        return tree
+
+    return walk(params)

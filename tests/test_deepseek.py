@@ -113,7 +113,8 @@ def test_deepseek_soft_fp8_engine():
     eng = Engine(cfg)
     from chitu_tpu.ops.qtensor import QTensor
 
-    assert isinstance(eng.params["moe_layers"]["exp_gate"], QTensor)
+    ml = eng.params["moe_layers"]
+    assert isinstance(ml.get("exp_gu", ml.get("exp_gate")), QTensor)
     assert isinstance(eng.params["moe_layers"]["wkv_b"], QTensor)
     t = eng.generate("fp8 deepseek", SampleParams(temperature=0.0, max_new_tokens=4))
     assert len(t) == 4

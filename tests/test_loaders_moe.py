@@ -29,6 +29,17 @@ def _f32(x):
     return np.asarray(x.astype(jnp.float32))
 
 
+
+
+def _split_gu(lp, gate, up, merged):
+    """Engine-merged [.., D, 2F] leaves -> (gate, up) halves for writing
+    reference-format checkpoints."""
+    if merged in lp:
+        gu = lp[merged]
+        F = gu.shape[-1] // 2
+        return gu[..., :F], gu[..., F:]
+    return lp[gate], lp[up]
+
 def test_mixtral_checkpoint_roundtrip(tmp_path):
     cfg = load_config(
         overrides=[
@@ -60,9 +71,10 @@ def test_mixtral_checkpoint_roundtrip(tmp_path):
         for ours, hf in (("wq", "q_proj"), ("wk", "k_proj"), ("wv", "v_proj"), ("wo", "o_proj")):
             tensors[f"{pre}.self_attn.{hf}.weight"] = _f32(lp[ours]).T.copy()
         tensors[f"{pre}.block_sparse_moe.gate.weight"] = _f32(lp["moe_gate"]).T.copy()
+        wg_l, wu_l = _split_gu(lp, "w_gate", "w_up", "w_gu")
         for e in range(E):
-            tensors[f"{pre}.block_sparse_moe.experts.{e}.w1.weight"] = _f32(lp["w_gate"][e]).T.copy()
-            tensors[f"{pre}.block_sparse_moe.experts.{e}.w3.weight"] = _f32(lp["w_up"][e]).T.copy()
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w1.weight"] = _f32(wg_l[e]).T.copy()
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w3.weight"] = _f32(wu_l[e]).T.copy()
             tensors[f"{pre}.block_sparse_moe.experts.{e}.w2.weight"] = _f32(lp["w_down"][e]).T.copy()
     _save(tensors, tmp_path)
 
@@ -176,9 +188,11 @@ def _write_deepseek_ckpt(cfg, params, model, tmp_path, fp8=False):
             )
             for ours, hf in (("shared_gate", "gate_proj"), ("shared_up", "up_proj"), ("shared_down", "down_proj")):
                 put_linear(f"{pre}.mlp.shared_experts.{hf}", _f32(lp[ours]))
+            eg_l, eu_l = _split_gu(lp, "exp_gate", "exp_up", "exp_gu")
             for e in range(a.moe.n_routed_experts):
-                for ours, hf in (("exp_gate", "gate_proj"), ("exp_up", "up_proj"), ("exp_down", "down_proj")):
-                    put_linear(f"{pre}.mlp.experts.{e}.{hf}", _f32(lp[ours][e]))
+                put_linear(f"{pre}.mlp.experts.{e}.gate_proj", _f32(eg_l[e]))
+                put_linear(f"{pre}.mlp.experts.{e}.up_proj", _f32(eu_l[e]))
+                put_linear(f"{pre}.mlp.experts.{e}.down_proj", _f32(lp["exp_down"][e]))
     _save(tensors, tmp_path)
 
 
@@ -220,8 +234,9 @@ def test_deepseek_checkpoint_fp8_loads_as_qtensors(tmp_path):
         cfg, models=margs, infer=dataclasses.replace(cfg.infer, do_load=True)
     )
     eng = Engine(cfg2)
-    assert isinstance(eng.params["moe_layers"]["exp_gate"], QTensor)
-    assert isinstance(eng.params["moe_layers"]["wkv_b"], QTensor)
+    ml = eng.params["moe_layers"]
+    assert isinstance(ml.get("exp_gu", ml.get("exp_gate")), QTensor)
+    assert isinstance(ml["wkv_b"], QTensor)
     # fp8 engine still generates; greedy tokens near the bf16 engine's
     p = SampleParams(temperature=0.0, max_new_tokens=5)
     got = eng.generate("ds fp8 ckpt", p)

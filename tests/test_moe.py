@@ -130,7 +130,8 @@ def test_mixtral_ep_sharding():
         cfg, infer=dataclasses.replace(cfg.infer, tp_size=4)
     )
     eng = Engine(cfg2)
-    wg = eng.params["layers"]["w_gate"]
+    ly = eng.params["layers"]
+    wg = ly.get("w_gu", ly.get("w_gate"))  # gate+up merge at engine load
     assert wg.sharding.shard_shape(wg.shape)[1] == wg.shape[1] // 4
     got = eng.generate("expert parallel check", p)
     assert got == want
