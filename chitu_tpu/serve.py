@@ -305,13 +305,15 @@ class _ProbeFilter(logging.Filter):
 def serve_forever(cfg: EngineConfig, warmup: bool = True):
     ctx = ServerContext(cfg)
     ctx.start(warmup=warmup)
-    from chitu_tpu.parallel.distributed import is_controller
+    from chitu_tpu.parallel.distributed import is_controller, process_count
 
     if not is_controller():
         # non-controller hosts run only the engine worker loop; the
         # controller serves HTTP (reference: rank-0 uvicorn + all-rank
         # worker loops, serve.py:215-233)
-        logger.info("worker process %d: engine loop only", __import__("jax").process_index())
+        logger.info(
+            "worker process (of %d): engine loop only", process_count()
+        )
         ctx.worker.join()
         return
     logging.getLogger("aiohttp.access").addFilter(_ProbeFilter())

@@ -170,3 +170,44 @@ def test_llmint8_engine_end_to_end():
     assert isinstance(q, QTensor) and q.oc_idx is not None
     toks = eng.generate("llmint8", SampleParams(temperature=0.0, max_new_tokens=4))
     assert len(toks) == 4
+
+
+def test_merge_moe_gate_up_transform():
+    """Gate+up expert stacks merge into [.., D, 2F]; quantized scales
+    concat along the out dim; dequantized halves match the originals."""
+    import numpy as np
+
+    from chitu_tpu.quantize import merge_moe_gate_up, requantize_fp8_storage
+    from chitu_tpu.ops.qtensor import QTensor
+
+    L, E, D, F = 2, 4, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 2)
+    wg = jax.random.normal(ks[0], (L, E, D, F)) * 0.05
+    wu = jax.random.normal(ks[1], (L, E, D, F)) * 0.05
+
+    # dense merge
+    tree = merge_moe_gate_up({"layers": {"exp_gate": wg, "exp_up": wu}})
+    gu = tree["layers"]["exp_gu"]
+    assert gu.shape == (L, E, D, 2 * F)
+    np.testing.assert_array_equal(np.asarray(gu[..., :F]), np.asarray(wg))
+
+    # quantized merge (rowwise fp8 scales)
+    qg = requantize_fp8_storage(
+        {"w": quantize_weight(wg, QuantKind.SOFT_FP8)}
+    )["w"]
+    qu = requantize_fp8_storage(
+        {"w": quantize_weight(wu, QuantKind.SOFT_FP8)}
+    )["w"]
+    tree = merge_moe_gate_up({"layers": {"exp_gate": qg, "exp_up": qu}})
+    qgu = tree["layers"]["exp_gu"]
+    assert isinstance(qgu, QTensor) and qgu.data.shape[-1] == 2 * F
+    np.testing.assert_allclose(
+        np.asarray(qgu.dequantize(jnp.float32)[..., :F]),
+        np.asarray(qg.dequantize(jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(qgu.dequantize(jnp.float32)[..., F:]),
+        np.asarray(qu.dequantize(jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
