@@ -311,11 +311,12 @@ def attend_decode(
 
 # ---------------------------------------------------------------------------
 # shard_map wrappers: pallas kernels under a mesh. q arrives head-sharded
-# over 'tp' (column-parallel wq); the pool is replicated (cache spec). Each
-# shard runs the kernel on its contiguous head slice, using global
-# head->KV-block mapping via its head offset. GSPMD cannot partition
-# pallas_call itself, so this is the multi-chip kernel path
-# (the NCCL-free analogue of the reference's per-rank flash-attn calls).
+# over 'tp' (column-parallel wq); the pool is either TP-sharded on the
+# interleaved KV-head minor (kv_tp_shard — each shard reads only its own
+# KV heads' pages) or replicated (fallback for non-divisible layouts).
+# GSPMD cannot partition pallas_call itself, so this is the multi-chip
+# kernel path (the NCCL-free analogue of the reference's per-rank
+# flash-attn calls).
 # ---------------------------------------------------------------------------
 
 
