@@ -187,3 +187,39 @@ def test_quantized_ppl_vs_hf_ground_truth(tmp_path):
         want = hf(torch.tensor([IDS])).logits[0].float().numpy()
     agree = (got.argmax(-1) == want.argmax(-1)).mean()
     assert agree >= 0.9, f"quantized top-1 agreement {agree}"
+
+
+# thresholds are loose on purpose: random-init logits are near-tied so
+# quantization noise flips many argmaxes; the gate catches catastrophic
+# loader/scale bugs (which drop agreement to chance, ~1/512)
+@pytest.mark.parametrize("method,min_agree", [
+    ("soft_fp8", 0.8), ("w8a16", 0.85), ("w8a8", 0.75),
+    ("awq", 0.5), ("llmint8", 0.8),
+])
+def test_quant_ladder_accuracy_vs_hf(tmp_path, method, min_agree):
+    """Every quantization scheme, loaded over a REAL HF checkpoint, must
+    keep teacher-forced top-1 agreement with the f32 transformers forward
+    (the per-bit-width accuracy gate BASELINE.md demands)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(10)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=256, inter_dim=512, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+        ),
+    )
+    qcfg = dc.replace(
+        cfg, quant=dc.replace(cfg.quant, method=method, quant_on_load=True)
+    )
+    got = _engine_all_logits(Engine(qcfg), IDS)
+    with torch.no_grad():
+        want = hf(torch.tensor([IDS])).logits[0].float().numpy()
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= min_agree, (method, agree)
