@@ -370,20 +370,20 @@ def merge_moe_gate_up(params: Any) -> Any:
     stay separate (tile-relative nibble packing is not concat-safe)."""
 
     def mergeable(a, b):
-        if a is None or b is None:
+        # QUANTIZED stacks only: merging measurably helps fp8 (fewer
+        # dispatches over half the bytes) but REGRESSED the dense bf16
+        # grouped GEMM ~40% at the 16x3.7B bench geometry (wider-N chunks
+        # pipeline worse at bf16 byte rates), so dense stacks stay split
+        if not (isinstance(a, QTensor) and isinstance(b, QTensor)):
             return False
-        if isinstance(a, QTensor) != isinstance(b, QTensor):
-            return False
-        if isinstance(a, QTensor):
-            return (
-                a.kind == b.kind
-                and a.kind in (QuantKind.SOFT_FP8, QuantKind.FP8,
-                               QuantKind.W8A16, QuantKind.W8A8)
-                and a.data.ndim == 4
-                and a.in_perm is None and b.in_perm is None
-                and a.oc_idx is None and b.oc_idx is None
-            )
-        return hasattr(a, "ndim") and a.ndim == 4 and b.ndim == 4
+        return (
+            a.kind == b.kind
+            and a.kind in (QuantKind.SOFT_FP8, QuantKind.FP8,
+                           QuantKind.W8A16, QuantKind.W8A8)
+            and a.data.ndim == 4
+            and a.in_perm is None and b.in_perm is None
+            and a.oc_idx is None and b.oc_idx is None
+        )
 
     def cat(a, b):
         if isinstance(a, QTensor):

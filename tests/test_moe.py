@@ -131,7 +131,7 @@ def test_mixtral_ep_sharding():
     )
     eng = Engine(cfg2)
     ly = eng.params["layers"]
-    wg = ly.get("w_gu", ly.get("w_gate"))  # gate+up merge at engine load
+    wg = ly.get("w_gu", ly.get("w_gate"))  # quantized engines merge gate+up
     assert wg.sharding.shard_shape(wg.shape)[1] == wg.shape[1] // 4
     got = eng.generate("expert parallel check", p)
     assert got == want
