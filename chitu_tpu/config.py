@@ -186,6 +186,13 @@ class InferArgs:
     # single prompt's prefill) and rotates K/V slices around the ring.
     # ADDITIVE over the reference (no SP there; SURVEY.md §5).
     ring_prefill: bool = False
+    # ring-sharded KV cache: the paged pool's page dim shards over the
+    # 'dp' axis (striped pages, owner-writes, flash-decoding stat combine
+    # across shards — ops/attention_ring.py), so total KV capacity scales
+    # with the ring. The batch stays replicated over 'dp' (capacity trades
+    # against replica throughput — the long-context serving regime).
+    # ADDITIVE over the reference; requires tp_size == pp_size == 1.
+    ring_kv: bool = False
     # fuse qkv and gate+up projections into single GEMMs (reference policy:
     # backend.py:273-285). "auto" merges when unsharded (merged column
     # sharding would split across q/k/v segment boundaries under tp)

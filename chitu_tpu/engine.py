@@ -136,12 +136,39 @@ class Engine:
             infer = dataclasses.replace(cfg.infer, page_size=page_size)
             cfg = dataclasses.replace(cfg, infer=infer)
             self.cfg = cfg
+        ring_kv = (
+            cfg.infer.ring_kv
+            and self.mesh is not None
+            and self.mesh.shape.get("dp", 1) > 1
+        )
+        if cfg.infer.ring_kv and not ring_kv:
+            logger.warning("ring_kv requested but dp_size <= 1; disabled")
+        if ring_kv:
+            # ring-sharded pool (ops/attention_ring.py): pages stripe over
+            # 'dp'; first cut is the pure-'dp' ring (the long-context
+            # capacity regime — tp/pp compose later)
+            if cfg.infer.tp_size != 1 or cfg.infer.pp_size != 1:
+                raise ValueError("ring_kv requires tp_size == pp_size == 1")
+            if not hasattr(self.model, "kv_tp_shard"):
+                raise ValueError(
+                    "ring_kv currently covers the llama family "
+                    "(GQA split-KV pools)"
+                )
+            if cfg.infer.ring_prefill:
+                raise ValueError(
+                    "ring_kv and ring_prefill both ride the 'dp' axis; "
+                    "enable one"
+                )
+            dp = self.mesh.shape["dp"]
+            num_pages = (num_pages + dp - 1) // dp * dp
         cache_sharding = None
         if self.mesh is not None:
-            cache_sharding = (
-                self.mesh,
-                self.model.kv_cache_partition_spec(self.mesh.shape["tp"]),
-            )
+            from jax.sharding import PartitionSpec as P
+
+            pspec = self.model.kv_cache_partition_spec(self.mesh.shape["tp"])
+            if ring_kv:
+                pspec = P(pspec[0], "dp", *pspec[2:])
+            cache_sharding = (self.mesh, pspec)
         self.cache = PagedKVCache(
             spec["n_layers"],
             num_pages,

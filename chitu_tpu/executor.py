@@ -62,6 +62,15 @@ class Executor:
         self.max_reqs = cfg.infer.max_reqs
         self.mp_full = cfg.infer.max_seq_len // self.page + 1
         self.attn_impl = self._resolve_attn_impl()
+        # ring-sharded KV pool (ops/attention_ring.py): pages stripe over
+        # the 'dp' axis; batch replicated. Engine validates the layout.
+        self.ring_kv_axis = (
+            "dp"
+            if cfg.infer.ring_kv
+            and mesh is not None
+            and mesh.shape.get("dp", 1) > 1
+            else ""
+        )
 
         vocab = model.args.vocab_size
         self.counts = jnp.zeros((self.max_reqs, vocab), jnp.int32)
@@ -114,6 +123,8 @@ class Executor:
 
             mesh = self.mesh
             kwargs = {"ring_axis": "dp"} if ring else {}
+            if self.ring_kv_axis:
+                kwargs["ring_kv_axis"] = self.ring_kv_axis
 
             def run(params, cache, tokens, block_table, start_pos, valid_len):
                 return model.prefill(
@@ -146,19 +157,32 @@ class Executor:
             and hasattr(self.model, "kv_tp_shard")  # llama family
         )
 
-    def _decode_fn(self, B: int, mp: int, window: int):
+    def _decode_fn(
+        self, B: int, mp: int, window: int, greedy: bool = False,
+        nopen: bool = False,
+    ):
         """K decode+sample steps fused into one jitted program with
         on-device token feedback — the TPU replacement for the reference's
         CUDA-graph decode (reference: models/model.py:537-622), extended to
         amortize host dispatch/fetch latency over `window` tokens.
 
         Returns tokens [window, B] with -1 for steps where a row had
-        already finished (EOS / budget) inside the window."""
-        key = (B, mp, window)
+        already finished (EOS / budget) inside the window.
+
+        `greedy` / `nopen` are host-known batch properties (every row
+        greedy / no row penalized) that specialize the compiled window:
+        greedy drops the top-k+gumbel machinery for one argmax, nopen
+        drops the [max_reqs, vocab] counts gather+scatter."""
+        key = (B, mp, window, greedy, nopen)
         fn = self._jit_decode.get(key)
         if fn is None:
             model, page, impl = self.model, self.page, self.attn_impl
             mesh = self.mesh
+            dkw = (
+                {"ring_kv_axis": self.ring_kv_axis}
+                if self.ring_kv_axis
+                else {}
+            )
 
             def run(
                 params,
@@ -192,15 +216,21 @@ class Executor:
                         page_size=page,
                         attn_impl=impl,
                         mesh=mesh,
+                        **dkw,
                     )
-                    logits = sampling.apply_frequency_penalty(
-                        logits, counts, slots, pens
-                    )
+                    if not nopen:
+                        logits = sampling.apply_frequency_penalty(
+                            logits, counts, slots, pens
+                        )
                     rng, sub = jax.random.split(rng)
                     new = sampling.sample_tokens(
-                        logits, sub, temps, top_ks, top_ps
+                        logits, sub, temps, top_ks, top_ps,
+                        greedy_all=greedy,
                     )
-                    counts = sampling.update_counts(counts, slots, new, live)
+                    if not nopen:
+                        counts = sampling.update_counts(
+                            counts, slots, new, live
+                        )
                     is_stop = check_stop & jnp.any(
                         new[:, None] == stop_ids, axis=-1
                     )
@@ -348,6 +378,11 @@ class Executor:
         if fn is None:
             model, page, impl = self.model, self.page, self.attn_impl
             mesh = self.mesh
+            pkw = (
+                {"ring_kv_axis": self.ring_kv_axis}
+                if self.ring_kv_axis
+                else {}
+            )
 
             def run(params, cache, tokens_r, bts_r, starts_r, lens_r):
                 def body(cache, xs):
@@ -362,6 +397,7 @@ class Executor:
                         page_size=page,
                         attn_impl=impl,
                         mesh=mesh,
+                        **pkw,
                     )
                     return cache, logits
 
@@ -478,7 +514,11 @@ class Executor:
         logits_by_task = {}
         packable: List[Task] = []
         groups: Dict[Tuple[int, int], List[Task]] = {}
-        has_packed = hasattr(self.model, "prefill_packed")
+        # ring-sharded pool: the packed kernel path reads pages locally;
+        # ring mode routes through the (ring-aware) per-request prefill
+        has_packed = (
+            hasattr(self.model, "prefill_packed") and not self.ring_kv_axis
+        )
         for t in admitted:
             n_tok = len(t.tokens) - t.prefilled_len
             if t.prefilled_len == 0 and n_tok <= chunk_cap:
@@ -645,7 +685,9 @@ class Executor:
 
         stop_ids = self._stop_ids(live, B)
         temps, tks, tps, pens, slots, valid = self._sampling_arrays(live, B)
-        fn = self._decode_fn(B, self.mp_full, window)
+        greedy = all(t.req.params.top_k == 1 for t in live)
+        nopen = all(t.req.params.frequency_penalty == 0.0 for t in live)
+        fn = self._decode_fn(B, self.mp_full, window, greedy, nopen)
 
         dev_tokens = jnp.asarray(tokens)
         dev_seq = jnp.asarray(seq_lens)

@@ -253,6 +253,7 @@ class LlamaForCausalLM:
         attend,  # fn(q, pool, layer) -> [T, H, Dv]
         append,  # fn(pool, layer, k, v) -> pool
         mesh=None,
+        fused=None,  # fn(q, pool, layer, k, v) -> (o, pool): append+attend
     ):
         a = self.args
         T = h.shape[0]
@@ -273,8 +274,11 @@ class LlamaForCausalLM:
             v = linear(x, g("wv"), g("bv"), layer=layer).reshape(T, KV, Dh)
         q = apply_rope(q, cos, sin, self.rotary_layout)
         k = apply_rope(k, cos, sin, self.rotary_layout)
-        pool = append(pool, layer, k, v)
-        o = attend(q, pool, layer)
+        if fused is not None:
+            o, pool = fused(q, pool, layer, k, v)
+        else:
+            pool = append(pool, layer, k, v)
+            o = attend(q, pool, layer)
         h = h + linear(o.reshape(T, H * Dh), g("wo"), layer=layer)
 
         x = self._norm_acts(
@@ -335,7 +339,10 @@ class LlamaForCausalLM:
         hid = self._maybe_quant_acts(hid.astype(jnp.bfloat16), g("w_down"), mesh)
         return linear(hid, g("w_down"), layer=layer)
 
-    def _run_layers(self, params, pool, h, cos, sin, attend, append, mesh=None):
+    def _run_layers(
+        self, params, pool, h, cos, sin, attend, append, mesh=None,
+        fused=None,
+    ):
         """Scan over stacked layer params; the pool rides the CARRY whole
         and is indexed per layer inside the kernels/scatters — per-layer
         slicing through scan xs/ys copies the slice each iteration (cost
@@ -352,7 +359,8 @@ class LlamaForCausalLM:
             lp, layer = xs
             view = {**lp, **static_leaves}
             h, pool = self._layer(
-                h, view, pool, layer, cos, sin, attend, append, mesh
+                h, view, pool, layer, cos, sin, attend, append, mesh,
+                fused=fused,
             )
             return (h, pool), None
 
@@ -382,6 +390,7 @@ class LlamaForCausalLM:
         return_all_logits: bool = False,
         mesh=None,
         ring_axis: str = "",
+        ring_kv_axis: str = "",
     ):
         """One request's prefill chunk -> (last-token logits [V], cache).
 
@@ -393,6 +402,37 @@ class LlamaForCausalLM:
         h = jnp.take(params["embed"], tokens, axis=0)
         cos = jnp.take(self.cos, jnp.minimum(pos, self.cos.shape[0] - 1), 0)
         sin = jnp.take(self.sin, jnp.minimum(pos, self.sin.shape[0] - 1), 0)
+
+        if ring_kv_axis:
+            # ring-sharded pool: owner-writes + cross-shard stat combine
+            # (ops/attention_ring.py; additive over the reference)
+            from chitu_tpu.ops import attention_ring as ring_ops
+
+            def append(pool, layer, k, v):
+                return ring_ops.append_prefill_ring(
+                    pool, layer, k, v, block_table, pos, valid_len,
+                    page_size, mesh, ring_kv_axis,
+                )
+
+            def attend(q, pool, layer):
+                return ring_ops.attend_prefill_ring(
+                    q, pool, layer, block_table,
+                    jnp.where(jnp.arange(T) < valid_len, pos, 0),
+                    total_len, page_size, self.args.n_kv_heads,
+                    self.head_dim, split_kv=True, scale=self.attn_scale,
+                    mesh=mesh, axis=ring_kv_axis,
+                    window=self.args.sliding_window,
+                    softcap=self.args.attn_softcap,
+                )
+
+            h, pool = self._run_layers(
+                params, cache["kv"], h, cos, sin, attend, append, mesh
+            )
+            h = rms_norm(h, params["norm"], self.args.norm_eps)
+            if return_all_logits:
+                return self._logits(params, h), {"kv": pool}
+            last = jnp.take(h, jnp.maximum(valid_len - 1, 0), axis=0)
+            return self._logits(params, last), {"kv": pool}
 
         def append(pool, layer, k, v):
             return attn_ops.append_prefill(
@@ -536,6 +576,7 @@ class LlamaForCausalLM:
         page_size: int,
         attn_impl: str = "xla",
         mesh=None,
+        ring_kv_axis: str = "",
     ):
         """Batched one-token decode -> (logits [B, V], cache).
 
@@ -549,6 +590,30 @@ class LlamaForCausalLM:
         idx = jnp.minimum(seq_lens, self.cos.shape[0] - 1)
         cos = jnp.take(self.cos, idx, 0)  # [B, R/2]
         sin = jnp.take(self.sin, idx, 0)
+
+        if ring_kv_axis:
+            from chitu_tpu.ops import attention_ring as ring_ops
+
+            def append(pool, layer, k, v):
+                return ring_ops.append_decode_ring(
+                    pool, layer, k, v, block_tables, seq_lens, valid,
+                    page_size, mesh, ring_kv_axis,
+                )
+
+            def attend(q, pool, layer):
+                return ring_ops.attend_decode_ring(
+                    q, pool, layer, block_tables, seq_lens, page_size,
+                    self.args.n_kv_heads, self.head_dim, split_kv=True,
+                    scale=self.attn_scale, mesh=mesh, axis=ring_kv_axis,
+                    window=self.args.sliding_window,
+                    softcap=self.args.attn_softcap,
+                )
+
+            h, pool = self._run_layers(
+                params, cache["kv"], h, cos, sin, attend, append, mesh
+            )
+            h = rms_norm(h, params["norm"], a.norm_eps)
+            return self._logits(params, h), {"kv": pool}
 
         def append(pool, layer, k, v):
             return attn_ops.append_decode(
@@ -574,10 +639,28 @@ class LlamaForCausalLM:
                 softcap=self.args.attn_softcap,
             )
 
+        # fused append+attend kernel (the flash_attn_with_kvcache contract,
+        # reference: attn_backend.py:167-243): kills the per-layer XLA
+        # scatter on the single-chip pallas path
+        fused = None
+        if attn_impl == "pallas" and mesh is None:
+            from chitu_tpu.ops import pallas_attention
+
+            interp = jax.default_backend() != "tpu"
+
+            def fused(q, pool, layer, k, v):
+                return pallas_attention.attend_decode_fused(
+                    q, pool, layer, k, v, block_tables, seq_lens, valid,
+                    page_size, a.n_kv_heads, self.head_dim, split_kv=True,
+                    scale=self.attn_scale, interpret=interp,
+                    window=a.sliding_window, softcap=a.attn_softcap,
+                )
+
         # _layer treats the batch dim as the "token" dim; rope tables are
         # per-row so the [T, 1, R/2] broadcast in apply_rope still applies.
         h, pool = self._run_layers(
-            params, cache["kv"], h, cos, sin, attend, append, mesh
+            params, cache["kv"], h, cos, sin, attend, append, mesh,
+            fused=fused,
         )
         h = rms_norm(h, params["norm"], a.norm_eps)
         logits = self._logits(params, h)

@@ -150,6 +150,7 @@ def attend_prefill(
             q, pool, layer, block_table, q_pos, total_len,
             page_size, kv_heads, head_dim, split_kv, scale=scale,
             window=window, softcap=softcap,
+            interpret=jax.default_backend() != "tpu",
         )
     gathered = _gather(pool, layer, block_table[None])
     k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
@@ -254,6 +255,7 @@ def attend_prefill_packed(
             q, pool, layer, block_tables, block_seg, block_qstart,
             total_lens, page_size, kv_heads, head_dim, split_kv,
             scale=scale, window=window, softcap=softcap,
+            interpret=jax.default_backend() != "tpu",
         )
     return _oracle_prefill_packed(
         q, pool, layer, block_tables, seg_ids, pos, total_lens,
@@ -292,6 +294,7 @@ def attend_decode(
             q, pool, layer, block_tables, seq_lens,
             page_size, kv_heads, head_dim, split_kv, scale=scale,
             window=window, softcap=softcap,
+            interpret=jax.default_backend() != "tpu",
         )
     gathered = _gather(pool, layer, block_tables)
     k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)

@@ -329,6 +329,273 @@ def attend_decode(
     )(block_tables, seq_lens, layer_arr, q_exp, pool, mask, fold)
 
 
+def _decode_fused_kernel(
+    block_tables_ref,  # [B, mp] int32 (SMEM, scalar prefetch)
+    seq_lens_ref,  # [B] int32 (context EXCLUDING the new token)
+    layer_ref,  # [1] int32
+    valid_ref,  # [B] int32 (1 = live row)
+    q_ref,  # [1, H, C] VMEM block
+    newkv_ref,  # [1, 1, C] VMEM block: the new token's packed page row
+    pool_ref,  # [L, P, page, M] ANY/HBM (aliased to pool_out_ref)
+    mask_ref,  # [H, C] VMEM
+    fold_ref,  # [C, D] VMEM
+    o_ref,  # [1, H, D] VMEM block
+    pool_out_ref,  # [L, P, page, M] ANY/HBM — same buffer as pool_ref
+    buf,  # [W, page, M] VMEM
+    sems,  # [W] DMA semaphores
+    wbuf,  # [ALIGN, M] VMEM: aligned block around the append slot
+    wsem,  # scalar DMA semaphore for the append read+write
+    *,
+    page: int,
+    scale: float,
+    split_kv: bool,
+    ring: int,
+    window: int = 0,
+    softcap: float = 0.0,
+):
+    """Fused append+attend decode: the reference's
+    `flash_attn_with_kvcache` contract (in-kernel KV append,
+    reference: chitu/attn_backend.py:167-243) done the TPU way.
+
+    The new token's page row lands via an aligned read-modify-write —
+    Mosaic DMAs slice the sublane dim at 8-row granularity, so the kernel
+    fetches the 8-row block around the slot, splices the row in VMEM, and
+    writes the block back (requests never share a page, so the other 7
+    rows are this row's own bytes). Attention runs over the PRIOR context
+    pages; the new token's contribution is computed directly from the
+    VMEM row as one extra online-softmax column — the kernel never
+    depends on reading back the bytes it writes, and the separate XLA
+    scatter append (measured ~0.3 ms/step at TinyLlama bs=16) disappears."""
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    layer = layer_ref[0]
+    live = valid_ref[b] > 0
+    total = seq_lens_ref[b]  # EXCLUSIVE of the new token
+
+    # append: splice one [1, C] row into the aligned block of its slot
+    align = wbuf.shape[0]
+    pid_new = block_tables_ref[b, jax.lax.div(total, page)]
+    off_new = jax.lax.rem(total, page)
+    blk0 = jax.lax.div(off_new, align) * align
+    can_write = live & (pid_new >= 0)
+
+    def wblock(ref):
+        return ref.at[layer, jnp.maximum(pid_new, 0), pl.ds(blk0, align)]
+
+    @pl.when(can_write)
+    def _():
+        pltpu.make_async_copy(wblock(pool_ref), wbuf, wsem).start()
+
+    def row_geometry(row):
+        tot = seq_lens_ref[row]
+        n_pages = jax.lax.div(tot + page - 1, page)
+        if window > 0:
+            p0 = jnp.maximum(tot + 1 - window, 0) // page
+        else:
+            p0 = 0
+        return tot, p0, n_pages
+
+    tot_b, p0, n_pages = row_geometry(b)
+    H = q_ref.shape[1]
+    D = fold_ref.shape[1]
+
+    def dma(slot, i, row):
+        pid = jnp.maximum(block_tables_ref[row, i], 0)
+        return pltpu.make_async_copy(
+            pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
+        )
+
+    def fill_ring(row):
+        _, q0, np_r = row_geometry(row)
+        for w in range(ring):
+            @pl.when(q0 + w < np_r)
+            def _():
+                dma(jax.lax.rem(q0 + w, ring), q0 + w, row).start()
+
+    @pl.when(b == 0)
+    def _():
+        fill_ring(0)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, ring)
+        dma(slot, i, b).wait()
+
+        rows = buf[slot].astype(jnp.float32)  # [page, M]
+        pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        valid = pos < tot_b
+        s = jax.lax.dot_general(
+            q, rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+        if window > 0:
+            valid = valid & (pos >= tot_b + 1 - window)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv_full = jax.lax.dot_general(
+            p, rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pv = jax.lax.dot_general(
+            pv_full * mask_ref[...], fold_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i + ring < n_pages)
+        def _():
+            dma(slot, i + ring, b).start()
+
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    acc0 = jnp.zeros((H, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
+
+    # the new token's own column, straight from VMEM (never read back
+    # from HBM): one extra online-softmax block of width 1
+    newrow = newkv_ref[0].astype(jnp.float32)  # [1, C]
+    s_new = jax.lax.dot_general(
+        q, newrow, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, 1]
+    if softcap > 0.0:
+        s_new = jnp.tanh(s_new / softcap) * softcap
+    m_f = jnp.maximum(m, s_new)
+    p_new = jnp.exp(s_new - m_f)  # [H, 1]
+    alpha = jnp.exp(m - m_f)
+    l_f = l * alpha + p_new
+    pv_new = jax.lax.dot_general(
+        (p_new * newrow) * mask_ref[...], fold_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, D]
+    acc_f = acc * alpha + pv_new
+
+    @pl.when(b + 1 < B)
+    def _():
+        fill_ring(b + 1)
+
+    o_ref[0] = (acc_f / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(can_write)
+    def _():
+        pltpu.make_async_copy(wblock(pool_ref), wbuf, wsem).wait()
+        row_in_blk = off_new - blk0
+        rows = jax.lax.broadcasted_iota(jnp.int32, wbuf.shape, 0)
+        wbuf[...] = jnp.where(
+            rows == row_in_blk, newkv_ref[0].astype(wbuf.dtype), wbuf[...]
+        )
+        cp = pltpu.make_async_copy(wbuf, wblock(pool_out_ref), wsem)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "head_dim", "split_kv", "scale",
+        "interpret", "group", "window", "softcap",
+    ),
+)
+def attend_decode_fused(
+    q: jnp.ndarray,  # [B, H, D]
+    pool: jnp.ndarray,  # [L, P, page, M] (aliased: returned updated)
+    layer: jnp.ndarray,  # scalar i32
+    k: jnp.ndarray,  # [B, KV, D] new token K
+    v: Optional[jnp.ndarray],  # [B, KV, D] new token V (None = merged MLA)
+    block_tables: jnp.ndarray,  # [B, mp] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (context excluding the new token)
+    valid: jnp.ndarray,  # [B] bool
+    page_size: int,
+    kv_heads: int,
+    head_dim: int,
+    split_kv: bool = True,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+    group: Optional[int] = None,
+    head_offset=0,
+    window: int = 0,
+    softcap: float = 0.0,
+):
+    """-> (out [B, H, D], pool updated in place via aliasing)."""
+    from chitu_tpu.ops.attention import pack_kv
+
+    B, H, D = q.shape
+    L, P, page, M = pool.shape
+    assert page == page_size and D == head_dim
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    ring = min(
+        _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
+        max(block_tables.shape[-1], 2),
+    )
+
+    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
+    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
+    newkv = pack_kv(k, v, M).astype(pool.dtype)[:, None, :]  # [B, 1, M]
+    layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ring, page, M), pool.dtype),
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.VMEM((min(page, 8), M), pool.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _decode_fused_kernel, page=page, scale=scale, split_kv=split_kv,
+        ring=ring, window=window, softcap=softcap,
+    )
+    out, pool = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+        ],
+        grid_spec=grid_spec,
+        # alias the pool input (operand 6 counting the 4 scalar-prefetch
+        # refs + q + newkv) onto the pool output
+        input_output_aliases={6: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        block_tables, seq_lens, layer_arr, valid.astype(jnp.int32),
+        q_exp, newkv, pool, mask, fold,
+    )
+    return out, pool
+
+
 # ---------------------------------------------------------------------------
 # Prefill kernel
 # ---------------------------------------------------------------------------

@@ -30,9 +30,17 @@ def sample_tokens(
     temperature: jnp.ndarray,  # [B] f32 (>0; 0 was coerced to greedy upstream)
     top_k: jnp.ndarray,  # [B] i32 (<=0 -> no k limit; 1 -> greedy)
     top_p: jnp.ndarray,  # [B] f32 (>=1 -> no p limit)
+    greedy_all: bool = False,  # STATIC: every row is greedy (top_k == 1)
 ) -> jnp.ndarray:
-    """Sample one token per row. Returns [B] int32."""
+    """Sample one token per row. Returns [B] int32.
+
+    `greedy_all` is a host-known specialization: when every request in the
+    batch is greedy the whole top-k/gumbel machinery compiles away to one
+    argmax (measured ~0.3 ms/step at bs=16 V=32k — the jit-variant
+    analogue of the reference keying CUDA graphs on batch shape)."""
     B, V = logits.shape
+    if greedy_all:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     k_eff = min(MAX_K, V)
     # greedy rows use an EXACT argmax (cheap max-reduce); the stochastic
     # candidate set uses the TPU-optimized approximate top-k (a documented

@@ -221,3 +221,23 @@ def test_terminate_drains_in_flight_requests():
     # all pages and slots released
     assert eng.cache.allocator.num_free() >= free_before
     assert len(eng.executor.slots.by_req) == 0
+
+
+def test_pallas_fused_decode_matches_xla_single_device():
+    """Single-device attn_type=pallas routes decode through the FUSED
+    append+attend kernel (models/llama.py `fused=`); greedy tokens must
+    match the XLA-oracle engine (CPU runs the kernel in interpret mode)."""
+    import dataclasses
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    cfg = tiny_cfg(**{"infer.stop_with_eos": False})
+    want = Engine(cfg).generate("fused decode kernel check", p)
+
+    cfg_p = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, attn_type="pallas")
+    )
+    eng = Engine(cfg_p)
+    assert eng.executor.attn_impl == "pallas"
+    assert eng.mesh is None
+    got = eng.generate("fused decode kernel check", p)
+    assert got == want

@@ -78,6 +78,59 @@ def test_decode_kernel_large_heads():
     )
 
 
+def _fused_setup(split=True, KV=4, D=64, H=8):
+    q, pool, bt, seq_lens = _setup(KV=KV, D=D, H=H, split=split)
+    B = q.shape[0]
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    k = jax.random.normal(ks[0], (B, KV, D), jnp.float32) * 0.5
+    v = jax.random.normal(ks[1], (B, KV, D), jnp.float32) * 0.5
+    valid = jnp.ones((B,), bool)
+    return q, pool, bt, seq_lens, k, (v if split else None), valid
+
+
+@pytest.mark.parametrize("window,softcap", [(0, 0.0), (24, 0.0), (0, 5.0)])
+def test_decode_fused_matches_append_then_attend(window, softcap):
+    """Fused append+attend == separate append_decode + attend_decode
+    (the reference's flash_attn_with_kvcache contract,
+    reference: attn_backend.py:167-243)."""
+    q, pool, bt, seq_lens, k, v, valid = _fused_setup()
+    layer = jnp.int32(LAYER)
+    pool_ref = xla_attn.append_decode(pool, layer, k, v, bt, seq_lens, valid, PAGE)
+    want = xla_attn.attend_decode(
+        q, pool_ref, layer, bt, seq_lens, PAGE, 4, 64, split_kv=True,
+        impl="xla", window=window, softcap=softcap,
+    )
+    got, pool_got = pk.attend_decode_fused(
+        q, pool, layer, k, v, bt, seq_lens, valid, PAGE, 4, 64,
+        split_kv=True, interpret=_interp(), window=window, softcap=softcap,
+    )
+    np.testing.assert_array_equal(np.asarray(pool_got), np.asarray(pool_ref))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_decode_fused_merged_mla_and_dead_rows():
+    q, pool, bt, seq_lens, k, v, valid = _fused_setup(split=False, KV=1, D=128)
+    layer = jnp.int32(LAYER)
+    valid = jnp.asarray([True, False, True])
+    pool_ref = xla_attn.append_decode(pool, layer, k, None, bt, seq_lens, valid, PAGE)
+    got, pool_got = pk.attend_decode_fused(
+        q, pool, layer, k, None, bt, seq_lens, valid, PAGE, 1, 128,
+        split_kv=False, interpret=_interp(),
+    )
+    # dead row's page slot untouched; live rows appended
+    np.testing.assert_array_equal(np.asarray(pool_got), np.asarray(pool_ref))
+    want = xla_attn.attend_decode(
+        q, pool_ref, layer, bt, seq_lens, PAGE, 1, 128, split_kv=False,
+        impl="xla",
+    )
+    live = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[live], np.asarray(want)[live], atol=2e-2, rtol=2e-2
+    )
+
+
 @pytest.mark.parametrize("start,n", [(0, 64), (64, 64), (16, 64), (0, 128)])
 def test_prefill_kernel_matches_oracle(start, n):
     q, pool, bt, _ = _setup(B=1, P=24, mp=24)
