@@ -193,6 +193,12 @@ class InferArgs:
     # against replica throughput — the long-context serving regime).
     # ADDITIVE over the reference; requires tp_size == pp_size == 1.
     ring_kv: bool = False
+    # hybrid prefill+decode steps: when a scheduled batch holds both
+    # phases, the in-flight decode rows ride the packed prefill's weight
+    # pass as extra tokens in the SAME jitted forward (one GEMM stream),
+    # so prompt ingest does not stall decode (the reference dispatches
+    # prefill OR decode per step: executor.py:150-162).
+    hybrid_step: bool = True
     # fuse qkv and gate+up projections into single GEMMs (reference policy:
     # backend.py:273-285). "auto" merges when unsharded (merged column
     # sharding would split across q/k/v segment boundaries under tp)
@@ -234,8 +240,10 @@ class SchedulerArgs:
     """Scheduler policy + knobs (reference: chitu/scheduler.py:14-39)."""
 
     policy: str = "prefill_first"
-    # prefill_first
-    hybrid_fill: bool = False
+    # prefill_first: top decode rows up into a prefill batch — the
+    # executor then fuses both phases into one hybrid step
+    # (infer.hybrid_step), so prompt ingest no longer stalls decode
+    hybrid_fill: bool = True
     # stride
     stride_avg_priority: float = 1.0
     # deadline

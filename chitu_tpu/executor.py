@@ -17,7 +17,7 @@ frequency penalty) runs inside the same program
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -310,8 +310,40 @@ class Executor:
             self._jit_prefill[key] = fn
         return fn
 
-    def _prefill_packed_step(self, tasks_g: List[Task]):
-        """Pack R one-chunk prompts into one call; returns logits rows."""
+    def _hybrid_fn(self, B: int, R: int, T: int, mp_p: int):
+        """ONE jitted call fusing a packed prefill group with a one-token
+        decode step for the in-flight batch — the GEMMs run over the
+        concatenated token stream so the prefill's weight pass also
+        advances every decode row (models/llama.py step_hybrid; the
+        reference dispatches prefill OR decode, executor.py:150-162)."""
+        key = ("hybrid", B, R, T, mp_p)
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            model, page, impl = self.model, self.page, self.attn_impl
+            mesh = self.mesh
+
+            def run(
+                params, cache, dec_tokens, dec_seq, dec_bts, dec_valid,
+                tokens, seg_ids, pos, bts, total_lens, last_idx,
+                block_seg, block_qstart,
+            ):
+                return model.step_hybrid(
+                    params, cache, dec_tokens, dec_seq, dec_bts, dec_valid,
+                    tokens, seg_ids, pos, bts, total_lens, last_idx,
+                    block_seg, block_qstart, page_size=page,
+                    attn_impl=impl, mesh=mesh,
+                )
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._jit_prefill[key] = fn
+        return fn
+
+    def _prefill_packed_step(
+        self, tasks_g: List[Task], piggyback: Optional[List[Task]] = None
+    ):
+        """Pack R one-chunk prompts into one call; returns (logits rows,
+        decode-row logits or None). With `piggyback`, the in-flight decode
+        batch rides the same jitted call (hybrid step)."""
         Tq = self._packed_q_block()
         lens = [len(t.tokens) for t in tasks_g]
         padded = [(n + Tq - 1) // Tq * Tq for n in lens]
@@ -352,22 +384,56 @@ class Executor:
             block_qstart[b0 : b0 + nb_r] = np.arange(nb_r) * Tq
             off += padded[r]
 
-        fn = self._prefill_packed_fn(R, T_bucket, mp)
-        logits_r, self.cache.arrays = fn(
-            self.params,
-            self.cache.arrays,
-            jnp.asarray(tokens),
-            jnp.asarray(seg_ids),
-            jnp.asarray(pos),
-            jnp.asarray(bts),
-            jnp.asarray(total_lens),
-            jnp.asarray(last_idx),
-            jnp.asarray(block_seg),
-            jnp.asarray(block_qstart),
-        )
+        if piggyback:
+            B = _bucket(len(piggyback), self.decode_buckets)
+            dec_tokens = np.zeros((B,), np.int32)
+            dec_seq = np.zeros((B,), np.int32)
+            dec_bts = np.full((B, self.mp_full), -1, np.int32)
+            dec_valid = np.zeros((B,), bool)
+            for i, t in enumerate(piggyback):
+                dec_tokens[i] = (
+                    t.response_tokens[-1] if t.response_tokens else t.tokens[-1]
+                )
+                dec_seq[i] = t.seq_len - 1
+                dec_bts[i] = self.cache.allocator.block_table(
+                    [t.task_id], self.mp_full
+                )[0]
+                dec_valid[i] = True
+            fn = self._hybrid_fn(B, R, T_bucket, mp)
+            dec_logits, logits_r, self.cache.arrays = fn(
+                self.params,
+                self.cache.arrays,
+                jnp.asarray(dec_tokens),
+                jnp.asarray(dec_seq),
+                jnp.asarray(dec_bts),
+                jnp.asarray(dec_valid),
+                jnp.asarray(tokens),
+                jnp.asarray(seg_ids),
+                jnp.asarray(pos),
+                jnp.asarray(bts),
+                jnp.asarray(total_lens),
+                jnp.asarray(last_idx),
+                jnp.asarray(block_seg),
+                jnp.asarray(block_qstart),
+            )
+        else:
+            fn = self._prefill_packed_fn(R, T_bucket, mp)
+            dec_logits = None
+            logits_r, self.cache.arrays = fn(
+                self.params,
+                self.cache.arrays,
+                jnp.asarray(tokens),
+                jnp.asarray(seg_ids),
+                jnp.asarray(pos),
+                jnp.asarray(bts),
+                jnp.asarray(total_lens),
+                jnp.asarray(last_idx),
+                jnp.asarray(block_seg),
+                jnp.asarray(block_qstart),
+            )
         for r, t in enumerate(tasks_g):
             t.prefilled_len = len(t.tokens)
-        return logits_r
+        return logits_r, dec_logits
 
     def _prefill_batch_fn(self, R: int, T: int, mp: int):
         """Prefill R same-bucket requests in ONE jitted call: lax.scan over
@@ -464,12 +530,34 @@ class Executor:
         prefills = [t for t in tasks if t.task_type == TaskType.PREFILL]
         decodes = [t for t in tasks if t.task_type == TaskType.DECODE]
         if prefills:
-            self.prefill_step(prefills)
+            piggy = None
+            if decodes and self._hybrid_ok():
+                # decode rows ride the packed prefill's weight pass (one
+                # hybrid jit); rows that can't get a page decode normally
+                piggy = [
+                    t
+                    for t in decodes
+                    if self.cache.allocator.ensure(t.task_id, t.seq_len + 1)
+                ][: self.max_reqs]
+            self.prefill_step(prefills, piggyback=piggy or None)
+            # a piggybacked row may have just hit EOS / budget
+            decodes = [t for t in decodes if not t.need_remove()]
         if decodes:
             self.decode_step(decodes)
 
-    def prefill_step(self, tasks: List[Task]):
-        """(reference: executor.py:118-131)"""
+    def _hybrid_ok(self) -> bool:
+        return (
+            hasattr(self.model, "step_hybrid")
+            and not self.ring_kv_axis
+            and self.cfg.infer.hybrid_step
+        )
+
+    def prefill_step(
+        self, tasks: List[Task], piggyback: Optional[List[Task]] = None
+    ):
+        """(reference: executor.py:118-131). `piggyback` is the in-flight
+        decode batch riding the packed prefill's weight pass (hybrid step);
+        its rows are sampled together with the prefill first tokens."""
         timers = get_timers()
         timers("prefill").start()
         admitted = []
@@ -535,12 +623,15 @@ class Executor:
             else:
                 logits_by_task[t.task_id] = self._prefill_one(t)
 
-        if len(packable) == 1:
+        dec_logits = None
+        if len(packable) == 1 and not piggyback:
             logits_by_task[packable[0].task_id] = self._prefill_one(
                 packable[0]
             )
         elif packable:
-            logits_r = self._prefill_packed_step(packable)
+            logits_r, dec_logits = self._prefill_packed_step(
+                packable, piggyback
+            )
             for r, t in enumerate(packable):
                 logits_by_task[t.task_id] = logits_r[r]
 
@@ -574,13 +665,21 @@ class Executor:
                 t.prefilled_len = len(t.tokens)
 
         logits_rows = [logits_by_task[t.task_id] for t in admitted]
+        rows_tasks = list(admitted)
+        if dec_logits is not None:
+            # hybrid: decode rows sample in the same jitted call as the
+            # prefill first tokens (same penalty/counts contract as a
+            # width-1 decode window)
+            logits_rows += [dec_logits[i] for i in range(len(piggyback))]
+            rows_tasks += piggyback
 
-        # sample first tokens for the whole group in one jitted call
-        n = _bucket(len(admitted), _pow2_buckets(1, self.max_reqs))
+        # sample the whole group's next tokens in one jitted call
+        # (prefill firsts + piggybacked decode rows can exceed max_reqs)
+        n = _bucket(len(rows_tasks), _pow2_buckets(1, 2 * self.max_reqs))
         V = logits_rows[0].shape[-1]
         logits = jnp.zeros((n, V), jnp.float32)
-        logits = logits.at[: len(admitted)].set(jnp.stack(logits_rows))
-        temps, tks, tps, pens, slots, valid = self._sampling_arrays(admitted, n)
+        logits = logits.at[: len(rows_tasks)].set(jnp.stack(logits_rows))
+        temps, tks, tps, pens, slots, valid = self._sampling_arrays(rows_tasks, n)
         toks, self.counts = self._sample_fn(n)(
             logits, self.counts, slots, valid, temps, tks, tps, pens,
             self._next_key(),
@@ -590,6 +689,9 @@ class Executor:
             t.prefilled_len = t.prefix_len
             t.start_decoding()
             t.append_token(int(toks_host[i]))
+        if dec_logits is not None:
+            for j, t in enumerate(piggyback):
+                t.append_token(int(toks_host[len(admitted) + j]))
         timers("prefill").stop()
 
     def _prefill_one(self, t: Task, tokens=None) -> jnp.ndarray:

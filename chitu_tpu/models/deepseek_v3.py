@@ -604,6 +604,75 @@ class DeepSeekV3ForCausalLM:
         last = jnp.take(h, last_idx, axis=0)
         return self._logits(params, last), cache
 
+    def step_hybrid(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        dec_tokens: jnp.ndarray,  # [B]
+        dec_seq_lens: jnp.ndarray,  # [B]
+        dec_block_tables: jnp.ndarray,  # [B, mp_d]
+        dec_valid: jnp.ndarray,  # [B] bool
+        pf_tokens: jnp.ndarray,  # [T] packed
+        pf_seg_ids: jnp.ndarray,  # [T]
+        pf_pos: jnp.ndarray,  # [T]
+        pf_block_tables: jnp.ndarray,  # [R, mp_p]
+        pf_total_lens: jnp.ndarray,  # [R]
+        pf_last_idx: jnp.ndarray,  # [R]
+        pf_block_seg: jnp.ndarray,  # [NB]
+        pf_block_qstart: jnp.ndarray,  # [NB]
+        page_size: int,
+        attn_impl: str = "xla",
+        mesh=None,
+    ):
+        """Fused prefill+decode step over the merged-MLA cache ->
+        (dec_logits [B,V], pf_logits [R,V], cache); same contract as
+        LlamaForCausalLM.step_hybrid (one weight pass serves both phases;
+        the reference dispatches prefill OR decode, executor.py:150-162)."""
+        B = dec_tokens.shape[0]
+        h = jnp.take(
+            params["embed"], jnp.concatenate([dec_tokens, pf_tokens]), axis=0
+        )
+        pf_pos_safe = jnp.maximum(pf_pos, 0)
+        idx = jnp.concatenate([dec_seq_lens, pf_pos_safe])
+        idx = jnp.minimum(idx, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+        kvh = 1 if self.absorb else self.args.n_heads
+        kvd = self.kv_minor if self.absorb else self.qk_head_dim
+
+        def append(pool, layer, new_kv):
+            k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+            pool = attn_ops.append_decode(
+                pool, layer, k[:B], None if v is None else v[:B],
+                dec_block_tables, dec_seq_lens, dec_valid, page_size,
+            )
+            return attn_ops.append_prefill_packed(
+                pool, layer, k[B:], None if v is None else v[B:],
+                pf_block_tables, pf_seg_ids, pf_pos, page_size,
+            )
+
+        def attend(q, pool, layer):
+            od = attn_ops.attend_decode(
+                q[:B], pool, layer, dec_block_tables, dec_seq_lens,
+                page_size, kvh, kvd, split_kv=not self.absorb,
+                scale=self.attn_scale, impl=attn_impl, mesh=mesh,
+            )
+            op = attn_ops.attend_prefill_packed(
+                q[B:], pool, layer, pf_block_tables, pf_seg_ids,
+                pf_pos_safe, pf_total_lens, pf_block_seg, pf_block_qstart,
+                page_size, kvh, kvd, split_kv=not self.absorb,
+                scale=self.attn_scale, impl=attn_impl, mesh=mesh,
+            )
+            return jnp.concatenate([od, op], axis=0)
+
+        h, cache = self._forward(
+            params, cache, h, cos, sin, append, attend, mesh
+        )
+        h = rms_norm(h, params["norm"], self.args.norm_eps)
+        dec_logits = self._logits(params, h[:B])
+        pf_last = jnp.take(h, B + pf_last_idx, axis=0)
+        return dec_logits, self._logits(params, pf_last), cache
+
     def decode(
         self,
         params,

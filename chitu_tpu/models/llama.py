@@ -565,6 +565,83 @@ class LlamaForCausalLM:
         last = jnp.take(h, last_idx, axis=0)  # [R, D]
         return self._logits(params, last), {"kv": pool}
 
+    def step_hybrid(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        dec_tokens: jnp.ndarray,  # [B] int32
+        dec_seq_lens: jnp.ndarray,  # [B] context length (fed token's pos)
+        dec_block_tables: jnp.ndarray,  # [B, mp_d] int32
+        dec_valid: jnp.ndarray,  # [B] bool
+        pf_tokens: jnp.ndarray,  # [T] int32 packed (per-segment padded)
+        pf_seg_ids: jnp.ndarray,  # [T] int32 (-1 = pad)
+        pf_pos: jnp.ndarray,  # [T] int32 (-1 = pad)
+        pf_block_tables: jnp.ndarray,  # [R, mp_p] int32
+        pf_total_lens: jnp.ndarray,  # [R] int32
+        pf_last_idx: jnp.ndarray,  # [R] int32
+        pf_block_seg: jnp.ndarray,  # [NB] int32
+        pf_block_qstart: jnp.ndarray,  # [NB] int32
+        page_size: int,
+        attn_impl: str = "xla",
+        mesh=None,
+    ):
+        """Fused prefill+decode step -> (dec_logits [B,V], pf_logits [R,V],
+        cache).
+
+        Hybrid continuous batching the TPU way: the B in-flight decode
+        tokens and a packed group of R prefill prompts run through ONE
+        layer scan — every projection/FFN GEMM processes the concatenated
+        [B+T] token stream, so the weight pass a prefill step already
+        pays also advances every decode row one token for free (the
+        per-row attention splits into the decode and packed-prefill
+        kernels). The reference never mixes phases in a step
+        (reference: executor.py:150-162 dispatches prefill OR decode);
+        this removes the whole-batch decode stall during prompt ingest."""
+        a = self.args
+        B = dec_tokens.shape[0]
+        h = jnp.take(params["embed"], jnp.concatenate([dec_tokens, pf_tokens]), axis=0)
+        pf_pos_safe = jnp.maximum(pf_pos, 0)
+        idx = jnp.concatenate([dec_seq_lens, pf_pos_safe])
+        idx = jnp.minimum(idx, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+
+        def append(pool, layer, k, v):
+            pool = attn_ops.append_decode(
+                pool, layer, k[:B], v[:B], dec_block_tables, dec_seq_lens,
+                dec_valid, page_size,
+            )
+            return attn_ops.append_prefill_packed(
+                pool, layer, k[B:], v[B:], pf_block_tables, pf_seg_ids,
+                pf_pos, page_size,
+            )
+
+        def attend(q, pool, layer):
+            od = attn_ops.attend_decode(
+                q[:B], pool, layer, dec_block_tables, dec_seq_lens,
+                page_size, a.n_kv_heads, self.head_dim, split_kv=True,
+                scale=self.attn_scale, impl=attn_impl, mesh=mesh,
+                kv_tp_shard=self.kv_tp_shard, window=a.sliding_window,
+                softcap=a.attn_softcap,
+            )
+            op = attn_ops.attend_prefill_packed(
+                q[B:], pool, layer, pf_block_tables, pf_seg_ids,
+                pf_pos_safe, pf_total_lens, pf_block_seg, pf_block_qstart,
+                page_size, a.n_kv_heads, self.head_dim, split_kv=True,
+                scale=self.attn_scale, impl=attn_impl, mesh=mesh,
+                kv_tp_shard=self.kv_tp_shard, window=a.sliding_window,
+                softcap=a.attn_softcap,
+            )
+            return jnp.concatenate([od, op], axis=0)
+
+        h, pool = self._run_layers(
+            params, cache["kv"], h, cos, sin, attend, append, mesh
+        )
+        h = rms_norm(h, params["norm"], a.norm_eps)
+        dec_logits = self._logits(params, h[:B])
+        pf_last = jnp.take(h, B + pf_last_idx, axis=0)  # [R, D]
+        return dec_logits, self._logits(params, pf_last), {"kv": pool}
+
     def decode(
         self,
         params,

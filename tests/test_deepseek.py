@@ -151,3 +151,87 @@ def test_mla_absorb_none_matches_absorb():
     assert eng.cache.arrays["kv_moe"].shape[-1] > base.cache.arrays["kv_moe"].shape[-1]
     got = eng.generate("absorb equivalence", p)
     assert got == want
+
+
+def test_deepseek_hybrid_step_logits_match_pure_paths():
+    """step_hybrid over the merged-MLA cache: prefill-row logits must be
+    EXACT vs prefill_packed, decode-row logits close to pure decode (the
+    deepseek forward is shape-dependent at bf16 — pure decode itself
+    wobbles ~1e-2 between batch buckets), and the engine drains a
+    mid-flight-arrival burst through the hybrid jit."""
+    import numpy as np
+    from chitu_tpu.kvcache import PagedKVCache
+
+    cfg = _ds_cfg()
+    model = build_model(cfg.models, cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    page = cfg.infer.page_size
+    cache = _cache(model, cfg)
+    toks = jnp.arange(10, dtype=jnp.int32) % 7
+    bt0 = jnp.array([0, 1, -1, -1, -1, -1, -1, -1], jnp.int32)
+    _, arrs = model.prefill(
+        params, cache.arrays, jnp.pad(toks, (0, 6)), bt0,
+        jnp.int32(0), jnp.int32(10), page_size=page,
+    )
+    dec_tokens = jnp.array([5], jnp.int32)
+    dec_seq = jnp.array([10], jnp.int32)
+    dec_bts = bt0[None, :]
+    dec_valid = jnp.array([True])
+    want, _ = model.decode(
+        params, dict(arrs), dec_tokens, dec_seq, dec_bts, dec_valid,
+        page_size=page,
+    )
+
+    T, Tq = 64, 32
+    pf_tokens = np.zeros((T,), np.int32)
+    pf_seg = np.full((T,), -1, np.int32)
+    pf_pos = np.full((T,), -1, np.int32)
+    pf_bts = np.full((2, 8), -1, np.int32)
+    pf_total = np.zeros((2,), np.int32)
+    pf_last = np.zeros((2,), np.int32)
+    block_seg = np.full((T // Tq,), -1, np.int32)
+    block_qs = np.zeros((T // Tq,), np.int32)
+    off = 0
+    for r, (n, pages) in enumerate([(5, [2, 3]), (7, [4, 5])]):
+        pf_tokens[off : off + n] = (np.arange(n) + 3) % 7
+        pf_seg[off : off + n] = r
+        pf_pos[off : off + n] = np.arange(n)
+        pf_total[r] = n
+        pf_last[r] = off + n - 1
+        pf_bts[r, :2] = pages
+        block_seg[off // Tq] = r
+        off += Tq
+
+    pf_args = (
+        jnp.asarray(pf_tokens), jnp.asarray(pf_seg), jnp.asarray(pf_pos),
+        jnp.asarray(pf_bts), jnp.asarray(pf_total), jnp.asarray(pf_last),
+        jnp.asarray(block_seg), jnp.asarray(block_qs),
+    )
+    dec_l, pf_l, _ = model.step_hybrid(
+        params, dict(arrs), dec_tokens, dec_seq, dec_bts, dec_valid,
+        *pf_args, page_size=page,
+    )
+    pf_only, _ = model.prefill_packed(
+        params, dict(arrs), *pf_args, page_size=page
+    )
+    np.testing.assert_array_equal(np.asarray(pf_l), np.asarray(pf_only))
+    np.testing.assert_allclose(
+        np.asarray(dec_l, np.float32), np.asarray(want, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+    # engine-level: a burst arriving mid-decode drains through the hybrid
+    p = SampleParams(temperature=0.0, max_new_tokens=24)
+    eng = Engine(_ds_cfg(**{"infer.decode_window": 4}))
+    r1 = eng.submit("first request keeps decoding", p)
+    eng.step()
+    eng.step()
+    r2 = eng.submit("second arrives mid flight", p)
+    r3 = eng.submit("third shows up too", p)
+    eng.run_until_complete()
+    assert any(
+        isinstance(k, tuple) and k and k[0] == "hybrid"
+        for k in eng.executor._jit_prefill
+    )
+    for r in (r1, r2, r3):
+        assert len(r.async_stream.tokens) == 24

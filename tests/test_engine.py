@@ -241,3 +241,40 @@ def test_pallas_fused_decode_matches_xla_single_device():
     assert eng.mesh is None
     got = eng.generate("fused decode kernel check", p)
     assert got == want
+
+
+def test_hybrid_step_matches_pure_paths():
+    """Requests arriving mid-decode piggyback on the prefill's weight
+    pass (infer.hybrid_step): greedy tokens must be identical to the
+    phase-separated engine, and the hybrid jit must actually fire."""
+    import dataclasses
+
+    p = SampleParams(temperature=0.0, max_new_tokens=64)
+
+    def run(hybrid):
+        cfg = tiny_cfg(
+            **{
+                "infer.stop_with_eos": False,
+                "infer.hybrid_step": hybrid,
+                "infer.decode_window": 4,
+            }
+        )
+        eng = Engine(cfg)
+        r1 = eng.submit("first request starts decoding", p)
+        eng.step()  # prefill r1
+        eng.step()  # some decode windows for r1 (still in flight)
+        r2 = eng.submit("second arrives mid flight", p)
+        r3 = eng.submit("third also shows up", p)
+        eng.run_until_complete()
+        hybrid_fired = any(
+            isinstance(k, tuple) and k and k[0] == "hybrid"
+            for k in eng.executor._jit_prefill
+        )
+        return [
+            list(r.async_stream.tokens) for r in (r1, r2, r3)
+        ], hybrid_fired
+
+    got, fired = run(True)
+    want, fired_off = run(False)
+    assert fired and not fired_off
+    assert got == want
