@@ -262,6 +262,11 @@ class QuantArgs:
     quant_on_load: bool = False
     group_size: int = 128
     quant_ckpt_dir: str = ""
+    # fp8 activation handling for method=fp8: "int8" approximates the
+    # runtime act quant with the v5e-native int8 datapath (speed path);
+    # "e4m3" rounds activations through the true fp8 grid with blockwise
+    # dynamic scales (reference act_quant semantics, chitu/ops.py:329-353)
+    fp8_act: str = "int8"
 
 
 @dataclass(frozen=True)

@@ -61,6 +61,10 @@ class Engine:
             from chitu_tpu.ops.linear import set_op_impl
 
             set_op_impl(cfg.infer.op_impl)
+        if cfg.quant.method == "fp8":
+            from chitu_tpu.ops.linear import set_fp8_act
+
+            set_fp8_act(cfg.quant.fp8_act)
         self.tokenizer = build_tokenizer(cfg.models, cfg.infer)
         # widen model vocab if the tokenizer is bigger (debug tokenizer case)
         margs = cfg.models

@@ -26,6 +26,20 @@ _OP_IMPL = os.environ.get("CHITU_TPU_OP_IMPL", "auto")
 # A/B switch: route dense stacked-layer weights through the Pallas dense
 # GEMM (kernel-side layer indexing) instead of XLA's matmul
 _DENSE_KERNEL = os.environ.get("CHITU_TPU_DENSE_KERNEL", "0") == "1"
+# fp8 activation mode for QuantKind.FP8 (quant.fp8_act): "int8" = dynamic
+# per-token int8 (the v5e speed path), "e4m3" = TRUE fp8 rounding of the
+# activations (reference act_quant accuracy semantics, chitu/ops.py:329-353)
+_FP8_ACT = os.environ.get("CHITU_TPU_FP8_ACT", "int8")
+
+
+def set_fp8_act(mode: str):
+    global _FP8_ACT
+    assert mode in ("int8", "e4m3")
+    _FP8_ACT = mode
+
+
+def get_fp8_act() -> str:
+    return _FP8_ACT
 
 
 def set_op_impl(impl: str):
@@ -128,6 +142,12 @@ def _quantized_matmul(x, w: QTensor, layer=None) -> jnp.ndarray:
         if layer is not None and w.data.ndim == 3:
             w = w[layer]
         return quant_gemm.PALLAS_GEMMS[w.kind](x, w)
+    from chitu_tpu.ops.qtensor import QuantKind as _QK
+
+    if w.kind == _QK.FP8 and _FP8_ACT == "e4m3":
+        from chitu_tpu.quantize.transforms import fp8_act_roundtrip
+
+        x = fp8_act_roundtrip(x)
     if w.in_perm is not None:
         # act-order (desc_act) GPTQ: rows are group-sorted in storage;
         # gather x to match (exact — y = x[:, perm] @ w_sorted)

@@ -45,6 +45,29 @@ def _quantize_weight_jit(w, kind, block):
     return quantize_weight(w, kind, block)
 
 
+def fp8_act_roundtrip(x: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
+    """Round activations through the fp8-e4m3 grid with dynamic
+    per-(row, 128-wide in-block) scales — the reference's runtime
+    `act_quant` semantics (reference: chitu/ops.py:329-353: scale =
+    absmax/448 per block, values cast to e4m3).
+
+    This is the TRUE-fp8 activation path (quant.fp8_act="e4m3"): the GEMM
+    that follows sees exactly the values the reference's fp8xfp8 blockwise
+    GEMM would consume, so accuracy matches the reference's fp8 scheme up
+    to f32 reassociation. v5e has no fp8 MXU, so the multiply itself runs
+    on the bf16/int8 datapath; on fp8-capable TPUs XLA can keep the cast."""
+    orig = x.dtype
+    *lead, K = x.shape
+    kb = _block_pad(K, block) // block
+    xf = jnp.pad(
+        x.astype(jnp.float32),
+        [(0, 0)] * len(lead) + [(0, kb * block - K)],
+    ).reshape(*lead, kb, block)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / F8_MAX
+    q = (xf / s).astype(jnp.float8_e4m3fn).astype(jnp.float32) * s
+    return q.reshape(*lead, kb * block)[..., :K].astype(orig)
+
+
 def quantize_weight(
     w: jnp.ndarray, kind: QuantKind, block: int = BLOCK
 ) -> QTensor:

@@ -223,3 +223,43 @@ def test_quant_ladder_accuracy_vs_hf(tmp_path, method, min_agree):
         want = hf(torch.tensor([IDS])).logits[0].float().numpy()
     agree = (got.argmax(-1) == want.argmax(-1)).mean()
     assert agree >= min_agree, (method, agree)
+
+
+def test_fp8_true_act_accuracy_vs_hf(tmp_path):
+    """method=fp8 with quant.fp8_act="e4m3": activations round through the
+    TRUE fp8 grid (reference act_quant, chitu/ops.py:329-353) and the
+    engine still tracks the f32 transformers forward."""
+    from chitu_tpu.ops.linear import get_fp8_act, set_fp8_act
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(10)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=256, inter_dim=512, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+        ),
+    )
+    qcfg = dc.replace(
+        cfg,
+        quant=dc.replace(
+            cfg.quant, method="fp8", quant_on_load=True, fp8_act="e4m3"
+        ),
+    )
+    prev = get_fp8_act()
+    try:
+        eng = Engine(qcfg)
+        assert get_fp8_act() == "e4m3"
+        got = _engine_all_logits(eng, IDS)
+    finally:
+        set_fp8_act(prev)
+    with torch.no_grad():
+        want = hf(torch.tensor([IDS])).logits[0].float().numpy()
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.8, agree

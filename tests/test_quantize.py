@@ -209,3 +209,30 @@ def test_merge_moe_gate_up_transform():
         np.asarray(qu.dequantize(jnp.float32)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fp8_act_roundtrip_semantics():
+    """fp8_act_roundtrip == the reference's act_quant: per-(row, 128-block)
+    absmax/448 scales, values exactly on the e4m3 grid
+    (reference: chitu/ops.py:329-353)."""
+    import numpy as np
+
+    from chitu_tpu.quantize.transforms import F8_MAX, fp8_act_roundtrip
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 256), jnp.float32) * 5.0
+    y = np.asarray(fp8_act_roundtrip(x, block=128), np.float32)
+    xs = np.asarray(x, np.float32).reshape(4, 2, 128)
+    s = np.maximum(np.abs(xs).max(-1, keepdims=True), 1e-8) / F8_MAX
+    want = (
+        np.asarray(
+            jnp.asarray(xs / s).astype(jnp.float8_e4m3fn), np.float32
+        )
+        * s
+    ).reshape(4, 256)
+    np.testing.assert_array_equal(y, want)
+    # quantization error bounded by the e4m3 relative step (~2^-3)
+    assert np.abs(y - np.asarray(x)).max() <= np.abs(np.asarray(x)).max() * 0.0625
+    # odd (non-multiple-of-128) widths round-trip through padding
+    x2 = jax.random.normal(jax.random.PRNGKey(4), (3, 200), jnp.bfloat16)
+    y2 = fp8_act_roundtrip(x2)
+    assert y2.shape == x2.shape and y2.dtype == x2.dtype
