@@ -110,12 +110,23 @@ def warmup_engine(engine: Engine, full: bool = True):
     engine.generate("warmup", SampleParams(temperature=0.0, max_new_tokens=2))
     if full:
         ex = engine.executor
-        # decode buckets below max_reqs: run a group of each size
+        # decode buckets below max_reqs: run a group of each size, in BOTH
+        # compiled variants — the all-greedy/no-penalty fast path and the
+        # generic sampler (temperature + penalty) path — so neither
+        # specialization compiles mid-traffic
+        sampled = SampleParams(
+            temperature=0.8, top_k=16, top_p=0.9,
+            frequency_penalty=0.1, max_new_tokens=2,
+        )
         for b in ex.decode_buckets[:-1]:
             for _ in range(b):
                 engine.submit(
                     "warmup", SampleParams(temperature=0.0, max_new_tokens=2)
                 )
+            engine.run_until_complete()
+        for b in ex.decode_buckets:
+            for _ in range(b):
+                engine.submit("warmup", sampled)
             engine.run_until_complete()
         # prefill length buckets up to the chunk cap (longer prompts run
         # as chunk-capped pieces, already covered)
