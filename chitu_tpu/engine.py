@@ -151,12 +151,17 @@ class Engine:
             # ring-sharded pool (ops/attention_ring.py): pages stripe over
             # 'dp'; first cut is the pure-'dp' ring (the long-context
             # capacity regime — tp/pp compose later)
-            if cfg.infer.tp_size != 1 or cfg.infer.pp_size != 1:
-                raise ValueError("ring_kv requires tp_size == pp_size == 1")
+            if cfg.infer.pp_size != 1:
+                raise ValueError("ring_kv requires pp_size == 1")
             if not hasattr(self.model, "kv_tp_shard"):
                 raise ValueError(
                     "ring_kv currently covers the llama family "
                     "(GQA split-KV pools)"
+                )
+            if cfg.infer.tp_size > 1 and not self.model.kv_tp_shard:
+                raise ValueError(
+                    "ring_kv with tp > 1 needs a TP-shardable KV pool "
+                    "(n_kv_heads divisible by tp, 128-lane-aligned shards)"
                 )
             if cfg.infer.ring_prefill:
                 raise ValueError(

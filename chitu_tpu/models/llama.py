@@ -22,6 +22,7 @@ optional qkv bias (qwen2), tied embeddings, and Meta-llama FFN sizing
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict
 
 import jax
@@ -411,7 +412,7 @@ class LlamaForCausalLM:
             def append(pool, layer, k, v):
                 return ring_ops.append_prefill_ring(
                     pool, layer, k, v, block_table, pos, valid_len,
-                    page_size, mesh, ring_kv_axis,
+                    page_size, mesh, ring_kv_axis, tp_axis="tp",
                 )
 
             def attend(q, pool, layer):
@@ -420,7 +421,7 @@ class LlamaForCausalLM:
                     jnp.where(jnp.arange(T) < valid_len, pos, 0),
                     total_len, page_size, self.args.n_kv_heads,
                     self.head_dim, split_kv=True, scale=self.attn_scale,
-                    mesh=mesh, axis=ring_kv_axis,
+                    mesh=mesh, axis=ring_kv_axis, tp_axis="tp",
                     window=self.args.sliding_window,
                     softcap=self.args.attn_softcap,
                 )
@@ -674,7 +675,7 @@ class LlamaForCausalLM:
             def append(pool, layer, k, v):
                 return ring_ops.append_decode_ring(
                     pool, layer, k, v, block_tables, seq_lens, valid,
-                    page_size, mesh, ring_kv_axis,
+                    page_size, mesh, ring_kv_axis, tp_axis="tp",
                 )
 
             def attend(q, pool, layer):
@@ -682,6 +683,7 @@ class LlamaForCausalLM:
                     q, pool, layer, block_tables, seq_lens, page_size,
                     self.args.n_kv_heads, self.head_dim, split_kv=True,
                     scale=self.attn_scale, mesh=mesh, axis=ring_kv_axis,
+                    tp_axis="tp",
                     window=self.args.sliding_window,
                     softcap=self.args.attn_softcap,
                 )
@@ -720,7 +722,11 @@ class LlamaForCausalLM:
         # reference: attn_backend.py:167-243): kills the per-layer XLA
         # scatter on the single-chip pallas path
         fused = None
-        if attn_impl == "pallas" and mesh is None:
+        if (
+            attn_impl == "pallas"
+            and mesh is None
+            and os.environ.get("CHITU_TPU_FUSED_DECODE", "1") != "0"
+        ):
             from chitu_tpu.ops import pallas_attention
 
             interp = jax.default_backend() != "tpu"

@@ -43,6 +43,14 @@ def ring_local_block_table(bt: jnp.ndarray, p_local: int, idx) -> jnp.ndarray:
     return jnp.where(owned, bt % p_local, -1)
 
 
+def _tp(mesh, tp_axis: str):
+    """tp composition: the pool minor (whole-KV-head blocks) additionally
+    shards over `tp_axis` — each (ring, tp) shard owns its page stripe x
+    its contiguous KV-head slice, exactly the TP-sharded-pool layout the
+    non-ring kernels use (ops/attention.py kv_tp_shard)."""
+    return mesh.shape.get(tp_axis, 1) if tp_axis else 1
+
+
 def _partial_attention(
     q: jnp.ndarray,  # [B, H, D]
     k: jnp.ndarray,  # [B, S, KV, D]
@@ -104,16 +112,18 @@ def append_decode_ring(
     page_size: int,
     mesh,
     axis: str = "dp",
+    tp_axis: str = "",
 ) -> jnp.ndarray:
-    sp = mesh.shape[axis]
-    M = pool.shape[-1]
+    ta = tp_axis if _tp(mesh, tp_axis) > 1 else None
 
     def local(pool_l, layer_l, k_l, v_l, bt_l, sl_l, valid_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
         flat = paged_flat_index(lbt, sl_l, page_size)  # -1 page -> sentinel
         flat = jnp.where(valid_l, flat, jnp.iinfo(jnp.int32).max)
-        vals = pack_kv(k_l, None if v_l.ndim == 0 else v_l, M)
+        vals = pack_kv(
+            k_l, None if v_l.ndim == 0 else v_l, pool_l.shape[-1]
+        )
         return paged_append(pool_l, layer_l[0], vals, flat)
 
     v_in = v if v is not None else jnp.zeros((), pool.dtype)
@@ -122,15 +132,15 @@ def append_decode_ring(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None, None),
+            P(None, axis, None, ta),
             P(None),
-            P(None, None, None),
-            P(None, None, None) if v is not None else P(),
+            P(None, ta, None),
+            P(None, ta, None) if v is not None else P(),
             P(None, None),
             P(None),
             P(None),
         ),
-        out_specs=P(None, axis, None, None),
+        out_specs=P(None, axis, None, ta),
         check_vma=False,
     )(pool, layer_arr, k, v_in, block_tables, seq_lens, valid)
 
@@ -150,39 +160,42 @@ def attend_decode_ring(
     axis: str = "dp",
     window: int = 0,
     softcap: float = 0.0,
+    tp_axis: str = "",
 ) -> jnp.ndarray:
     B, H, D = q.shape
-    sp = mesh.shape[axis]
+    tp = _tp(mesh, tp_axis)
+    ta = tp_axis if tp > 1 else None
+    kv_local = kv_heads // tp
     scale_ = scale if scale is not None else 1.0 / math.sqrt(D)
 
     def local(q_l, pool_l, layer_l, bt_l, sl_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
-        gathered = _gather(pool_l, layer_l[0], lbt)  # [B, S, M]
-        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        gathered = _gather(pool_l, layer_l[0], lbt)  # [B, S, M_local]
+        k, v = unpack_pool(gathered, kv_local, head_dim, split_kv)
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
         mask = (cols <= sl_l[:, None]) & _page_mask(lbt, S, page_size)
         if window > 0:
             mask = mask & (cols > sl_l[:, None] - window)
         m, l, acc = _partial_attention(
-            q_l, k, v, mask, kv_heads, scale_, softcap
+            q_l, k, v, mask, kv_local, scale_, softcap
         )
-        out = _combine(m, l, acc, axis)  # [B, KV, G, D]
-        return out.reshape(B, H, D).astype(q_l.dtype)
+        out = _combine(m, l, acc, axis)  # [B, KV_l, G, D]
+        return out.reshape(B, q_l.shape[1], D).astype(q_l.dtype)
 
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, None, None),
-            P(None, axis, None, None),
+            P(None, ta, None),
+            P(None, axis, None, ta),
             P(None),
             P(None, None),
             P(None),
         ),
-        out_specs=P(None, None, None),
+        out_specs=P(None, ta, None),
         check_vma=False,
     )(q, pool, layer_arr, block_tables, seq_lens)
 
@@ -198,10 +211,10 @@ def append_prefill_ring(
     page_size: int,
     mesh,
     axis: str = "dp",
+    tp_axis: str = "",
 ) -> jnp.ndarray:
     T = k.shape[0]
-    sp = mesh.shape[axis]
-    M = pool.shape[-1]
+    ta = tp_axis if _tp(mesh, tp_axis) > 1 else None
 
     def local(pool_l, layer_l, k_l, v_l, bt_l, pos_l, vl_l):
         idx = jax.lax.axis_index(axis)
@@ -210,7 +223,9 @@ def append_prefill_ring(
         bt_rows = jnp.broadcast_to(lbt, (T, lbt.shape[0]))
         flat = paged_flat_index(bt_rows, jnp.maximum(pos, 0), page_size)
         flat = jnp.where(pos >= 0, flat, jnp.iinfo(jnp.int32).max)
-        vals = pack_kv(k_l, None if v_l.ndim == 0 else v_l, M)
+        vals = pack_kv(
+            k_l, None if v_l.ndim == 0 else v_l, pool_l.shape[-1]
+        )
         return paged_append(pool_l, layer_l[0], vals, flat)
 
     v_in = v if v is not None else jnp.zeros((), pool.dtype)
@@ -220,15 +235,15 @@ def append_prefill_ring(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None, None),
+            P(None, axis, None, ta),
             P(None),
-            P(None, None, None),
-            P(None, None, None) if v is not None else P(),
+            P(None, ta, None),
+            P(None, ta, None) if v is not None else P(),
             P(None),
             P(None),
             P(None),
         ),
-        out_specs=P(None, axis, None, None),
+        out_specs=P(None, axis, None, ta),
         check_vma=False,
     )(pool, layer_arr, k, v_in, block_table, q_pos, vl_arr)
 
@@ -249,18 +264,21 @@ def attend_prefill_ring(
     axis: str = "dp",
     window: int = 0,
     softcap: float = 0.0,
+    tp_axis: str = "",
 ) -> jnp.ndarray:
     """Chunk prefill attention against the ring-sharded pool (chunked
     prefill reads earlier chunks' pages from their owner shards)."""
     T, H, D = q.shape
-    sp = mesh.shape[axis]
+    tp = _tp(mesh, tp_axis)
+    ta = tp_axis if tp > 1 else None
+    kv_local = kv_heads // tp
     scale_ = scale if scale is not None else 1.0 / math.sqrt(D)
 
     def local(q_l, pool_l, layer_l, bt_l, qp_l, info_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
-        gathered = _gather(pool_l, layer_l[0], lbt[None])  # [1, S, M]
-        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        gathered = _gather(pool_l, layer_l[0], lbt[None])  # [1, S, M_l]
+        k, v = unpack_pool(gathered, kv_local, head_dim, split_kv)
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
         mask = (
@@ -273,10 +291,10 @@ def attend_prefill_ring(
         kb = jnp.broadcast_to(k, (T,) + k.shape[1:])
         vb = jnp.broadcast_to(v, (T,) + v.shape[1:])
         m, l, acc = _partial_attention(
-            q_l, kb, vb, mask, kv_heads, scale_, softcap
+            q_l, kb, vb, mask, kv_local, scale_, softcap
         )
         out = _combine(m, l, acc, axis)
-        return out.reshape(T, H, D).astype(q_l.dtype)
+        return out.reshape(T, q_l.shape[1], D).astype(q_l.dtype)
 
     info = jnp.stack([jnp.asarray(total_len, jnp.int32)])
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
@@ -284,13 +302,13 @@ def attend_prefill_ring(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, None, None),
-            P(None, axis, None, None),
+            P(None, ta, None),
+            P(None, axis, None, ta),
             P(None),
             P(None),
             P(None),
             P(None),
         ),
-        out_specs=P(None, None, None),
+        out_specs=P(None, ta, None),
         check_vma=False,
     )(q, pool, layer_arr, block_table, q_pos, info)

@@ -343,8 +343,9 @@ def _decode_fused_kernel(
     pool_out_ref,  # [L, P, page, M] ANY/HBM — same buffer as pool_ref
     buf,  # [W, page, M] VMEM
     sems,  # [W] DMA semaphores
-    wbuf,  # [ALIGN, M] VMEM: aligned block around the append slot
-    wsem,  # scalar DMA semaphore for the append read+write
+    wbuf,  # [2, ALIGN, M] VMEM: aligned append blocks (double-buffered)
+    rsem,  # scalar DMA semaphore for the append block read
+    wsem,  # [2] DMA semaphores for the pipelined append write-back
     *,
     page: int,
     scale: float,
@@ -361,11 +362,14 @@ def _decode_fused_kernel(
     Mosaic DMAs slice the sublane dim at 8-row granularity, so the kernel
     fetches the 8-row block around the slot, splices the row in VMEM, and
     writes the block back (requests never share a page, so the other 7
-    rows are this row's own bytes). Attention runs over the PRIOR context
-    pages; the new token's contribution is computed directly from the
-    VMEM row as one extra online-softmax column — the kernel never
-    depends on reading back the bytes it writes, and the separate XLA
-    scatter append (measured ~0.3 ms/step at TinyLlama bs=16) disappears."""
+    rows are this row's own bytes). The write-back is double-buffered and
+    retired at the NEXT grid step (rows never share pages, so delaying
+    the wait is safe) — no per-row DMA stall. Attention runs over the
+    PRIOR context pages; the new token's contribution is computed
+    directly from the VMEM row as one extra online-softmax column — the
+    kernel never depends on reading back the bytes it writes, and the
+    separate XLA scatter append (measured ~0.3 ms/step at TinyLlama
+    bs=16) disappears."""
     b = pl.program_id(0)
     B = pl.num_programs(0)
     layer = layer_ref[0]
@@ -373,18 +377,40 @@ def _decode_fused_kernel(
     total = seq_lens_ref[b]  # EXCLUSIVE of the new token
 
     # append: splice one [1, C] row into the aligned block of its slot
-    align = wbuf.shape[0]
-    pid_new = block_tables_ref[b, jax.lax.div(total, page)]
-    off_new = jax.lax.rem(total, page)
-    blk0 = jax.lax.div(off_new, align) * align
-    can_write = live & (pid_new >= 0)
+    align = wbuf.shape[1]
 
-    def wblock(ref):
-        return ref.at[layer, jnp.maximum(pid_new, 0), pl.ds(blk0, align)]
+    def slot_geom(row):
+        tot = seq_lens_ref[row]
+        pid = block_tables_ref[row, jax.lax.div(tot, page)]
+        off = jax.lax.rem(tot, page)
+        blk = jax.lax.div(off, align) * align
+        can = (valid_ref[row] > 0) & (pid >= 0)
+        return pid, off, blk, can
+
+    def wblock(ref, pid, blk):
+        return ref.at[layer, jnp.maximum(pid, 0), pl.ds(blk, align)]
+
+    pid_new, off_new, blk0, can_write = slot_geom(b)
+
+    # retire the previous row's write-back (descriptor reconstructed from
+    # the scalar-prefetch refs) before its wbuf half gets reused
+    @pl.when(b > 0)
+    def _():
+        pidp, _, blkp, canp = slot_geom(b - 1)
+
+        @pl.when(canp)
+        def _():
+            pltpu.make_async_copy(
+                wbuf.at[(b - 1) % 2],
+                wblock(pool_out_ref, pidp, blkp),
+                wsem.at[(b - 1) % 2],
+            ).wait()
 
     @pl.when(can_write)
     def _():
-        pltpu.make_async_copy(wblock(pool_ref), wbuf, wsem).start()
+        pltpu.make_async_copy(
+            wblock(pool_ref, pid_new, blk0), wbuf.at[b % 2], rsem
+        ).start()
 
     def row_geometry(row):
         tot = seq_lens_ref[row]
@@ -488,15 +514,29 @@ def _decode_fused_kernel(
 
     @pl.when(can_write)
     def _():
-        pltpu.make_async_copy(wblock(pool_ref), wbuf, wsem).wait()
+        pltpu.make_async_copy(
+            wblock(pool_ref, pid_new, blk0), wbuf.at[b % 2], rsem
+        ).wait()
         row_in_blk = off_new - blk0
-        rows = jax.lax.broadcasted_iota(jnp.int32, wbuf.shape, 0)
-        wbuf[...] = jnp.where(
-            rows == row_in_blk, newkv_ref[0].astype(wbuf.dtype), wbuf[...]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (align, wbuf.shape[2]), 0
         )
-        cp = pltpu.make_async_copy(wbuf, wblock(pool_out_ref), wsem)
-        cp.start()
-        cp.wait()
+        wbuf[b % 2] = jnp.where(
+            rows == row_in_blk, newkv_ref[0].astype(wbuf.dtype),
+            wbuf[b % 2],
+        )
+        pltpu.make_async_copy(
+            wbuf.at[b % 2], wblock(pool_out_ref, pid_new, blk0),
+            wsem.at[b % 2],
+        ).start()
+
+    # the LAST row's write has no successor step to retire it
+    @pl.when((b + 1 >= B) & can_write)
+    def _():
+        pltpu.make_async_copy(
+            wbuf.at[b % 2], wblock(pool_out_ref, pid_new, blk0),
+            wsem.at[b % 2],
+        ).wait()
 
 
 @functools.partial(
@@ -567,8 +607,9 @@ def attend_decode_fused(
         scratch_shapes=[
             pltpu.VMEM((ring, page, M), pool.dtype),
             pltpu.SemaphoreType.DMA((ring,)),
-            pltpu.VMEM((min(page, 8), M), pool.dtype),
+            pltpu.VMEM((2, min(page, 8), M), pool.dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(

@@ -135,3 +135,59 @@ def test_ring_kv_chunked_prefill_matches():
     eng = Engine(_ring_cfg(dp=4, **kw))
     got = eng.generate(prompt, p)
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ring_kv_composes_with_tp():
+    """dp=2 ring x tp=2 heads: pages stripe over 'dp' AND the pool minor
+    shards over 'tp' (per-device bytes = total/4); tokens match the
+    single-device engine."""
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_ring_cfg())
+    want = base.generate("ring and tensor parallel together", p)
+
+    cfg = _ring_cfg(dp=2)
+    infer = dataclasses.replace(cfg.infer, tp_size=2)
+    eng = Engine(dataclasses.replace(cfg, infer=infer))
+    assert eng.executor.ring_kv_axis == "dp"
+    assert eng.model.kv_tp_shard
+    got = eng.generate("ring and tensor parallel together", p)
+    assert got == want
+
+    pool = next(iter(eng.cache.arrays.values()))
+    shard = pool.sharding.shard_shape(pool.shape)
+    assert shard[1] == pool.shape[1] // 2  # pages over dp
+    assert shard[3] == pool.shape[3] // 2  # minor over tp
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ring_decode_window_softcap_matches_oracle():
+    from chitu_tpu.ops import attention as attn_ops
+    from chitu_tpu.ops import attention_ring as ring_ops
+
+    L, P, page, KV, Dh, H, B = 2, 8, 16, 2, 32, 4, 3
+    M = 2 * KV * Dh
+    pool = jax.random.normal(
+        jax.random.PRNGKey(0), (L, P, page, M), jnp.float32
+    ).astype(jnp.bfloat16)
+    q = jax.random.normal(
+        jax.random.PRNGKey(1), (B, H, Dh), jnp.float32
+    ).astype(jnp.bfloat16)
+    bt = jnp.asarray(
+        [[0, 3, 5, -1], [1, 2, -1, -1], [4, 6, 7, 2]], jnp.int32
+    )
+    seq_lens = jnp.asarray([40, 17, 33], jnp.int32)
+    mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+    for window, softcap in [(24, 0.0), (0, 8.0), (24, 8.0)]:
+        want = attn_ops.attend_decode(
+            q, pool, jnp.int32(1), bt, seq_lens, page, KV, Dh, True,
+            impl="xla", window=window, softcap=softcap,
+        )
+        got = ring_ops.attend_decode_ring(
+            q, pool, jnp.int32(1), bt, seq_lens, page, KV, Dh, True,
+            mesh=mesh, window=window, softcap=softcap,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
