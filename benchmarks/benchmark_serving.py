@@ -70,8 +70,18 @@ def run_benchmark(
     warmup: int = 2,
 ):
     url = f"http://{host}:{port}/v1/chat/completions"
-    for _ in range(warmup):
-        one_request(url, prompt, 4, stream)
+    # warmup at FULL concurrency so every batch-shape variant the
+    # measured phase will hit (packed-prefill / hybrid R x T buckets,
+    # decode buckets) is compiled before t0 — a cold server otherwise
+    # spends the first wave jit-compiling mid-traffic
+    for _ in range(max(warmup, 1)):
+        with futures.ThreadPoolExecutor(max_workers=concurrency) as ex:
+            list(
+                ex.map(
+                    lambda _: one_request(url, prompt, max_tokens, stream),
+                    range(concurrency),
+                )
+            )
 
     t0 = time.perf_counter()
     results: List[dict] = []

@@ -330,16 +330,16 @@ def attend_decode(
 
 
 def _decode_fused_kernel(
-    block_tables_ref,  # [B, mp] int32 (SMEM, scalar prefetch)
-    seq_lens_ref,  # [B] int32 (context EXCLUDING the new token)
+    block_tables_ref,  # [B_pad, mp] int32 (SMEM, scalar prefetch)
+    seq_lens_ref,  # [B_pad] int32 (context EXCLUDING the new token)
     layer_ref,  # [1] int32
-    valid_ref,  # [B] int32 (1 = live row)
-    q_ref,  # [1, H, C] VMEM block
-    newkv_ref,  # [1, 1, C] VMEM block: the new token's packed page row
+    valid_ref,  # [B_pad] int32 (1 = live row)
+    q_ref,  # [RB, H, C] VMEM block
+    newkv_ref,  # [RB, 1, C] VMEM block: new tokens' packed page rows
     pool_ref,  # [L, P, page, M] ANY/HBM (aliased to pool_out_ref)
     mask_ref,  # [H, C] VMEM
     fold_ref,  # [C, D] VMEM
-    o_ref,  # [1, H, D] VMEM block
+    o_ref,  # [RB, H, D] VMEM block
     pool_out_ref,  # [L, P, page, M] ANY/HBM — same buffer as pool_ref
     buf,  # [W, page, M] VMEM
     sems,  # [W] DMA semaphores
@@ -351,6 +351,7 @@ def _decode_fused_kernel(
     scale: float,
     split_kv: bool,
     ring: int,
+    rows_block: int,
     window: int = 0,
     softcap: float = 0.0,
 ):
@@ -358,26 +359,30 @@ def _decode_fused_kernel(
     `flash_attn_with_kvcache` contract (in-kernel KV append,
     reference: chitu/attn_backend.py:167-243) done the TPU way.
 
+    Each grid step processes a BLOCK of `rows_block` batch rows (the
+    per-grid-step fixed cost — block copies, guards, index maps —
+    dominated the kernel at serving context lengths where a row is only
+    1-2 pages), with the page-DMA ring threaded across rows so the memory
+    pipeline never drains at a row boundary.
+
     The new token's page row lands via an aligned read-modify-write —
     Mosaic DMAs slice the sublane dim at 8-row granularity, so the kernel
     fetches the 8-row block around the slot, splices the row in VMEM, and
     writes the block back (requests never share a page, so the other 7
     rows are this row's own bytes). The write-back is double-buffered and
-    retired at the NEXT grid step (rows never share pages, so delaying
-    the wait is safe) — no per-row DMA stall. Attention runs over the
-    PRIOR context pages; the new token's contribution is computed
-    directly from the VMEM row as one extra online-softmax column — the
-    kernel never depends on reading back the bytes it writes, and the
-    separate XLA scatter append (measured ~0.3 ms/step at TinyLlama
-    bs=16) disappears."""
-    b = pl.program_id(0)
-    B = pl.num_programs(0)
+    retired one row later — no per-row DMA stall. Attention runs over the
+    PRIOR context pages; the new token's contribution is one extra
+    online-softmax column computed straight from VMEM, so the kernel
+    never depends on reading back the bytes it writes, and the separate
+    XLA scatter append disappears."""
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+    RB = rows_block
+    B = G * RB  # rows are padded to a rows_block multiple
     layer = layer_ref[0]
-    live = valid_ref[b] > 0
-    total = seq_lens_ref[b]  # EXCLUSIVE of the new token
-
-    # append: splice one [1, C] row into the aligned block of its slot
     align = wbuf.shape[1]
+    H = q_ref.shape[1]
+    D = fold_ref.shape[1]
 
     def slot_geom(row):
         tot = seq_lens_ref[row]
@@ -390,27 +395,18 @@ def _decode_fused_kernel(
     def wblock(ref, pid, blk):
         return ref.at[layer, jnp.maximum(pid, 0), pl.ds(blk, align)]
 
-    pid_new, off_new, blk0, can_write = slot_geom(b)
-
-    # retire the previous row's write-back (descriptor reconstructed from
-    # the scalar-prefetch refs) before its wbuf half gets reused
-    @pl.when(b > 0)
-    def _():
-        pidp, _, blkp, canp = slot_geom(b - 1)
+    def retire_write(row):
+        """Wait for `row`'s append write-back (descriptor reconstructed
+        from the scalar-prefetch refs) before its wbuf half is reused."""
+        pidp, _, blkp, canp = slot_geom(row)
 
         @pl.when(canp)
         def _():
             pltpu.make_async_copy(
-                wbuf.at[(b - 1) % 2],
+                wbuf.at[jax.lax.rem(row, 2)],
                 wblock(pool_out_ref, pidp, blkp),
-                wsem.at[(b - 1) % 2],
+                wsem.at[jax.lax.rem(row, 2)],
             ).wait()
-
-    @pl.when(can_write)
-    def _():
-        pltpu.make_async_copy(
-            wblock(pool_ref, pid_new, blk0), wbuf.at[b % 2], rsem
-        ).start()
 
     def row_geometry(row):
         tot = seq_lens_ref[row]
@@ -420,10 +416,6 @@ def _decode_fused_kernel(
         else:
             p0 = 0
         return tot, p0, n_pages
-
-    tot_b, p0, n_pages = row_geometry(b)
-    H = q_ref.shape[1]
-    D = fold_ref.shape[1]
 
     def dma(slot, i, row):
         pid = jnp.maximum(block_tables_ref[row, i], 0)
@@ -438,105 +430,131 @@ def _decode_fused_kernel(
             def _():
                 dma(jax.lax.rem(q0 + w, ring), q0 + w, row).start()
 
-    @pl.when(b == 0)
+    @pl.when(g == 0)
     def _():
         fill_ring(0)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
+    for r in range(RB):
+        row = g * RB + r
+        pid_new, off_new, blk0, can_write = slot_geom(row)
 
-    def body(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, ring)
-        dma(slot, i, b).wait()
+        # retire the PREVIOUS row's write before its wbuf half is reused
+        if r == 0:
+            @pl.when(g > 0)
+            def _():
+                retire_write(row - 1)
+        else:
+            retire_write(row - 1)
 
-        rows = buf[slot].astype(jnp.float32)  # [page, M]
-        pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
-        valid = pos < tot_b
-        s = jax.lax.dot_general(
-            q, rows, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if softcap > 0.0:
-            s = jnp.tanh(s / softcap) * softcap
-        if window > 0:
-            valid = valid & (pos >= tot_b + 1 - window)
-        s = jnp.where(valid, s, NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv_full = jax.lax.dot_general(
-            p, rows, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        pv = jax.lax.dot_general(
-            pv_full * mask_ref[...], fold_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        @pl.when(i + ring < n_pages)
+        @pl.when(can_write)
         def _():
-            dma(slot, i + ring, b).start()
+            pltpu.make_async_copy(
+                wblock(pool_ref, pid_new, blk0),
+                wbuf.at[jax.lax.rem(row, 2)], rsem,
+            ).start()
 
-        return m_new, l_new, acc * alpha + pv
+        tot_b, p0, n_pages = row_geometry(row)
+        q = q_ref[r].astype(jnp.float32) * scale  # [H, C]
 
-    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((H, 1), jnp.float32)
-    acc0 = jnp.zeros((H, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
+        def body(i, carry, row=row, tot_b=tot_b, n_pages=n_pages):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, ring)
+            dma(slot, i, row).wait()
 
-    # the new token's own column, straight from VMEM (never read back
-    # from HBM): one extra online-softmax block of width 1
-    newrow = newkv_ref[0].astype(jnp.float32)  # [1, C]
-    s_new = jax.lax.dot_general(
-        q, newrow, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, 1]
-    if softcap > 0.0:
-        s_new = jnp.tanh(s_new / softcap) * softcap
-    m_f = jnp.maximum(m, s_new)
-    p_new = jnp.exp(s_new - m_f)  # [H, 1]
-    alpha = jnp.exp(m - m_f)
-    l_f = l * alpha + p_new
-    pv_new = jax.lax.dot_general(
-        (p_new * newrow) * mask_ref[...], fold_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H, D]
-    acc_f = acc * alpha + pv_new
+            rows = buf[slot].astype(jnp.float32)  # [page, M]
+            pos = i * page + jax.lax.broadcasted_iota(
+                jnp.int32, (1, page), 1
+            )
+            valid = pos < tot_b
+            s = jax.lax.dot_general(
+                q, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if softcap > 0.0:
+                s = jnp.tanh(s / softcap) * softcap
+            if window > 0:
+                valid = valid & (pos >= tot_b + 1 - window)
+            s = jnp.where(valid, s, NEG_INF)
 
-    @pl.when(b + 1 < B)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv_full = jax.lax.dot_general(
+                p, rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv = jax.lax.dot_general(
+                pv_full * mask_ref[...], fold_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(i + ring < n_pages)
+            def _():
+                dma(slot, i + ring, row).start()
+
+            return m_new, l_new, acc * alpha + pv
+
+        m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((H, 1), jnp.float32)
+        acc0 = jnp.zeros((H, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
+
+        # the new token's own column, straight from VMEM (never read back
+        # from HBM): one extra online-softmax block of width 1
+        newrow = newkv_ref[r].astype(jnp.float32)  # [1, C]
+        s_new = jax.lax.dot_general(
+            q, newrow, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, 1]
+        if softcap > 0.0:
+            s_new = jnp.tanh(s_new / softcap) * softcap
+        m_f = jnp.maximum(m, s_new)
+        p_new = jnp.exp(s_new - m_f)  # [H, 1]
+        alpha = jnp.exp(m - m_f)
+        l_f = l * alpha + p_new
+        pv_new = jax.lax.dot_general(
+            (p_new * newrow) * mask_ref[...], fold_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, D]
+        acc_f = acc * alpha + pv_new
+
+        # keep the DMA pipeline primed through the row/block boundary
+        if r + 1 < RB:
+            fill_ring(row + 1)
+        else:
+            @pl.when(g + 1 < G)
+            def _():
+                fill_ring(row + 1)
+
+        o_ref[r] = (acc_f / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+
+        @pl.when(can_write)
+        def _():
+            pltpu.make_async_copy(
+                wblock(pool_ref, pid_new, blk0),
+                wbuf.at[jax.lax.rem(row, 2)], rsem,
+            ).wait()
+            row_in_blk = off_new - blk0
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (align, wbuf.shape[2]), 0
+            )
+            wbuf[jax.lax.rem(row, 2)] = jnp.where(
+                rows == row_in_blk, newkv_ref[r].astype(wbuf.dtype),
+                wbuf[jax.lax.rem(row, 2)],
+            )
+            pltpu.make_async_copy(
+                wbuf.at[jax.lax.rem(row, 2)],
+                wblock(pool_out_ref, pid_new, blk0),
+                wsem.at[jax.lax.rem(row, 2)],
+            ).start()
+
+    # the LAST row's write has no successor to retire it
+    @pl.when(g + 1 >= G)
     def _():
-        fill_ring(b + 1)
-
-    o_ref[0] = (acc_f / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
-
-    @pl.when(can_write)
-    def _():
-        pltpu.make_async_copy(
-            wblock(pool_ref, pid_new, blk0), wbuf.at[b % 2], rsem
-        ).wait()
-        row_in_blk = off_new - blk0
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (align, wbuf.shape[2]), 0
-        )
-        wbuf[b % 2] = jnp.where(
-            rows == row_in_blk, newkv_ref[0].astype(wbuf.dtype),
-            wbuf[b % 2],
-        )
-        pltpu.make_async_copy(
-            wbuf.at[b % 2], wblock(pool_out_ref, pid_new, blk0),
-            wsem.at[b % 2],
-        ).start()
-
-    # the LAST row's write has no successor step to retire it
-    @pl.when((b + 1 >= B) & can_write)
-    def _():
-        pltpu.make_async_copy(
-            wbuf.at[b % 2], wblock(pool_out_ref, pid_new, blk0),
-            wsem.at[b % 2],
-        ).wait()
+        retire_write(B - 1)
 
 
 @functools.partial(
@@ -577,22 +595,37 @@ def attend_decode_fused(
         _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
         max(block_tables.shape[-1], 2),
     )
+    # multi-row grid blocks: per-grid-step fixed cost dominates at
+    # serving context lengths (1-2 pages/row), so amortize it over RB rows
+    RB = min(8, B)
+    B_pad = (B + RB - 1) // RB * RB
 
     q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
     mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
     fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
     newkv = pack_kv(k, v, M).astype(pool.dtype)[:, None, :]  # [B, 1, M]
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+    if B_pad != B:
+        padr = B_pad - B
+        q_exp = jnp.pad(q_exp, ((0, padr), (0, 0), (0, 0)))
+        newkv = jnp.pad(newkv, ((0, padr), (0, 0), (0, 0)))
+        block_tables = jnp.pad(
+            block_tables, ((0, padr), (0, 0)), constant_values=-1
+        )
+        seq_lens = jnp.pad(seq_lens, ((0, padr),))
+        valid = jnp.pad(valid, ((0, padr),))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B,),
+        grid=(B_pad // RB,),
         in_specs=[
             pl.BlockSpec(
-                (1, H, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (RB, H, M), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (RB, 1, M), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -600,7 +633,8 @@ def attend_decode_fused(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (RB, H, D), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -614,12 +648,12 @@ def attend_decode_fused(
     )
     kernel = functools.partial(
         _decode_fused_kernel, page=page, scale=scale, split_kv=split_kv,
-        ring=ring, window=window, softcap=softcap,
+        ring=ring, rows_block=RB, window=window, softcap=softcap,
     )
     out, pool = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            jax.ShapeDtypeStruct((B_pad, H, D), q.dtype),
             jax.ShapeDtypeStruct(pool.shape, pool.dtype),
         ],
         grid_spec=grid_spec,
@@ -634,7 +668,7 @@ def attend_decode_fused(
         block_tables, seq_lens, layer_arr, valid.astype(jnp.int32),
         q_exp, newkv, pool, mask, fold,
     )
-    return out, pool
+    return out[:B], pool
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,45 @@ def warmup_engine(engine: Engine, full: bool = True):
             for _ in range(b):
                 engine.submit("warmup", sampled)
             engine.run_until_complete()
+        # packed-prefill group variants (R simultaneous prompts), then the
+        # same bursts with a decode in flight so the HYBRID step's
+        # (R, T) buckets compile before traffic (infer.hybrid_step)
+        rbuckets, rb = [], 2
+        while rb < n:
+            rbuckets.append(rb)
+            rb *= 2
+        rbuckets.append(n)
+        for R in rbuckets:
+            for _ in range(R):
+                engine.submit(
+                    "warmup", SampleParams(temperature=0.0, max_new_tokens=2)
+                )
+            engine.run_until_complete()
+        if cfg.infer.hybrid_step and n > 1:
+            w = max(1, cfg.infer.decode_window)
+            keeper = engine.submit(
+                "warmup keeper",
+                SampleParams(temperature=0.0, max_new_tokens=12 * w),
+            )
+            engine.step()  # prefill the keeper
+            engine.step()  # it is now decoding
+            for R in rbuckets:
+                burst = [
+                    engine.submit(
+                        "warmup",
+                        SampleParams(temperature=0.0, max_new_tokens=2),
+                    )
+                    for _ in range(min(R, n - 1))
+                ]
+                guard = 0
+                while (
+                    any(r.finish_reason is None for r in burst)
+                    and keeper.finish_reason is None
+                    and guard < 100
+                ):
+                    engine.step()
+                    guard += 1
+            engine.run_until_complete()
         # prefill length buckets up to the chunk cap (longer prompts run
         # as chunk-capped pieces, already covered)
         chunk_cap = max(cfg.infer.prefill_chunk, 16)

@@ -188,3 +188,40 @@ def test_prefill_window_softcap_matches_oracle(window, softcap):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
     )
+
+
+def test_decode_fused_multi_block_padded_rows():
+    """B=10 spans two row-blocks (RB=8) with padding: live rows match the
+    separate append+attend path, the dead row's page slot is untouched."""
+    L, P, KV, Dh, H, B = 2, 32, 2, 32, 4, 10
+    M = 2 * KV * Dh
+    pool = jax.random.normal(
+        jax.random.PRNGKey(0), (L, P, PAGE, M), jnp.float32
+    ).astype(jnp.bfloat16)
+    q = jax.random.normal(
+        jax.random.PRNGKey(1), (B, H, Dh), jnp.float32
+    ).astype(jnp.bfloat16)
+    k = jax.random.normal(
+        jax.random.PRNGKey(2), (B, KV, Dh), jnp.float32
+    ).astype(jnp.bfloat16)
+    v = jax.random.normal(
+        jax.random.PRNGKey(3), (B, KV, Dh), jnp.float32
+    ).astype(jnp.bfloat16)
+    bt = jnp.asarray([[3 * i, 3 * i + 1, 3 * i + 2] for i in range(B)], jnp.int32)
+    seq_lens = jnp.asarray([40, 17, 33, 5, 47, 1, 29, 16, 31, 8], jnp.int32)
+    valid = jnp.asarray([True] * 9 + [False])
+    layer = jnp.int32(1)
+    pool_ref = xla_attn.append_decode(pool, layer, k, v, bt, seq_lens, valid, PAGE)
+    want = xla_attn.attend_decode(
+        q, pool_ref, layer, bt, seq_lens, PAGE, KV, Dh, split_kv=True,
+        impl="xla",
+    )
+    got, pool_got = pk.attend_decode_fused(
+        q, pool, layer, k, v, bt, seq_lens, valid, PAGE, KV, Dh,
+        split_kv=True, interpret=_interp(),
+    )
+    np.testing.assert_array_equal(np.asarray(pool_got), np.asarray(pool_ref))
+    lv = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[lv], np.asarray(want)[lv], atol=2e-2, rtol=2e-2
+    )
