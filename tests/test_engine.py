@@ -278,3 +278,29 @@ def test_hybrid_step_matches_pure_paths():
     want, fired_off = run(False)
     assert fired and not fired_off
     assert got == want
+
+
+def test_long_context_many_pages():
+    """A prompt spanning dozens of pages: chunked prefill + decode stay
+    consistent with teacher-forcing the same tokens (long-context path:
+    block tables well beyond one page-table row's typical size)."""
+    cfg = tiny_cfg(
+        **{
+            "infer.max_seq_len": 1024,
+            "infer.prefill_chunk": 128,
+            "infer.stop_with_eos": False,
+        }
+    )
+    eng = Engine(cfg)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(5, 250, 700).tolist()  # 44 pages of 16
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    r1 = eng.submit("", p, prompt_tokens=prompt)
+    eng.run_until_complete()
+    toks = list(r1.async_stream.tokens)
+    assert len(toks) == 6
+
+    # teacher-force: feeding prompt + generated prefix reproduces the tail
+    r2 = eng.submit("", p, prompt_tokens=prompt + toks[:3])
+    eng.run_until_complete()
+    assert list(r2.async_stream.tokens)[:3] == toks[3:6]
