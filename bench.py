@@ -133,12 +133,66 @@ def _measure_moe():
     return bf16, fp8
 
 
+def _measure_envelope(cfg):
+    """Platform envelope: the SAME per-layer matmul chain the decode step
+    runs (merged qkv / gate+up / down / head on [BS, d] activations in a
+    stacked-layer scan) with no attention/cache/sampling — the
+    weight-streaming rate XLA achieves for these skinny GEMMs. The
+    engine's vs_envelope says how much of the achievable platform rate
+    the full serving stack delivers (the roofline assumes spec HBM BW,
+    which skinny matmuls do not reach on this chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = cfg.models
+    d, L, F, V = m.dim, m.n_layers, m.inter_dim, m.vocab_size
+    H, KV, Dh = m.n_heads, m.n_kv_heads, m.head_dim_()
+    key = jax.random.PRNGKey(0)
+    wqkv = jax.random.normal(key, (L, d, (H + 2 * KV) * Dh), jnp.bfloat16)
+    wo = jax.random.normal(key, (L, H * Dh, d), jnp.bfloat16)
+    wgu = jax.random.normal(key, (L, d, 2 * F), jnp.bfloat16)
+    wdn = jax.random.normal(key, (L, F, d), jnp.bfloat16)
+    head = jax.random.normal(key, (d, V), jnp.bfloat16)
+    x0 = jax.random.normal(key, (BS, d), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        def layer(x, ws):
+            qkv, o_w, gu, dn = ws
+            a = jnp.dot(x, qkv, preferred_element_type=jnp.float32)
+            x = x + jnp.dot(
+                a[:, : H * Dh].astype(jnp.bfloat16), o_w,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            g = jnp.dot(x, gu, preferred_element_type=jnp.float32)
+            hid = (
+                jax.nn.silu(g[:, :F]) * g[:, F:]
+            ).astype(jnp.bfloat16)
+            x = x + jnp.dot(
+                hid, dn, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+            return x, None
+
+        x, _ = jax.lax.scan(layer, x, (wqkv, wo, wgu, wdn))
+        return jnp.dot(x, head, preferred_element_type=jnp.float32)
+
+    chain(x0).block_until_ready()
+    steps = 50
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x0 = chain(x0)[:, :d].astype(jnp.bfloat16)
+    x0.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BS * steps / dt
+
+
 def main():
     import jax
 
     tok_per_s, decode_s, per_round, wall, cfg, prefill_tok_s = (
         _measure_engine([])
     )
+    envelope_tok_s = _measure_envelope(cfg)
     # north-star companion (BASELINE.md): soft-fp8 weight-only decode —
     # the reference's headline is fp8 >= 1.5x bf16 per unit HBM bandwidth
     fp8_tok_per_s, *_ = _measure_engine(
@@ -176,6 +230,8 @@ def main():
                     "decode_s": round(decode_s, 3),
                     "wall_s": round(wall, 3),
                     "roofline_tok_per_s": round(ideal_tok, 1),
+                    "envelope_tok_per_s": round(envelope_tok_s, 1),
+                    "vs_envelope": round(tok_per_s / envelope_tok_s, 4),
                     "weight_gib": round(wbytes / 2**30, 3),
                     "soft_fp8_tok_per_s": round(fp8_tok_per_s, 2),
                     "fp8_vs_bf16": round(fp8_tok_per_s / tok_per_s, 3),
