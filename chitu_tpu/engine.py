@@ -153,12 +153,13 @@ class Engine:
             # capacity regime — tp/pp compose later)
             if cfg.infer.pp_size != 1:
                 raise ValueError("ring_kv requires pp_size == 1")
-            if not hasattr(self.model, "kv_tp_shard"):
+            if not getattr(self.model, "supports_ring_kv", False):
                 raise ValueError(
-                    "ring_kv currently covers the llama family "
-                    "(GQA split-KV pools)"
+                    "ring_kv: model family lacks a ring-shardable pool"
                 )
-            if cfg.infer.tp_size > 1 and not self.model.kv_tp_shard:
+            if cfg.infer.tp_size > 1 and not getattr(
+                self.model, "kv_tp_shard", False
+            ):
                 raise ValueError(
                     "ring_kv with tp > 1 needs a TP-shardable KV pool "
                     "(n_kv_heads divisible by tp, 128-lane-aligned shards)"

@@ -46,6 +46,8 @@ from chitu_tpu.ops.linear import linear
 
 @register_model("deepseek-v3")
 class DeepSeekV3ForCausalLM:
+    supports_ring_kv = True  # infer.ring_kv (ops/attention_ring.py)
+
     def __init__(self, args, cfg):
         assert args.mla is not None and args.moe is not None
         self.args = args
@@ -500,6 +502,7 @@ class DeepSeekV3ForCausalLM:
         attn_impl: str = "xla",
         return_all_logits: bool = False,
         mesh=None,
+        ring_kv_axis: str = "",
     ):
         T = tokens.shape[0]
         pos = start_pos + jnp.arange(T, dtype=jnp.int32)
@@ -512,28 +515,51 @@ class DeepSeekV3ForCausalLM:
         kvh = 1 if self.absorb else self.args.n_heads
         kvd = self.kv_minor if self.absorb else self.qk_head_dim
 
-        def append(pool, layer, new_kv):
-            k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
-            return attn_ops.append_prefill(
-                pool, layer, k, v, block_table, pos, valid_len, page_size
-            )
+        if ring_kv_axis:
+            # ring-sharded latent pool (ops/attention_ring.py): the
+            # long-context DeepSeek regime — 576B/token latent pages
+            # stripe over the 'dp' ring
+            from chitu_tpu.ops import attention_ring as ring_ops
 
-        def attend(q, pool, layer):
-            return attn_ops.attend_prefill(
-                q,
-                pool,
-                layer,
-                block_table,
-                jnp.where(jnp.arange(T) < valid_len, pos, 0),
-                total_len,
-                page_size,
-                kvh,
-                kvd,
-                split_kv=not self.absorb,
-                scale=self.attn_scale,
-                impl=attn_impl,
-                mesh=mesh,
-            )
+            def append(pool, layer, new_kv):
+                k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+                return ring_ops.append_prefill_ring(
+                    pool, layer, k, v, block_table, pos, valid_len,
+                    page_size, mesh, ring_kv_axis,
+                )
+
+            def attend(q, pool, layer):
+                return ring_ops.attend_prefill_ring(
+                    q, pool, layer, block_table,
+                    jnp.where(jnp.arange(T) < valid_len, pos, 0),
+                    total_len, page_size, kvh, kvd,
+                    split_kv=not self.absorb, scale=self.attn_scale,
+                    mesh=mesh, axis=ring_kv_axis,
+                )
+
+        else:
+            def append(pool, layer, new_kv):
+                k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+                return attn_ops.append_prefill(
+                    pool, layer, k, v, block_table, pos, valid_len, page_size
+                )
+
+            def attend(q, pool, layer):
+                return attn_ops.attend_prefill(
+                    q,
+                    pool,
+                    layer,
+                    block_table,
+                    jnp.where(jnp.arange(T) < valid_len, pos, 0),
+                    total_len,
+                    page_size,
+                    kvh,
+                    kvd,
+                    split_kv=not self.absorb,
+                    scale=self.attn_scale,
+                    impl=attn_impl,
+                    mesh=mesh,
+                )
 
         h, cache = self._forward(
             params, cache, h, cos, sin, append, attend, mesh
@@ -684,6 +710,7 @@ class DeepSeekV3ForCausalLM:
         page_size: int,
         attn_impl: str = "xla",
         mesh=None,
+        ring_kv_axis: str = "",
     ):
         h = jnp.take(params["embed"], tokens, axis=0)
         idx = jnp.minimum(seq_lens, self.cos.shape[0] - 1)
@@ -693,27 +720,45 @@ class DeepSeekV3ForCausalLM:
         kvh = 1 if self.absorb else self.args.n_heads
         kvd = self.kv_minor if self.absorb else self.qk_head_dim
 
-        def append(pool, layer, new_kv):
-            k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
-            return attn_ops.append_decode(
-                pool, layer, k, v, block_tables, seq_lens, valid, page_size
-            )
+        if ring_kv_axis:
+            from chitu_tpu.ops import attention_ring as ring_ops
 
-        def attend(q, pool, layer):
-            return attn_ops.attend_decode(
-                q,
-                pool,
-                layer,
-                block_tables,
-                seq_lens,
-                page_size,
-                kvh,
-                kvd,
-                split_kv=not self.absorb,
-                scale=self.attn_scale,
-                impl=attn_impl,
-                mesh=mesh,
-            )
+            def append(pool, layer, new_kv):
+                k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+                return ring_ops.append_decode_ring(
+                    pool, layer, k, v, block_tables, seq_lens, valid,
+                    page_size, mesh, ring_kv_axis,
+                )
+
+            def attend(q, pool, layer):
+                return ring_ops.attend_decode_ring(
+                    q, pool, layer, block_tables, seq_lens, page_size,
+                    kvh, kvd, split_kv=not self.absorb,
+                    scale=self.attn_scale, mesh=mesh, axis=ring_kv_axis,
+                )
+
+        else:
+            def append(pool, layer, new_kv):
+                k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+                return attn_ops.append_decode(
+                    pool, layer, k, v, block_tables, seq_lens, valid, page_size
+                )
+
+            def attend(q, pool, layer):
+                return attn_ops.attend_decode(
+                    q,
+                    pool,
+                    layer,
+                    block_tables,
+                    seq_lens,
+                    page_size,
+                    kvh,
+                    kvd,
+                    split_kv=not self.absorb,
+                    scale=self.attn_scale,
+                    impl=attn_impl,
+                    mesh=mesh,
+                )
 
         h, cache = self._forward(
             params, cache, h, cos, sin, append, attend, mesh

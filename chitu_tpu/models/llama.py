@@ -75,6 +75,8 @@ def _ffn_dim(args) -> int:
 class LlamaForCausalLM:
     """Functional model adapter: holds static config, exposes pure fns."""
 
+    supports_ring_kv = True  # infer.ring_kv (ops/attention_ring.py)
+
     def __init__(self, args, cfg):
         self.args = args
         self.cfg = cfg

@@ -309,7 +309,10 @@ def _moe_ffn_ep(
 
     tp = mesh.shape.get("tp", 1)
     El = E // tp
-    dp_ax = "dp" if "dp" in mesh.shape else None
+    # tokens shard over 'dp' only when the count divides; small decode
+    # batches (or ring_kv's replicated batch) stay replicated
+    dp = mesh.shape.get("dp", 1)
+    dp_ax = "dp" if dp > 1 and x.shape[0] % dp == 0 else None
 
     def leaf_spec(w):
         nd = w.data.ndim if isinstance(w, QTensor) else w.ndim

@@ -191,3 +191,24 @@ def test_ring_decode_window_softcap_matches_oracle():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ring_kv_deepseek_mla_matches_single_device():
+    """DeepSeek merged-MLA latent pool over the 'dp' ring: the flagship
+    long-context regime (576B/token latent pages stripe over the ring)."""
+    from test_deepseek import _ds_cfg
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_ds_cfg())
+    want = base.generate("latent pages around the ring", p)
+
+    cfg = _ds_cfg(**{"infer.dp_size": 4, "infer.ring_kv": "true"})
+    eng = Engine(cfg)
+    assert eng.executor.ring_kv_axis == "dp"
+    got = eng.generate("latent pages around the ring", p)
+    assert got == want
+
+    pool = next(iter(eng.cache.arrays.values()))
+    shard = pool.sharding.shard_shape(pool.shape)
+    assert shard[1] == pool.shape[1] // 4
