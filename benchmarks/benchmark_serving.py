@@ -35,7 +35,9 @@ def one_request(url: str, prompt: str, max_tokens: int, stream: bool):
     if stream:
         with requests.post(url, json=body, stream=True, timeout=600) as r:
             r.raise_for_status()
-            for line in r.iter_lines():
+            # chunk_size=1: iter_lines buffers 512B by default, which hides
+            # real first-token latency behind client-side read coalescing
+            for line in r.iter_lines(chunk_size=1):
                 if not line or not line.startswith(b"data: "):
                     continue
                 payload = line[6:]

@@ -91,8 +91,12 @@ class AsyncDataStream:
                 text = self.tokenizer.decode(pending)
                 # U+FFFD means the byte sequence is incomplete: hold tokens
                 # back until the next token completes the codepoint
-                # (reference: async_response.py:34-50)
-                if text and not text.endswith("�"):
+                # (reference: async_response.py:34-50). An incomplete UTF-8
+                # tail is at most a few tokens, so a long-pending U+FFFD
+                # means genuinely invalid bytes (e.g. random weights under a
+                # byte tokenizer) — emit rather than stalling the stream
+                # until finish().
+                if text and (not text.endswith("�") or len(pending) >= 4):
                     self.strs.append((text, self.in_reasoning))
                     self._decoded_upto = len(self.tokens)
         self._notify()

@@ -128,35 +128,43 @@ def warmup_engine(engine: Engine, full: bool = True):
             for _ in range(b):
                 engine.submit("warmup", sampled)
             engine.run_until_complete()
-        # packed-prefill group variants (R simultaneous prompts), then the
-        # same bursts with a decode in flight so the HYBRID step's
-        # (R, T) buckets compile before traffic (infer.hybrid_step)
-        rbuckets, rb = [], 2
-        while rb < n:
-            rbuckets.append(rb)
-            rb *= 2
-        rbuckets.append(n)
-        for R in rbuckets:
-            for _ in range(R):
+        # packed-slab variants: R and T are FIXED (executor._pack_slab), so
+        # one burst of short prompts (mp=1) plus one of page-crossing
+        # prompts (mp=2, when max_seq_len allows) covers the whole packed
+        # program space; then the same bursts with decodes in flight for
+        # the hybrid variants (infer.hybrid_step)
+        tokid = engine.tokenizer.encode("w", bos=True)[-1]
+        plens = [8]
+        if hasattr(engine.model, "prefill_packed"):
+            cross = cfg.infer.page_size + 8
+            if cross <= min(
+                ex._pack_slab(), cfg.infer.max_seq_len - 8
+            ):
+                plens.append(cross)
+        for plen in plens:
+            for _ in range(n):
                 engine.submit(
-                    "warmup", SampleParams(temperature=0.0, max_new_tokens=2)
+                    "",
+                    SampleParams(temperature=0.0, max_new_tokens=2),
+                    prompt_tokens=[tokid] * plen,
                 )
             engine.run_until_complete()
         if cfg.infer.hybrid_step and n > 1:
             w = max(1, cfg.infer.decode_window)
-            keeper = engine.submit(
-                "warmup keeper",
-                SampleParams(temperature=0.0, max_new_tokens=12 * w),
-            )
-            engine.step()  # prefill the keeper
-            engine.step()  # it is now decoding
-            for R in rbuckets:
+            for plen in plens:
+                keeper = engine.submit(
+                    "warmup keeper",
+                    SampleParams(temperature=0.0, max_new_tokens=12 * w),
+                )
+                engine.step()  # prefill the keeper
+                engine.step()  # it is now decoding
                 burst = [
                     engine.submit(
-                        "warmup",
+                        "",
                         SampleParams(temperature=0.0, max_new_tokens=2),
+                        prompt_tokens=[tokid] * plen,
                     )
-                    for _ in range(min(R, n - 1))
+                    for _ in range(n - 1)
                 ]
                 guard = 0
                 while (
@@ -166,7 +174,7 @@ def warmup_engine(engine: Engine, full: bool = True):
                 ):
                     engine.step()
                     guard += 1
-            engine.run_until_complete()
+                engine.run_until_complete()
         # prefill length buckets up to the chunk cap (longer prompts run
         # as chunk-capped pieces, already covered)
         chunk_cap = max(cfg.infer.prefill_chunk, 16)

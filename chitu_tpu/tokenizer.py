@@ -61,8 +61,23 @@ class ByteTokenizer(BaseTokenizer):
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:
-        data = bytes(i for i in ids if 0 <= i < 256)
-        return data.decode("utf-8", errors="replace")
+        # ids beyond the byte+special range (arch-only debugging emits the
+        # model's full vocab) render as a visible placeholder so streams
+        # still carry one glyph per token instead of silently dropping
+        out = []
+        run: List[int] = []
+        for i in ids:
+            if 0 <= i < 256:
+                run.append(i)
+            else:
+                if run:
+                    out.append(bytes(run).decode("utf-8", errors="replace"))
+                    run = []
+                if i > self.pad_id:
+                    out.append("·")
+        if run:
+            out.append(bytes(run).decode("utf-8", errors="replace"))
+        return "".join(out)
 
     def encode_chat(self, messages: List[Dict[str, str]]) -> List[int]:
         ids: List[int] = [self.bos_id]

@@ -9,16 +9,18 @@ Usage: python scripts/serving_bench.py [out.json]
 
 import dataclasses
 import json
+import os
 import sys
 
-from chitu_tpu.config import load_config
-from chitu_tpu.serve import BackgroundServer
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-sys.path.insert(0, "benchmarks")
-from benchmark_serving import run_benchmark  # noqa: E402
+from chitu_tpu.config import load_config  # noqa: E402
+from chitu_tpu.serve import BackgroundServer  # noqa: E402
 
 
 def main():
+    extra = [a for a in sys.argv[1:] if "=" in a]
     cfg = load_config(
         overrides=[
             "models=tiny-llama-debug",
@@ -29,6 +31,7 @@ def main():
             "infer.decode_buckets=16",
             "serve.port=0",
         ]
+        + extra
     )
     cfg = dataclasses.replace(
         cfg, serve=dataclasses.replace(cfg.serve, port=0)
@@ -36,18 +39,38 @@ def main():
     srv = BackgroundServer(cfg, warmup=True)
     port = srv.start()
     try:
-        summary = run_benchmark(
-            "127.0.0.1", port, num_requests=64, concurrency=16,
-            max_tokens=64, stream=True,
-            prompt="Write a short story about a lighthouse keeper. " * 4,
+        # drive from a SEPARATE process: 16 in-process client threads
+        # would fight the engine dispatch thread for the GIL and measure
+        # the client, not the server
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"  # client never touches the chip
+        env["PALLAS_AXON_POOL_IPS"] = ""  # keep sitecustomize off the tunnel
+        bench = os.path.join(_REPO, "benchmarks", "benchmark_serving.py")
+        from chitu_tpu.utils import get_timers
+
+        get_timers().reset()  # isolate the measured run from warmup
+        proc = subprocess.run(
+            [
+                sys.executable, bench,
+                "--port", str(port), "--num-requests", "64",
+                "--concurrency", "16", "--max-tokens", "64", "--stream",
+                "--prompt",
+                "Write a short story about a lighthouse keeper. " * 4,
+            ],
+            capture_output=True, text=True, timeout=900, env=env,
         )
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        print("server-side " + get_timers().log(), file=sys.stderr)
     finally:
         srv.stop()
     out = {"metric": "serving_http_tinyllama1.1b_bs16", **summary}
     line = json.dumps(out)
     print(line)
-    if len(sys.argv) > 1:
-        with open(sys.argv[1], "w") as f:
+    outs = [a for a in sys.argv[1:] if "=" not in a]
+    if outs:
+        with open(outs[0], "w") as f:
             f.write(line + "\n")
 
 

@@ -61,3 +61,19 @@ def test_full_seq_decode_mode():
         stream.add_data(b)
     stream.finish()
     assert "".join(p for p, _ in collect(stream)) == text
+
+
+def test_invalid_bytes_stream_incrementally():
+    """Genuinely invalid bytes (e.g. random weights under the byte
+    tokenizer) must not stall the stream until finish(): the U+FFFD
+    holdback is bounded, so pieces flow while the request is live."""
+    tk = ByteTokenizer()
+    stream = AsyncDataStream(tk)
+    for _ in range(16):
+        stream.add_data(0xFF)  # never a valid UTF-8 sequence
+    # pieces were emitted BEFORE finish()
+    assert len(stream.strs) >= 2
+    stream.finish()
+    pieces = collect(stream)
+    joined = "".join(p for p, _ in pieces)
+    assert len(joined) == 16  # every byte surfaced (as replacement chars)
