@@ -221,6 +221,12 @@ class InferArgs:
     process_id: int = -1
     prefill_chunk: int = 512  # prefill token-count bucket granularity
     pp_layer_partition: Tuple[int, ...] = ()
+    # automatic prefix caching (ADDITIVE over the reference, whose
+    # PrefixAlign scheduler only sorts by shared prefix): full prompt
+    # pages are content-hashed and shared read-only between requests, so
+    # repeated system prompts / few-shot headers prefill only their tail.
+    # Python allocator only (forces CHITU_TPU_NATIVE off for the pool).
+    prefix_cache: bool = False
 
 
 @dataclass(frozen=True)

@@ -190,6 +190,7 @@ class Engine:
             sharding=cache_sharding,
             layer_groups=spec.get("layer_groups"),
             max_slots=cfg.infer.max_reqs,
+            prefix_cache=cfg.infer.prefix_cache,
         )
         if cache_type == "nop":
             from chitu_tpu.kvcache.paged import NopAllocator

@@ -662,11 +662,22 @@ class Executor:
         timers = get_timers()
         timers("prefill").start()
         admitted = []
+        prefix_caching = hasattr(self.cache.allocator, "lookup")
         for t in tasks:
             slot = self.slots.alloc(t.task_id)
             if slot is None:
                 continue  # over max_reqs; stays queued
             t.slot = slot
+            if (
+                prefix_caching
+                and t.prefilled_len == 0
+                and not t.response_tokens
+            ):
+                # attach any cached prompt prefix: those pages hold valid
+                # KV, so prefill starts at the first uncached token
+                cached = self.cache.allocator.lookup(t.task_id, t.tokens)
+                if cached:
+                    t.prefilled_len = cached
             if not self.cache.allocator.ensure(t.task_id, t.prefix_len + 1):
                 self.slots.release(t.task_id)
                 t.slot = -1
@@ -827,6 +838,10 @@ class Executor:
                     t.prefilled_len = t.prefix_len
                     t.start_decoding()
                 t.append_token(int(th[i]))
+        if prefix_caching:
+            # publish the freshly computed prompt pages for future sharing
+            for t in admitted:
+                self.cache.allocator.register(t.task_id, t.tokens)
         timers("prefill").stop()
 
     def _prefill_one(self, t: Task, tokens=None) -> jnp.ndarray:

@@ -67,6 +67,126 @@ class PageAllocator:
         return bt
 
 
+class PrefixCachingAllocator(PageAllocator):
+    """Page-granular automatic prefix caching (additive over the
+    reference, whose PrefixAlign scheduler only *sorts* by shared prefix,
+    scheduler.py:275-309 — it never reuses KV).
+
+    Full pages of a finished prompt are published under a rolling
+    hash chain; a new request whose prompt starts with the same token
+    pages attaches those pages read-only and prefills only the tail.
+    Sharing is sound because decode writes always land at positions
+    beyond the prompt, and the page holding the prompt's final token is
+    never shared (lookup caps at len-1), so shared pages are immutable.
+
+    Refcount invariant: a cached page holds 1 cache ref + 1 per attached
+    request; pages at exactly 1 ref (cache only) sit in an LRU and are
+    reclaimed on pool pressure.
+    """
+
+    def __init__(self, num_pages: int, page_size: int):
+        super().__init__(num_pages, page_size)
+        from collections import OrderedDict
+
+        self.entries: Dict[int, int] = {}  # chain hash -> page id
+        self.page_hash: Dict[int, int] = {}  # page id -> chain hash
+        self.refcount: Dict[int, int] = {}  # shared page id -> refs
+        self.lru = OrderedDict()  # chain hash -> None (evictable)
+        self.hits = 0  # pages served from cache
+        self.misses = 0  # full prompt pages computed fresh
+
+    def _chain(self, tokens: Sequence[int]):
+        """Rolling hashes of the full prompt pages eligible for sharing
+        (the page holding the last prompt token stays private)."""
+        ps = self.page_size
+        n_full = max(0, (len(tokens) - 1)) // ps
+        h, out = 0, []
+        for i in range(n_full):
+            h = hash((h, tuple(tokens[i * ps : (i + 1) * ps])))
+            out.append(h)
+        return out
+
+    def lookup(self, req_id: str, tokens: Sequence[int]) -> int:
+        """Attach the longest cached prefix; returns its token count.
+        Idempotent per request (no-op once pages are attached)."""
+        if req_id in self.req_pages:
+            return 0
+        pages = []
+        chain = self._chain(tokens)
+        for h in chain:
+            p = self.entries.get(h)
+            if p is None:
+                break
+            pages.append(p)
+        for p in pages:
+            self.refcount[p] += 1
+            self.lru.pop(self.page_hash[p], None)
+        self.hits += len(pages)
+        self.misses += len(chain) - len(pages)
+        if pages:
+            self.req_pages[req_id] = list(pages)
+            self.req_len[req_id] = len(pages) * self.page_size
+        return len(pages) * self.page_size
+
+    def register(self, req_id: str, tokens: Sequence[int]):
+        """Publish a prefilled prompt's full pages for future sharing."""
+        pages = self.req_pages.get(req_id, [])
+        for i, h in enumerate(self._chain(tokens)):
+            if i >= len(pages):
+                break
+            p = pages[i]
+            if h in self.entries:
+                # already published (we attached it, or a twin prompt won
+                # the race with a different private page) — leave ours be
+                continue
+            if p in self.page_hash:
+                continue  # page already published under another chain
+            self.entries[h] = p
+            self.page_hash[p] = h
+            # cache ref + this request's ref
+            self.refcount[p] = self.refcount.get(p, 1) + 1
+
+    def ensure(self, req_id: str, total_tokens: int) -> bool:
+        pages = self.req_pages.setdefault(req_id, [])
+        need = (total_tokens + self.page_size - 1) // self.page_size
+        while len(pages) < need:
+            if not self.free_pages and not self._evict_one():
+                return False
+            pages.append(self.free_pages.pop())
+        self.req_len[req_id] = total_tokens
+        return True
+
+    def num_free(self) -> int:
+        return len(self.free_pages) + len(self.lru)
+
+    def _evict_one(self) -> bool:
+        while self.lru:
+            h, _ = self.lru.popitem(last=False)
+            p = self.entries.pop(h)
+            self.page_hash.pop(p, None)
+            self.refcount[p] -= 1
+            if self.refcount[p] == 0:
+                self.refcount.pop(p)
+                self.free_pages.append(p)
+                return True
+            # defensively skip a still-attached entry (invariant says LRU
+            # holds cache-only pages, but never wedge the pool on a bug)
+        return False
+
+    def free(self, req_id: str):
+        for p in self.req_pages.pop(req_id, []):
+            if p in self.refcount:
+                self.refcount[p] -= 1
+                if self.refcount[p] == 1 and p in self.page_hash:
+                    self.lru[self.page_hash[p]] = None  # evictable
+                elif self.refcount[p] == 0:
+                    self.refcount.pop(p)
+                    self.free_pages.append(p)
+            else:
+                self.free_pages.append(p)
+        self.req_len.pop(req_id, None)
+
+
 class NativeBackedPageAllocator:
     """PageAllocator-compatible facade over the C++ host runtime
     (chitu_tpu/native.py). Request-id strings map to bounded integer
@@ -176,6 +296,7 @@ class PagedKVCache:
         sharding=None,
         layer_groups: Optional[Dict[str, int]] = None,
         max_slots: int = 0,
+        prefix_cache: bool = False,
     ):
         from chitu_tpu.models.common import kv_pool_minor, pad_kv_minor
 
@@ -185,7 +306,9 @@ class PagedKVCache:
         self.kv_heads = kv_heads
         self.head_dim = head_dim
         self.merged = kv_heads == 0
-        self.allocator = self._make_allocator(num_pages, page_size, max_slots)
+        self.allocator = self._make_allocator(
+            num_pages, page_size, max_slots, prefix_cache
+        )
 
         if self.merged:
             self.minor = pad_kv_minor(1, kv_dim)
@@ -220,11 +343,19 @@ class PagedKVCache:
             }
 
     @staticmethod
-    def _make_allocator(num_pages: int, page_size: int, max_slots: int):
+    def _make_allocator(
+        num_pages: int,
+        page_size: int,
+        max_slots: int,
+        prefix_cache: bool = False,
+    ):
         """Native C++ allocator when the toolchain is available
-        (env CHITU_TPU_NATIVE=0 forces the python fallback)."""
+        (env CHITU_TPU_NATIVE=0 forces the python fallback); prefix
+        caching uses the python PrefixCachingAllocator."""
         import os
 
+        if prefix_cache:
+            return PrefixCachingAllocator(num_pages, page_size)
         if max_slots > 0 and os.environ.get("CHITU_TPU_NATIVE", "1") != "0":
             try:
                 return NativeBackedPageAllocator(

@@ -1,0 +1,161 @@
+"""Automatic prefix caching (kvcache/paged.PrefixCachingAllocator).
+
+ADDITIVE over the reference: its PrefixAlign scheduler only sorts by
+shared prefix (reference: chitu/scheduler.py:275-309); here full prompt
+pages are content-hashed and shared read-only between requests, so a
+repeated system prompt prefills only its tail. These tests pin:
+
+- allocator bookkeeping (attach/publish/free/evict, refcounts, LRU),
+- engine-level token equality vs the uncached engine (shared pages must
+  hold exactly the KV the uncached prefill would compute),
+- immutability (a cache-hit request decoding must not corrupt the
+  shared pages for later requests),
+- pool reclamation under churn (no leaked pages, no wedged pool).
+"""
+
+import numpy as np
+import pytest
+
+from chitu_tpu.engine import Engine
+from chitu_tpu.kvcache.paged import PrefixCachingAllocator
+from chitu_tpu.task import SampleParams
+
+from helpers import tiny_cfg
+
+
+PAGE = 16
+
+
+def _alloc():
+    return PrefixCachingAllocator(num_pages=8, page_size=PAGE)
+
+
+def test_allocator_attach_publish_free():
+    a = _alloc()
+    prompt = list(range(40))  # 2 full pages + 8-token tail
+    assert a.lookup("r1", prompt) == 0  # cold
+    assert a.ensure("r1", len(prompt) + 1)
+    pages_r1 = list(a.req_pages["r1"])
+    a.register("r1", prompt)
+    # r2 with the same prompt attaches the 2 full pages
+    assert a.lookup("r2", prompt) == 2 * PAGE
+    assert a.req_pages["r2"] == pages_r1[:2]
+    assert a.hits == 2
+    assert a.ensure("r2", len(prompt) + 1)
+    # r2's tail page is private (not r1's)
+    assert a.req_pages["r2"][2] not in pages_r1
+    a.free("r1")
+    a.free("r2")
+    # shared pages stay cached (evictable), privates return to the pool
+    assert len(a.lru) == 2
+    assert a.num_free() == 8  # free + evictable
+    # a third request still hits the cache after both owners left
+    assert a.lookup("r3", prompt) == 2 * PAGE
+
+
+def test_allocator_divergent_prefix():
+    a = _alloc()
+    p1 = list(range(40))
+    p2 = list(range(16)) + list(range(100, 124))  # shares page 0 only
+    a.lookup("r1", p1)
+    a.ensure("r1", 41)
+    a.register("r1", p1)
+    assert a.lookup("r2", p2) == PAGE  # first page shared, second not
+    assert a.ensure("r2", 41)
+    a.register("r2", p2)
+    # p2's second full page now cached under its own chain
+    a.free("r1")
+    a.free("r2")
+    assert a.lookup("r3", p2) == 2 * PAGE
+
+
+def test_allocator_eviction_under_pressure():
+    a = _alloc()  # 8 pages total
+    # fill the cache with 3 distinct 2-page prompts (6 cached pages)
+    for i in range(3):
+        prompt = list(range(100 * i, 100 * i + 33))
+        a.lookup(f"w{i}", prompt)
+        assert a.ensure(f"w{i}", 34)
+        a.register(f"w{i}", prompt)
+        a.free(f"w{i}")
+    assert len(a.lru) == 6
+    # a new 7-page request must evict LRU entries and still fit
+    assert a.ensure("big", 7 * PAGE)
+    assert len(a.req_pages["big"]) == 7
+    a.free("big")
+    # oldest entries were evicted; the pool is fully reclaimable
+    assert a.num_free() == 8
+
+
+def test_allocator_page_aligned_prompt():
+    a = _alloc()
+    prompt = list(range(32))  # exactly 2 pages: last page stays private
+    a.lookup("r1", prompt)
+    a.ensure("r1", 33)
+    a.register("r1", prompt)
+    assert a.lookup("r2", prompt) == PAGE  # only page 0 shareable
+
+
+@pytest.fixture(scope="module")
+def engines():
+    base = tiny_cfg(**{"infer.stop_with_eos": False})
+    cached = tiny_cfg(
+        **{"infer.stop_with_eos": False, "infer.prefix_cache": True}
+    )
+    return Engine(base), Engine(cached)
+
+
+def _prompt_tokens(seed, n):
+    rng = np.random.default_rng(seed)
+    return rng.integers(300, 500, n).tolist()
+
+
+def test_engine_tokens_match_uncached(engines):
+    base, eng = engines
+    assert isinstance(eng.cache.allocator, PrefixCachingAllocator)
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    prompt = _prompt_tokens(0, 40)
+
+    def gen(e):
+        req = e.submit("", p, prompt_tokens=prompt)
+        e.run_until_complete()
+        return list(req.async_stream.tokens)
+
+    want = gen(base)
+    first = gen(eng)
+    assert eng.cache.allocator.hits == 0  # cold
+    second = gen(eng)
+    assert eng.cache.allocator.hits == 2  # 2 full pages reused
+    assert first == want and second == want
+
+
+def test_engine_shared_pages_survive_decode_churn(engines):
+    base, eng = engines
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    prompt = _prompt_tokens(1, 45)
+    tail_a = _prompt_tokens(2, 7)
+    tail_b = _prompt_tokens(3, 7)
+
+    def gen(e, toks):
+        req = e.submit("", p, prompt_tokens=toks)
+        e.run_until_complete()
+        return list(req.async_stream.tokens)
+
+    # seed the cache, then two divergent-tail requests sharing the prefix
+    gen(eng, prompt)
+    for tail in (tail_a, tail_b, tail_a):
+        assert gen(eng, prompt + tail) == gen(base, prompt + tail)
+
+
+def test_engine_concurrent_sharers_and_reclaim(engines):
+    _, eng = engines
+    p = SampleParams(temperature=0.0, max_new_tokens=4)
+    prompt = _prompt_tokens(4, 40)
+    free0 = eng.cache.allocator.num_free()
+    reqs = [eng.submit("", p, prompt_tokens=prompt) for _ in range(4)]
+    eng.run_until_complete()
+    assert len(eng.pool) == 0
+    outs = [list(r.async_stream.tokens) for r in reqs]
+    assert all(o == outs[0] for o in outs)
+    # everything reclaimable after completion (cached pages count as free)
+    assert eng.cache.allocator.num_free() == free0
