@@ -155,8 +155,11 @@ def _measure_envelope(cfg):
     head = jax.random.normal(key, (d, V), jnp.bfloat16)
     x0 = jax.random.normal(key, (BS, d), jnp.bfloat16)
 
+    # weights are ARGUMENTS, not closure captures: captured constants get
+    # embedded in the lowered module (2+ GB) and shipped through the
+    # compile path, which is slow and can break transport limits
     @jax.jit
-    def chain(x):
+    def chain(x, wqkv, wo, wgu, wdn, head):
         def layer(x, ws):
             qkv, o_w, gu, dn = ws
             a = jnp.dot(x, qkv, preferred_element_type=jnp.float32)
@@ -176,11 +179,12 @@ def _measure_envelope(cfg):
         x, _ = jax.lax.scan(layer, x, (wqkv, wo, wgu, wdn))
         return jnp.dot(x, head, preferred_element_type=jnp.float32)
 
-    chain(x0).block_until_ready()
+    ws = (wqkv, wo, wgu, wdn, head)
+    chain(x0, *ws).block_until_ready()
     steps = 50
     t0 = time.perf_counter()
     for _ in range(steps):
-        x0 = chain(x0)[:, :d].astype(jnp.bfloat16)
+        x0 = chain(x0, *ws)[:, :d].astype(jnp.bfloat16)
     x0.block_until_ready()
     dt = time.perf_counter() - t0
     return BS * steps / dt

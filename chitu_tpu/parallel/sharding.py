@@ -27,6 +27,12 @@ def _axis_size(mesh: Mesh, name) -> int:
     return mesh.shape[name]
 
 
+# arrays at or above this element count get a loud warning when a spec
+# axis is dropped: silently replicating a large weight wastes per-device
+# HBM exactly where sharding matters (it OOMs only at full model scale)
+_REPLICATE_WARN_ELEMS = 1 << 22  # ~8 MiB at bf16
+
+
 def safe_named_sharding(
     mesh: Mesh, spec: P, shape: tuple
 ) -> NamedSharding:
@@ -34,8 +40,14 @@ def safe_named_sharding(
 
     Lets one spec tree serve models whose head counts don't divide the
     mesh (e.g. 2 KV heads on tp=8 -> replicate KV), matching the
-    reference's fallback of replicating small tensors.
+    reference's fallback of replicating small tensors. Dropping an axis
+    on a LARGE array is almost always a wrong spec or an odd head count
+    that will OOM at scale, so it warns loudly instead of hiding it.
     """
+    import math
+
+    from chitu_tpu.utils import get_logger
+
     fixed = []
     for i, name in enumerate(spec):
         if i >= len(shape):
@@ -48,6 +60,13 @@ def safe_named_sharding(
             fixed.append(name)
         else:
             fixed.append(None)
+            if math.prod(shape) >= _REPLICATE_WARN_ELEMS:
+                get_logger().warning(
+                    "sharding: dropping axis %r on dim %d of shape %s "
+                    "(not divisible by mesh size %d) — array REPLICATES "
+                    "across that axis",
+                    name, i, shape, size,
+                )
     # spec may be shorter than rank; PartitionSpec pads with None
     return NamedSharding(mesh, P(*fixed))
 

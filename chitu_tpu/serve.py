@@ -255,13 +255,19 @@ def build_app(ctx: ServerContext) -> web.Application:
 
     async def status(_):
         eng = ctx.engine
-        return web.json_response(
-            {
-                "engine": eng.state.name if eng else "absent",
-                "model": ctx.cfg.models.name,
-                "live_tasks": len(eng.pool) if eng else 0,
+        body = {
+            "engine": eng.state.name if eng else "absent",
+            "model": ctx.cfg.models.name,
+            "live_tasks": len(eng.pool) if eng else 0,
+        }
+        alloc = eng.cache.allocator if eng else None
+        if alloc is not None and hasattr(alloc, "hits"):
+            body["prefix_cache"] = {
+                "page_hits": alloc.hits,
+                "page_misses": alloc.misses,
+                "cached_pages": len(alloc.entries),
             }
-        )
+        return web.json_response(body)
 
     async def load_status(_):
         """Load-balancer endpoint (reference: serve.py:137-143)."""
