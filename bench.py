@@ -155,9 +155,12 @@ def _measure_envelope(cfg):
     head = jax.random.normal(key, (d, V), jnp.bfloat16)
     x0 = jax.random.normal(key, (BS, d), jnp.bfloat16)
 
-    # weights are ARGUMENTS, not closure captures: captured constants get
-    # embedded in the lowered module (2+ GB) and shipped through the
-    # compile path, which is slow and can break transport limits
+    steps = 50
+
+    # weights are ARGUMENTS, not closure captures (captured constants
+    # embed 2+ GB into the lowered module and break compile transport),
+    # and ALL steps run inside one jitted lax.scan so the measurement is
+    # pure device rate with zero per-step dispatch
     @jax.jit
     def chain(x, wqkv, wo, wgu, wdn, head):
         def layer(x, ws):
@@ -176,16 +179,20 @@ def _measure_envelope(cfg):
             ).astype(jnp.bfloat16)
             return x, None
 
-        x, _ = jax.lax.scan(layer, x, (wqkv, wo, wgu, wdn))
-        return jnp.dot(x, head, preferred_element_type=jnp.float32)
+        def step(x, _):
+            x, _ = jax.lax.scan(layer, x, (wqkv, wo, wgu, wdn))
+            logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+            return logits[:, :d].astype(jnp.bfloat16), None
 
+        x, _ = jax.lax.scan(step, x, None, length=steps)
+        return x
+
+    # time via data FETCH: block_until_ready on a small output can return
+    # early through a dispatch relay and report impossible speeds
     ws = (wqkv, wo, wgu, wdn, head)
-    chain(x0, *ws).block_until_ready()
-    steps = 50
+    np.asarray(chain(x0, *ws))
     t0 = time.perf_counter()
-    for _ in range(steps):
-        x0 = chain(x0, *ws)[:, :d].astype(jnp.bfloat16)
-    x0.block_until_ready()
+    np.asarray(chain(x0, *ws))
     dt = time.perf_counter() - t0
     return BS * steps / dt
 

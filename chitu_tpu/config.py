@@ -221,6 +221,14 @@ class InferArgs:
     process_id: int = -1
     prefill_chunk: int = 512  # prefill token-count bucket granularity
     pp_layer_partition: Tuple[int, ...] = ()
+    # speculative decoding (ADDITIVE over the reference): "ngram" turns on
+    # draft-model-free prompt-lookup drafting — the last n-gram of the
+    # context is matched against its own history and the continuation
+    # proposed as K draft tokens, verified in ONE fused forward (decode is
+    # HBM-bound, so verification costs ~one decode step). Greedy,
+    # penalty-free requests only; others fall back to windowed decode.
+    spec_decode: str = ""  # "" | "ngram"
+    spec_k: int = 4  # draft tokens per verify step
     # automatic prefix caching (ADDITIVE over the reference, whose
     # PrefixAlign scheduler only sorts by shared prefix): full prompt
     # pages are content-hashed and shared read-only between requests, so

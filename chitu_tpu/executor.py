@@ -48,6 +48,23 @@ def _pow2_buckets(lo: int, hi: int) -> Tuple[int, ...]:
     return tuple(out)
 
 
+def _ngram_propose(ctx: List[int], k: int, n: int = 2) -> List[int]:
+    """Prompt-lookup drafting (draft-model-free speculative decoding):
+    find the most recent earlier occurrence of the context's trailing
+    n-gram and propose its continuation as the k draft tokens. Any
+    proposal is CORRECT (verification accepts only matching prefixes);
+    a bad one just wastes the ~free extra verify rows."""
+    if len(ctx) <= n:
+        return [ctx[-1]] * k
+    tail = ctx[-n:]
+    for i in range(len(ctx) - n - 1, -1, -1):
+        if ctx[i : i + n] == tail:
+            cont = ctx[i + n : i + n + k]
+            if cont:
+                return (cont + [cont[-1]] * k)[:k]
+    return [ctx[-1]] * k
+
+
 def _timed_first_call(key, fn):
     """Wrap a jitted fn to log its first-call wall time: a multi-second
     first call mid-traffic means a program bucket the warmup sweep missed
@@ -108,6 +125,9 @@ class Executor:
         self._jit_prefill: Dict = {}
         self._jit_decode: Dict = {}
         self._jit_sample: Dict = {}
+        # speculative decode: [tokens emitted, verify rounds] — mean
+        # tokens/round is the acceptance-driven speedup over plain decode
+        self._spec_stats = [0, 0]
         self._jit_reset = jax.jit(sampling.reset_slots, donate_argnums=(0,))
 
     def _resolve_attn_impl(self) -> str:
@@ -589,6 +609,99 @@ class Executor:
             self._jit_sample[n] = fn
         return fn
 
+    def _verify_fn(self, B: int, K1: int, mp: int):
+        """Jitted speculative-verify step: B rows x (1 accepted + K draft)
+        tokens through one weight pass; returns the greedy continuation at
+        every position (models/llama.verify_draft)."""
+        key = ("verify", B, K1, mp)
+        fn = self._jit_decode.get(key)
+        if fn is None:
+            model, page, impl = self.model, self.page, self.attn_impl
+            mesh = self.mesh
+
+            def run(params, cache, tokens, seq_lens, bts, valid):
+                return model.verify_draft(
+                    params, cache, tokens, seq_lens, bts, valid,
+                    page_size=page, attn_impl=impl, mesh=mesh,
+                )
+
+            fn = _timed_first_call(key, jax.jit(run, donate_argnums=(1,)))
+            self._jit_decode[key] = fn
+        return fn
+
+    def _spec_ok(self, tasks: List[Task]) -> bool:
+        """Speculative decode covers greedy, penalty-free batches (the
+        standard restriction: stochastic acceptance needs rejection
+        sampling); anything else takes the windowed path."""
+        return (
+            self.cfg.infer.spec_decode == "ngram"
+            and hasattr(self.model, "verify_draft")
+            and not self.ring_kv_axis
+            and all(
+                t.req.params.top_k == 1
+                and t.req.params.frequency_penalty == 0.0
+                for t in tasks
+            )
+        )
+
+    def _decode_speculative(self, live: List[Task], window: int):
+        """N-gram speculative decode rounds: each round verifies K drafts
+        per row in ONE fused forward and advances 1..K+1 tokens per row.
+        Host-synced per round (drafting is data-dependent)."""
+        K = max(1, self.cfg.infer.spec_k)
+        K1 = K + 1
+        B = _bucket(len(live), self.decode_buckets)
+        rounds = max(1, window // K1)
+        fn = self._verify_fn(B, K1, self.mp_full)
+        for _ in range(rounds):
+            live = [t for t in live if not t.need_remove()]
+            rows = [
+                t
+                for t in live
+                if t.seq_len + K1 <= t.max_seq_len
+                and self.cache.allocator.ensure(t.task_id, t.seq_len + K1)
+            ][:B]
+            if not rows:
+                break
+            tokens = np.zeros((B, K1), np.int32)
+            seqs = np.zeros((B,), np.int32)
+            valid = np.zeros((B,), bool)
+            drafts: List[List[int]] = []
+            for i, t in enumerate(rows):
+                ctx = list(t.tokens) + list(t.response_tokens)
+                d = _ngram_propose(ctx, K)
+                drafts.append(d)
+                tokens[i, 0] = ctx[-1]
+                tokens[i, 1:] = d
+                seqs[i] = t.seq_len - 1
+                valid[i] = True
+            bts = np.full((B, self.mp_full), -1, np.int32)
+            bts[: len(rows)] = self.cache.allocator.block_table(
+                [t.task_id for t in rows], self.mp_full
+            )
+            greedy, self.cache.arrays = fn(
+                self.params,
+                self.cache.arrays,
+                jnp.asarray(tokens),
+                jnp.asarray(seqs),
+                jnp.asarray(bts),
+                jnp.asarray(valid),
+            )
+            gh = np.asarray(greedy)
+            for i, t in enumerate(rows):
+                accepted = 0
+                while accepted < K and drafts[i][accepted] == int(
+                    gh[i, accepted]
+                ):
+                    accepted += 1
+                emitted = drafts[i][:accepted] + [int(gh[i, accepted])]
+                self._spec_stats[0] += len(emitted)
+                self._spec_stats[1] += 1
+                for tok in emitted:
+                    t.append_token(tok)
+                    if t.need_remove():
+                        break
+
     # -- batch assembly -----------------------------------------------------
 
     def _sampling_arrays(self, tasks: List[Optional[Task]], n: int):
@@ -913,6 +1026,10 @@ class Executor:
 
         if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
             self._decode_pipelined(live, window)
+            timers("decode").stop()
+            return
+        if self._spec_ok(live):
+            self._decode_speculative(live, window)
             timers("decode").stop()
             return
         B = _bucket(len(live), self.decode_buckets)

@@ -645,6 +645,76 @@ class LlamaForCausalLM:
         pf_last = jnp.take(h, B + pf_last_idx, axis=0)  # [R, D]
         return dec_logits, self._logits(params, pf_last), {"kv": pool}
 
+    def verify_draft(
+        self,
+        params,
+        cache: Dict[str, jnp.ndarray],
+        tokens: jnp.ndarray,  # [B, K1] int32: last accepted token + K drafts
+        seq_lens: jnp.ndarray,  # [B] context length BEFORE tokens[:, 0]
+        block_tables: jnp.ndarray,  # [B, mp] int32
+        valid: jnp.ndarray,  # [B] bool
+        page_size: int,
+        attn_impl: str = "xla",
+        mesh=None,
+    ):
+        """Speculative-decode verification -> (greedy tokens [B, K1], cache).
+
+        ADDITIVE over the reference (no speculative decoding there): the
+        B rows' K+1 input tokens run through ONE weight pass (decode is
+        HBM-bound, so verifying K drafts costs roughly one decode step),
+        and the returned greedy continuation of every position lets the
+        host accept the longest matching draft prefix plus one corrected
+        token. Draft KV rows land in the pool during this forward;
+        rejected positions are overwritten by the next call's inputs and
+        are never read (attention masks by causal position).
+
+        Attention uses the packed-varlen oracle path (absolute positions
+        support continuation segments); the GEMM stream — where the time
+        goes — is identical to the packed prefill path.
+        """
+        a = self.args
+        B, K1 = tokens.shape
+        flat = tokens.reshape(-1)
+        pos = seq_lens[:, None] + jnp.arange(K1, dtype=jnp.int32)[None, :]
+        pos_flat = pos.reshape(-1)
+        seg_ids = jnp.where(
+            jnp.repeat(valid, K1),
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), K1),
+            -1,
+        )
+        total_lens = seq_lens + K1
+
+        h = jnp.take(params["embed"], flat, axis=0)
+        idx = jnp.minimum(pos_flat, self.cos.shape[0] - 1)
+        cos = jnp.take(self.cos, idx, 0)
+        sin = jnp.take(self.sin, idx, 0)
+
+        def append(pool, layer, k, v):
+            return attn_ops.append_prefill_packed(
+                pool, layer, k, v, block_tables, seg_ids, pos_flat,
+                page_size,
+            )
+
+        def attend(q, pool, layer):
+            # oracle path: per-token absolute positions (the pallas packed
+            # kernel assumes segments start at position 0)
+            from chitu_tpu.ops.attention import _oracle_prefill_packed
+
+            return _oracle_prefill_packed(
+                q, pool, layer, block_tables, seg_ids, pos_flat,
+                total_lens, a.n_kv_heads, self.head_dim, True,
+                self.attn_scale, window=a.sliding_window,
+                softcap=a.attn_softcap,
+            )
+
+        h, pool = self._run_layers(
+            params, cache["kv"], h, cos, sin, attend, append, mesh
+        )
+        h = rms_norm(h, params["norm"], a.norm_eps)
+        logits = self._logits(params, h)  # [B*K1, V]
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return greedy.reshape(B, K1), {"kv": pool}
+
     def decode(
         self,
         params,
