@@ -221,6 +221,11 @@ class InferArgs:
     process_id: int = -1
     prefill_chunk: int = 512  # prefill token-count bucket granularity
     pp_layer_partition: Tuple[int, ...] = ()
+    # KV-cache storage dtype (ADDITIVE over the reference, which caches
+    # fp16/bf16 only): "fp8" stores e4m3 bits in int8 lanes — halves KV
+    # bandwidth and doubles cache capacity; kernels dequant on load with
+    # the same bit-placement trick as soft-fp8 weights.
+    kv_dtype: str = "bf16"  # bf16 | fp8
     # speculative decoding (ADDITIVE over the reference): "ngram" turns on
     # draft-model-free prompt-lookup drafting — the last n-gram of the
     # context is matched against its own history and the continuation

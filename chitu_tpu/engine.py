@@ -185,7 +185,8 @@ class Engine:
             page_size,
             spec["kv_heads"],
             spec["head_dim"],
-            dtype=jnp.bfloat16,
+            # fp8 KV: e4m3 bits in int8 lanes (kernels dequant on load)
+            dtype=jnp.int8 if cfg.infer.kv_dtype == "fp8" else jnp.bfloat16,
             kv_dim=spec.get("kv_dim", 0),
             sharding=cache_sharding,
             layer_groups=spec.get("layer_groups"),

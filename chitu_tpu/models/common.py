@@ -219,6 +219,31 @@ def kv_pool_minor(kv_heads: int, head_dim: int, lane: int = 128) -> int:
     return (c + lane - 1) // lane * lane
 
 
+def kv_encode(vals: jnp.ndarray, pool_dtype) -> jnp.ndarray:
+    """Encode KV rows for the pool. int8 pools hold fp8-e4m3 BITS
+    (infer.kv_dtype=fp8): halves KV bandwidth/footprint, int8 lanes keep
+    the v5e storage path fast (same trick as soft-fp8 weights,
+    reference: ops.py:395-449)."""
+    if pool_dtype == jnp.int8:
+        import jax
+
+        return jax.lax.bitcast_convert_type(
+            vals.astype(jnp.float8_e4m3fn), jnp.int8
+        )
+    return vals.astype(pool_dtype)
+
+
+def kv_decode(x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Inverse of kv_encode (int8 bits -> e4m3 value -> out_dtype)."""
+    if x.dtype == jnp.int8:
+        import jax
+
+        return jax.lax.bitcast_convert_type(
+            x, jnp.float8_e4m3fn
+        ).astype(out_dtype)
+    return x if x.dtype == out_dtype else x.astype(out_dtype)
+
+
 def paged_append(
     pool: jnp.ndarray,  # [L, num_pages, page, C] (the WHOLE stacked pool)
     layer: jnp.ndarray,  # scalar i32
@@ -241,7 +266,7 @@ def paged_append(
         flat_idx >= P * page, oob, layer.astype(jnp.int32) * (P * page) + flat_idx
     )
     flat = pool.reshape(L * P * page, C)
-    flat = flat.at[idx].set(vals.astype(pool.dtype), mode="drop")
+    flat = flat.at[idx].set(kv_encode(vals, pool.dtype), mode="drop")
     return flat.reshape(L, P, page, C)
 
 

@@ -67,7 +67,11 @@ def unpack_pool(
     head_dim: int,
     split_kv: bool,
 ):
-    """-> (k [B, S, KV, D], v [B, S, KV, D])."""
+    """-> (k [B, S, KV, D], v [B, S, KV, D]). int8 pools hold fp8-e4m3
+    bits (infer.kv_dtype=fp8) and dequantize here."""
+    from chitu_tpu.models.common import kv_decode
+
+    gathered = kv_decode(gathered)
     B, S, M = gathered.shape
     n = kv_heads * head_dim
     if split_kv:

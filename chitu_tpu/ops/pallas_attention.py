@@ -141,6 +141,19 @@ def _fold_matrix(
 # ---------------------------------------------------------------------------
 
 
+
+def _pool_f32(x):
+    """Pool rows -> f32. int8 pools hold fp8-e4m3 BITS
+    (infer.kv_dtype=fp8): dequant by bit placement — sign to bit 31,
+    exp+mantissa to bits 20..26, then the 2^120 exponent re-bias (the
+    soft-fp8 trick, reference: chitu/triton_kernels.py:250-287) — using
+    VPU integer ops instead of the slow fp8 cast path."""
+    if x.dtype == jnp.int8:
+        u = x.astype(jnp.int32) & 0xFF
+        bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
+        return pltpu.bitcast(bits, jnp.float32) * 2.0 ** 120
+    return x.astype(jnp.float32)
+
 def _decode_kernel(
     block_tables_ref,  # [B, mp] int32 (SMEM, scalar prefetch)
     seq_lens_ref,  # [B] int32
@@ -208,7 +221,7 @@ def _decode_kernel(
         slot = jax.lax.rem(i, ring)
         dma(slot, i, b).wait()
 
-        rows = buf[slot].astype(jnp.float32)  # [page, M]
+        rows = _pool_f32(buf[slot])  # [page, M]
         pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         valid = pos < total
 
@@ -461,7 +474,7 @@ def _decode_fused_kernel(
             slot = jax.lax.rem(i, ring)
             dma(slot, i, row).wait()
 
-            rows = buf[slot].astype(jnp.float32)  # [page, M]
+            rows = _pool_f32(buf[slot])  # [page, M]
             pos = i * page + jax.lax.broadcasted_iota(
                 jnp.int32, (1, page), 1
             )
@@ -503,7 +516,7 @@ def _decode_fused_kernel(
 
         # the new token's own column, straight from VMEM (never read back
         # from HBM): one extra online-softmax block of width 1
-        newrow = newkv_ref[r].astype(jnp.float32)  # [1, C]
+        newrow = _pool_f32(newkv_ref[r])  # [1, C]
         s_new = jax.lax.dot_general(
             q, newrow, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -603,7 +616,9 @@ def attend_decode_fused(
     q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
     mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
     fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
-    newkv = pack_kv(k, v, M).astype(pool.dtype)[:, None, :]  # [B, 1, M]
+    from chitu_tpu.models.common import kv_encode
+
+    newkv = kv_encode(pack_kv(k, v, M), pool.dtype)[:, None, :]  # [B, 1, M]
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
     if B_pad != B:
         padr = B_pad - B
@@ -736,7 +751,7 @@ def _prefill_kernel(
         slot = jax.lax.rem(i, ring)
         dma(slot, i).wait()
 
-        rows = buf[slot].astype(jnp.float32)  # [page, M]
+        rows = _pool_f32(buf[slot])  # [page, M]
         kpos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         keep = (kpos < total) & (kpos <= q_pos)  # [Tq*H, page]
 
@@ -945,7 +960,7 @@ def _prefill_packed_kernel(
             slot = jax.lax.rem(i, ring)
             dma(slot, i).wait()
 
-            rows = buf[slot].astype(jnp.float32)
+            rows = _pool_f32(buf[slot])
             kpos = i * page + jax.lax.broadcasted_iota(
                 jnp.int32, (1, page), 1
             )

@@ -225,3 +225,58 @@ def test_decode_fused_multi_block_padded_rows():
     np.testing.assert_allclose(
         np.asarray(got)[lv], np.asarray(want)[lv], atol=2e-2, rtol=2e-2
     )
+
+
+def test_decode_kernel_fp8_pool_matches_oracle():
+    """int8 pools hold fp8-e4m3 bits (infer.kv_dtype=fp8): the kernel's
+    in-kernel bit-placement dequant must agree with the oracle's
+    unpack_pool dequant on the same encoded pool."""
+    from chitu_tpu.models.common import kv_encode
+
+    q, pool, bt, seq_lens = _setup()
+    pool8 = kv_encode(pool.astype(jnp.bfloat16), jnp.int8)
+    want = xla_attn.attend_decode(
+        q, pool8, jnp.int32(LAYER), bt, seq_lens, PAGE, 4, 64,
+        split_kv=True, impl="xla",
+    )
+    got = pk.attend_decode(
+        q, pool8, jnp.int32(LAYER), bt, seq_lens, PAGE, 4, 64,
+        split_kv=True, interpret=_interp(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_decode_fused_fp8_pool_appends_encoded_bits():
+    """The fused append+attend path with an fp8 pool: the new token's KV
+    row must land as e4m3 BITS and the attention output must match
+    append-then-attend on the oracle."""
+    from chitu_tpu.models.common import kv_encode
+
+    q, pool, bt, seq_lens = _setup(B=2, mp=6)
+    pool8 = kv_encode(pool.astype(jnp.bfloat16), jnp.int8)
+    KV, D = 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(9), 2)
+    k = jax.random.normal(ks[0], (2, KV, D), jnp.bfloat16) * 0.3
+    v = jax.random.normal(ks[1], (2, KV, D), jnp.bfloat16) * 0.3
+    valid = jnp.array([True, True])
+
+    ref_pool = xla_attn.append_decode(
+        pool8, jnp.int32(LAYER), k, v, bt, seq_lens, valid, PAGE
+    )
+    want = xla_attn.attend_decode(
+        q, ref_pool, jnp.int32(LAYER), bt, seq_lens, PAGE, KV, D,
+        split_kv=True, impl="xla",
+    )
+    got, new_pool = pk.attend_decode_fused(
+        q, pool8, jnp.int32(LAYER), k, v, bt, seq_lens, valid, PAGE,
+        KV, D, split_kv=True, interpret=_interp(),
+    )
+    assert new_pool.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_pool), np.asarray(ref_pool)
+    )
