@@ -211,6 +211,11 @@ class InferArgs:
     # host syncs once per window (amortizes dispatch/fetch latency the way
     # the reference's CUDA graphs amortize kernel launches)
     decode_window: int = 16
+    # adaptive window length: pick the bucket (pow-4 ladder below
+    # decode_window) maximizing useful slot-steps per unit time from each
+    # row's known remaining budget — tail batches run SHORT windows and
+    # free their slots instead of idling them for a full window
+    adaptive_window: bool = True
 
     # multi-host bring-up (reference: backend.py:88-89 init_process_group
     # + script/srun_multi_node.sh): coordinator "host:port" + process

@@ -986,19 +986,51 @@ class Executor:
         t.prefilled_len = pos
         return logits
 
+    def _window_buckets(self) -> Tuple[int, ...]:
+        """Descending pow-4 ladder of window lengths below the configured
+        decode_window (e.g. 32 -> (32, 8, 2, 1)) — every decode program's
+        scan length comes from this set, so window adaptation (and the
+        max_seq_len clamp) can never compile an arbitrary-length program
+        mid-traffic."""
+        out = [max(1, self.cfg.infer.decode_window)]
+        while out[-1] > 1:
+            out.append(max(1, out[-1] // 4))
+        return tuple(out)
+
+    def _pick_window(self, r_eff: List[int], min_headroom: int) -> int:
+        """Window length for this batch: the bucket maximizing useful
+        slot-steps per unit time, sum_i min(W, r_i) / (W + kappa), where
+        r_i is row i's remaining budget and kappa ~ the host dispatch
+        cost in step-equivalents. Uniform fresh batches pick the full
+        window (max amortization); tail batches (rows nearly done) pick
+        short windows so finished rows' slots refill from the queue
+        instead of idling to window's end. `min_headroom` (pages left to
+        max_seq_len) is the only HARD cap — the scan appends KV every
+        live step; a row merely out of budget goes done in-scan."""
+        cand = [
+            w for w in self._window_buckets() if w <= max(min_headroom, 1)
+        ]
+        if not cand:
+            cand = [1]
+        if not self.cfg.infer.adaptive_window:
+            return cand[0]
+        kappa = 1.0
+        return max(
+            cand,
+            key=lambda w: (sum(min(w, r) for r in r_eff) / (w + kappa), w),
+        )
+
     def decode_step(self, tasks: List[Task]):
-        """One decode group: several `decode_window` scans chained through
+        """One decode group: several window scans chained through
         device-side carry (tokens/seq_lens/done never touch the host between
         windows), with ONE host sync at the end. The page tables grow
         speculatively before each dispatch, so the whole group issues
         back-to-back (reference: executor.py:133-148; the CUDA-graph replay
-        becomes a pipelined chain of jitted windows)."""
+        becomes a pipelined chain of jitted windows). Window length adapts
+        to the batch's remaining budgets (see _pick_window)."""
         timers = get_timers()
         timers("decode").start()
         window = max(1, self.cfg.infer.decode_window)
-        # cap the window so no task can overrun max_seq_len inside the scan
-        for t in tasks:
-            window = min(window, max(1, t.max_seq_len - t.seq_len))
         live = []
         pending = sorted(tasks, key=lambda t: t.arrival)  # oldest first
         while pending:
@@ -1025,7 +1057,15 @@ class Executor:
         from chitu_tpu.parallel.pipeline import supports_pipeline
 
         if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
-            self._decode_pipelined(live, window)
+            # the pipelined program appends KV every step: hard-clamp to
+            # the batch's page headroom (it has its own window programs)
+            self._decode_pipelined(
+                live,
+                min(
+                    window,
+                    min(max(1, t.max_seq_len - t.seq_len) for t in live),
+                ),
+            )
             timers("decode").stop()
             return
         if self._spec_ok(live):
@@ -1045,11 +1085,18 @@ class Executor:
             seq_lens[i] = t.seq_len - 1
             remaining[i] = max(t.max_new_tokens - len(t.response_tokens), 1)
             check_stop[i] = t.stop_with_eos
+        # per-row effective budget = remaining tokens, clamped by the page
+        # headroom to max_seq_len (the scan appends KV every live step, so
+        # the window must never exceed any row's headroom)
+        min_headroom = min(max(1, t.max_seq_len - t.seq_len) for t in live)
+        r_eff = [
+            min(int(remaining[i]), max(1, t.max_seq_len - t.seq_len))
+            for i, t in enumerate(live)
+        ]
+        window = self._pick_window(r_eff, min_headroom)
         # how many windows can run without any host decision: every live
         # task still has budget and headroom for the whole group
-        min_remaining = int(remaining[: len(live)].min())
-        min_headroom = min(t.max_seq_len - t.seq_len for t in live)
-        n_windows = max(1, min(min_remaining, min_headroom) // window)
+        n_windows = max(1, min(r_eff) // window)
         n_windows = min(n_windows, 4)
 
         stop_ids = self._stop_ids(live, B)

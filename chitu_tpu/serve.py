@@ -114,20 +114,30 @@ def warmup_engine(engine: Engine, full: bool = True):
         # compiled variants — the all-greedy/no-penalty fast path and the
         # generic sampler (temperature + penalty) path — so neither
         # specialization compiles mid-traffic
-        sampled = SampleParams(
-            temperature=0.8, top_k=16, top_p=0.9,
-            frequency_penalty=0.1, max_new_tokens=2,
-        )
-        for b in ex.decode_buckets[:-1]:
-            for _ in range(b):
-                engine.submit(
-                    "warmup", SampleParams(temperature=0.0, max_new_tokens=2)
-                )
-            engine.run_until_complete()
+        # window-length buckets (executor._pick_window): a UNIFORM batch
+        # with max_new_tokens = W+1 enters decode with remaining = W, which
+        # the chooser maps to window bucket W — so each submit burst below
+        # compiles exactly one (B, W, variant) decode program
+        win_buckets = ex._window_buckets()
         for b in ex.decode_buckets:
-            for _ in range(b):
-                engine.submit("warmup", sampled)
-            engine.run_until_complete()
+            for w in win_buckets:
+                for _ in range(b):
+                    engine.submit(
+                        "warmup",
+                        SampleParams(temperature=0.0, max_new_tokens=w + 1),
+                    )
+                engine.run_until_complete()
+        for b in ex.decode_buckets:
+            for w in win_buckets:
+                for _ in range(b):
+                    engine.submit(
+                        "warmup",
+                        SampleParams(
+                            temperature=0.8, top_k=16, top_p=0.9,
+                            frequency_penalty=0.1, max_new_tokens=w + 1,
+                        ),
+                    )
+                engine.run_until_complete()
         # packed-slab variants: R and T are FIXED (executor._pack_slab), so
         # one burst of short prompts (mp=1) plus one of page-crossing
         # prompts (mp=2, when max_seq_len allows) covers the whole packed
