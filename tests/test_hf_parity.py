@@ -162,6 +162,55 @@ def test_mixtral_checkpoint_parity(tmp_path):
     _check_parity(Engine(cfg), hf, IDS)
 
 
+def test_deepseek_v3_checkpoint_parity(tmp_path):
+    """DeepSeek-V3 (the flagship): MLA q-lora/kv-lora projections, the
+    interleaved-pair rotary on the rope dims, sigmoid group-limited
+    routing with e_score_correction_bias, shared expert, and dense-first
+    layers — ALL through the real loaders_moe.load_deepseek_params path
+    against transformers' DeepseekV3ForCausalLM forward."""
+    hf_cfg = transformers.DeepseekV3Config(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        moe_intermediate_size=128, num_hidden_layers=3,
+        first_k_dense_replace=1, num_attention_heads=4,
+        num_key_value_heads=4, n_routed_experts=8, num_experts_per_tok=2,
+        n_shared_experts=1, n_group=4, topk_group=2,
+        routed_scaling_factor=2.5, norm_topk_prob=True,
+        q_lora_rank=32, kv_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, rope_interleave=True,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        rope_scaling=None,
+    )
+    torch.manual_seed(5)
+    hf = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+
+    from chitu_tpu.config import MLAArgs, MoEArgs
+
+    cfg = tiny_cfg()
+    m = dc.replace(
+        cfg.models, type="deepseek-v3", ckpt_dir=str(tmp_path), dim=128,
+        inter_dim=256, n_layers=3, n_heads=4, n_kv_heads=4, vocab_size=512,
+        moe=MoEArgs(
+            n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+            n_expert_groups=4, n_limited_groups=2, score_func="sigmoid",
+            route_scale=2.5, moe_inter_dim=128, n_dense_layers=1,
+            norm_topk_prob=True,
+        ),
+        mla=MLAArgs(
+            q_lora_rank=32, kv_lora_rank=64, qk_nope_head_dim=32,
+            qk_rope_head_dim=16, v_head_dim=32,
+        ),
+    )
+    cfg = dc.replace(
+        cfg, models=m, infer=dc.replace(cfg.infer, do_load=True)
+    )
+    # thresholds: measured profile is ~0.01 per-position rel error with
+    # 2-3 near-tied argmax flips out of 48 (random-init logits tie; a
+    # single sigmoid-routing flip is a discrete jump at one position).
+    # Any loader transpose/remap bug drops agreement to ~chance (1/512).
+    _check_parity(Engine(cfg), hf, IDS, top1_frac=0.9, rel_tol=0.08)
+
+
 def test_quantized_ppl_vs_hf_ground_truth(tmp_path):
     """soft-fp8 quantization of a REAL checkpoint must track the bf16
     engine's logits closely (the quant accuracy gate grounded in HF
