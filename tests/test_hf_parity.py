@@ -211,6 +211,63 @@ def test_deepseek_v3_checkpoint_parity(tmp_path):
     _check_parity(Engine(cfg), hf, IDS, top1_frac=0.9, rel_tol=0.08)
 
 
+def test_glm4_checkpoint_parity(tmp_path):
+    """GLM-4 (THUDM checkpoint format): fused query_key_value split,
+    fused dense_h_to_4h gate/up split, qkv bias, and the glm4
+    partial-rotary (interleaved pairs over the first half of each head)
+    through loaders_moe.load_glm4_params — checked against transformers'
+    GlmForCausalLM, whose rotary is the same interleaved-pair rotation
+    (verified channel-mixing: pairs (2i, 2i+1) over rotary_dim)."""
+    from safetensors.torch import save_file
+
+    hf_cfg = transformers.GlmConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    torch.manual_seed(6)
+    hf = transformers.GlmForCausalLM(hf_cfg).eval()
+
+    # write the ORIGINAL THUDM glm-4 tensor layout (what our glm4 adapter
+    # parses): fused qkv / gate-up under transformer.encoder.layers.*
+    sd = hf.state_dict()
+    out = {
+        "transformer.embedding.word_embeddings.weight":
+            sd["model.embed_tokens.weight"],
+        "transformer.encoder.final_layernorm.weight": sd["model.norm.weight"],
+        "transformer.output_layer.weight": sd["lm_head.weight"],
+    }
+    for i in range(hf_cfg.num_hidden_layers):
+        s, d = f"model.layers.{i}", f"transformer.encoder.layers.{i}"
+        out[f"{d}.input_layernorm.weight"] = sd[f"{s}.input_layernorm.weight"]
+        out[f"{d}.post_attention_layernorm.weight"] = sd[
+            f"{s}.post_attention_layernorm.weight"
+        ]
+        out[f"{d}.self_attention.query_key_value.weight"] = torch.cat(
+            [sd[f"{s}.self_attn.{p}_proj.weight"] for p in "qkv"], dim=0
+        )
+        out[f"{d}.self_attention.query_key_value.bias"] = torch.cat(
+            [sd[f"{s}.self_attn.{p}_proj.bias"] for p in "qkv"], dim=0
+        )
+        out[f"{d}.self_attention.dense.weight"] = sd[f"{s}.self_attn.o_proj.weight"]
+        out[f"{d}.mlp.dense_h_to_4h.weight"] = sd[f"{s}.mlp.gate_up_proj.weight"]
+        out[f"{d}.mlp.dense_4h_to_h.weight"] = sd[f"{s}.mlp.down_proj.weight"]
+    save_file({k: v.contiguous() for k, v in out.items()},
+              str(tmp_path / "model.safetensors"))
+
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="glm4",
+            partial_rotary_factor=0.5, attn_bias=True,
+        ),
+    )
+    _check_parity(Engine(cfg), hf, IDS)
+
+
 def test_quantized_ppl_vs_hf_ground_truth(tmp_path):
     """soft-fp8 quantization of a REAL checkpoint must track the bf16
     engine's logits closely (the quant accuracy gate grounded in HF
