@@ -268,6 +268,65 @@ def test_glm4_checkpoint_parity(tmp_path):
     _check_parity(Engine(cfg), hf, IDS)
 
 
+def test_meta_llama_pth_checkpoint_parity(tmp_path):
+    """Meta-Llama consolidated .pth format (type=llama): Meta tensor
+    names, the interleaved 'llama' rotary layout, and the .pth reader —
+    against transformers. HF's conversion permutes q/k rows from Meta's
+    interleaved layout to the rotate_half layout
+    (view(H, d/2, 2, in).transpose(1, 2)); writing Meta format from HF
+    weights applies the inverse, so a wrong rotary layout or loader rule
+    breaks parity."""
+
+    def unpermute(w, n_heads):
+        out, din = w.shape
+        return (
+            w.view(n_heads, 2, out // n_heads // 2, din)
+            .transpose(1, 2)
+            .reshape(out, din)
+        )
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(7)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    sd = hf.state_dict()
+    out = {
+        "tok_embeddings.weight": sd["model.embed_tokens.weight"],
+        "norm.weight": sd["model.norm.weight"],
+        "output.weight": sd["lm_head.weight"],
+    }
+    for i in range(2):
+        s, d = f"model.layers.{i}", f"layers.{i}"
+        out[f"{d}.attention_norm.weight"] = sd[f"{s}.input_layernorm.weight"]
+        out[f"{d}.ffn_norm.weight"] = sd[f"{s}.post_attention_layernorm.weight"]
+        out[f"{d}.attention.wq.weight"] = unpermute(
+            sd[f"{s}.self_attn.q_proj.weight"], 8
+        )
+        out[f"{d}.attention.wk.weight"] = unpermute(
+            sd[f"{s}.self_attn.k_proj.weight"], 4
+        )
+        out[f"{d}.attention.wv.weight"] = sd[f"{s}.self_attn.v_proj.weight"]
+        out[f"{d}.attention.wo.weight"] = sd[f"{s}.self_attn.o_proj.weight"]
+        out[f"{d}.feed_forward.w1.weight"] = sd[f"{s}.mlp.gate_proj.weight"]
+        out[f"{d}.feed_forward.w3.weight"] = sd[f"{s}.mlp.up_proj.weight"]
+        out[f"{d}.feed_forward.w2.weight"] = sd[f"{s}.mlp.down_proj.weight"]
+    torch.save(out, tmp_path / "consolidated.00.pth")
+
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rope_theta=10000.0,
+            rotary_type="llama",
+        ),
+    )
+    _check_parity(Engine(cfg), hf, IDS)
+
+
 def test_quantized_ppl_vs_hf_ground_truth(tmp_path):
     """soft-fp8 quantization of a REAL checkpoint must track the bf16
     engine's logits closely (the quant accuracy gate grounded in HF
