@@ -131,3 +131,57 @@ def test_engine_fp8_kv_logits_close(engines):
     den = np.linalg.norm(lb, axis=-1) * np.linalg.norm(lf, axis=-1)
     cos = num / np.maximum(den, 1e-9)
     assert cos.min() > 0.98, cos.min()
+
+
+def test_deepseek_mla_fp8_latent_cache():
+    """fp8 KV with DeepSeek MLA: the merged 576-dim latent pages round
+    through e4m3 lanes (kernel + oracle dequant) and greedy decode stays
+    deterministic and close to the bf16-cache output."""
+    from chitu_tpu.config import load_config
+
+    def ds_cfg(kvd):
+        return load_config(
+            overrides=[
+                "models=tiny-deepseek-debug",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=4",
+                "infer.page_size=16",
+                "infer.stop_with_eos=false",
+                f"infer.kv_dtype={kvd}",
+            ]
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=8)
+    fp8 = Engine(ds_cfg("fp8"))
+    assert next(iter(fp8.cache.arrays.values())).dtype == jnp.int8
+    out = fp8.generate("mla latent probe", p)
+    assert len(out) == 8
+    assert fp8.generate("mla latent probe", p) == out
+    bf16 = Engine(ds_cfg("bf16"))
+    ref = bf16.generate("mla latent probe", p)
+    # same argmax path for at least the first tokens (random weights give
+    # near-tied logits; full-sequence equality is not guaranteed)
+    assert out[:2] == ref[:2]
+
+
+def test_fp8_kv_composes_with_prefix_cache_and_spec_decode():
+    """fp8 pool + prefix caching + n-gram speculative decoding in one
+    engine: shared prompt pages hold e4m3 bits, the verify step's K+1
+    appends encode through the same path, outputs stay deterministic."""
+    eng = Engine(
+        tiny_cfg(
+            **{
+                "infer.stop_with_eos": False,
+                "infer.kv_dtype": "fp8",
+                "infer.prefix_cache": True,
+                "infer.spec_decode": "ngram",
+            }
+        )
+    )
+    p = SampleParams(temperature=0.0, max_new_tokens=10)
+    shared = "the same system prompt for every request in this batch"
+    outs = [eng.generate(shared + f" user {i}", p) for i in range(3)]
+    assert all(len(o) == 10 for o in outs)
+    # repeat run hits the prefix cache for the shared pages; tokens match
+    outs2 = [eng.generate(shared + f" user {i}", p) for i in range(3)]
+    assert outs == outs2
