@@ -63,53 +63,81 @@ class AsyncDataStream:
             self.loop.call_soon_threadsafe(self.event.set)
 
     def add_data(self, token_id: int):
-        """Append one generated token (engine thread)."""
+        """Append one generated token (engine thread).
+
+        Decoding to text is DEFERRED to the consumer side (_drain): the
+        reference detokenizes on the engine thread per token
+        (reference: async_response.py:34-50), which costs ~4us/token of
+        tokenizer work inside the device-dispatch loop; here the hot
+        loop only appends and notifies, and the SSE reader (asyncio
+        thread) or finish() does the decoding."""
         with self.lock:
-            if self.rs_token_id is not None and token_id == self.rs_token_id:
-                self.in_reasoning = True
-                self._decoded_upto = len(self.tokens) + 1
-                self.tokens.append(token_id)
-                self._notify()
-                return
-            if self.re_token_id is not None and token_id == self.re_token_id:
-                self.in_reasoning = False
-                self._decoded_upto = len(self.tokens) + 1
-                self.tokens.append(token_id)
-                self._notify()
-                return
             self.tokens.append(token_id)
-            if self.force_full_seq_decode:
-                # sentencepiece-style: re-decode whole sequence, emit the diff
-                # (reference: async_response.py force_full_seq_decode)
-                text = self.tokenizer.decode(self.tokens)
-                if not text.endswith("�") and len(text) > self._emitted_chars:
-                    piece = text[self._emitted_chars :]
-                    self._emitted_chars = len(text)
-                    self.strs.append((piece, self.in_reasoning))
-            else:
-                pending = self.tokens[self._decoded_upto :]
-                text = self.tokenizer.decode(pending)
-                # U+FFFD means the byte sequence is incomplete: hold tokens
-                # back until the next token completes the codepoint
-                # (reference: async_response.py:34-50). An incomplete UTF-8
-                # tail is at most a few tokens, so a long-pending U+FFFD
-                # means genuinely invalid bytes (e.g. random weights under a
-                # byte tokenizer) — emit rather than stalling the stream
-                # until finish().
-                if text and (not text.endswith("�") or len(pending) >= 4):
-                    self.strs.append((text, self.in_reasoning))
-                    self._decoded_upto = len(self.tokens)
         self._notify()
+
+    def _decode_segment(self, i: int, j: int, final: bool) -> Tuple[str, int]:
+        """Decode tokens[i:j] -> (text to emit, new decoded_upto).
+
+        U+FFFD means the trailing byte sequence is incomplete: hold back
+        at most 3 tail tokens until more arrive (an incomplete UTF-8
+        codepoint spans a few tokens at most; a longer-pending U+FFFD is
+        genuinely invalid bytes — emit rather than stalling the stream
+        until finish())."""
+        piece = self.tokenizer.decode(self.tokens[i:j])
+        if final or not piece.endswith("�"):
+            return piece, j
+        for kk in range(1, min(3, j - i) + 1):
+            head = self.tokenizer.decode(self.tokens[i : j - kk])
+            if not head.endswith("�"):
+                return head, j - kk
+        if j - i >= 4:
+            return piece, j
+        return "", i
+
+    def _drain(self, final: bool = False):
+        """Turn undecoded tokens into text pieces (caller holds the lock).
+
+        Reasoning markers toggle the flag in token order and are excluded
+        from the text; between markers whole pending segments decode in
+        one tokenizer call."""
+        toks = self.tokens
+        n = len(toks)
+        i = self._decoded_upto
+        markers = {self.rs_token_id, self.re_token_id} - {None}
+        while i < n:
+            if toks[i] in markers:
+                self.in_reasoning = toks[i] == self.rs_token_id
+                i += 1
+                continue
+            j = i
+            while j < n and toks[j] not in markers:
+                j += 1
+            if self.force_full_seq_decode:
+                # sentencepiece-style: re-decode the whole sequence, emit
+                # the diff (reference: async_response.py
+                # force_full_seq_decode); trailing U+FFFD waits for more
+                # tokens (and never emits, matching the reference)
+                text = self.tokenizer.decode(toks[:j])
+                if not text.endswith("�") and len(text) > self._emitted_chars:
+                    self.strs.append(
+                        (text[self._emitted_chars :], self.in_reasoning)
+                    )
+                    self._emitted_chars = len(text)
+                i = j
+                continue
+            piece, upto = self._decode_segment(i, j, final or j < n)
+            if piece:
+                self.strs.append((piece, self.in_reasoning))
+            if upto <= i:
+                break  # tail held back; wait for more tokens
+            i = upto
+            if upto < j:
+                break  # held-back incomplete tail
+        self._decoded_upto = i
 
     def finish(self):
         with self.lock:
-            if not self.force_full_seq_decode:
-                pending = self.tokens[self._decoded_upto :]
-                if pending:
-                    text = self.tokenizer.decode(pending)
-                    if text:
-                        self.strs.append((text, self.in_reasoning))
-                    self._decoded_upto = len(self.tokens)
+            self._drain(final=True)
             self.finished = True
         self._notify()
 
@@ -118,6 +146,7 @@ class AsyncDataStream:
         emitted = 0
         while True:
             with self.lock:
+                self._drain(final=self.finished)
                 chunk = self.strs[emitted:]
                 done = self.finished
             for piece in chunk:
@@ -127,7 +156,7 @@ class AsyncDataStream:
                 return
             self.event.clear()
             with self.lock:
-                if self.finished or len(self.strs) > emitted:
+                if self.finished or len(self.tokens) > self._decoded_upto or len(self.strs) > emitted:
                     continue
             await self.event.wait()
 
@@ -139,6 +168,7 @@ class AsyncDataStream:
     def full_text(self) -> Tuple[str, str]:
         """(content, reasoning_content) over the whole stream."""
         with self.lock:
+            self._drain(final=self.finished)
             content = "".join(s for s, r in self.strs if not r)
             reasoning = "".join(s for s, r in self.strs if r)
         return content, reasoning

@@ -71,8 +71,10 @@ def test_invalid_bytes_stream_incrementally():
     stream = AsyncDataStream(tk)
     for _ in range(16):
         stream.add_data(0xFF)  # never a valid UTF-8 sequence
-    # pieces were emitted BEFORE finish()
-    assert len(stream.strs) >= 2
+    # a consumer draining mid-stream (what the SSE iterator does) gets
+    # text BEFORE finish(): the U+FFFD holdback must not stall it
+    content, _ = stream.full_text()
+    assert len(content) >= 13  # at most 3 tail tokens held back
     stream.finish()
     pieces = collect(stream)
     joined = "".join(p for p, _ in pieces)
