@@ -149,10 +149,18 @@ class Engine:
             logger.warning("ring_kv requested but dp_size <= 1; disabled")
         if ring_kv:
             # ring-sharded pool (ops/attention_ring.py): pages stripe over
-            # 'dp'; first cut is the pure-'dp' ring (the long-context
-            # capacity regime — tp/pp compose later)
-            if cfg.infer.pp_size != 1:
-                raise ValueError("ring_kv requires pp_size == 1")
+            # 'dp' (the long-context capacity regime); composes with tp
+            # (pool minor on KV-head boundaries) and pp (layer dim — ring
+            # stats fold over ('dp', 'pp'), non-owner stages contribute
+            # zero pages)
+            if (
+                cfg.infer.pp_size > 1
+                and spec["n_layers"] % cfg.infer.pp_size != 0
+            ):
+                raise ValueError(
+                    "ring_kv with pp needs n_layers divisible by pp_size "
+                    "(the pool's layer dim shards contiguously over 'pp')"
+                )
             if not getattr(self.model, "supports_ring_kv", False):
                 raise ValueError(
                     "ring_kv: model family lacks a ring-shardable pool"

@@ -120,6 +120,11 @@ class DeepSeekV3ForCausalLM:
         # via wq_b); layer dim follows the PP stage layout
         return P("pp", None, None, None)
 
+    def _ring_layer_axis(self) -> str:
+        """pp composition for the ring-sharded latent pool (see
+        LlamaForCausalLM._ring_layer_axis)."""
+        return "pp" if self.cfg.infer.pp_size > 1 else ""
+
     def quantizable_keys(self):
         return {
             "wq",
@@ -526,6 +531,7 @@ class DeepSeekV3ForCausalLM:
                 return ring_ops.append_prefill_ring(
                     pool, layer, k, v, block_table, pos, valid_len,
                     page_size, mesh, ring_kv_axis,
+                    layer_axis=self._ring_layer_axis(),
                 )
 
             def attend(q, pool, layer):
@@ -535,6 +541,7 @@ class DeepSeekV3ForCausalLM:
                     total_len, page_size, kvh, kvd,
                     split_kv=not self.absorb, scale=self.attn_scale,
                     mesh=mesh, axis=ring_kv_axis,
+                    layer_axis=self._ring_layer_axis(),
                 )
 
         else:
@@ -728,6 +735,7 @@ class DeepSeekV3ForCausalLM:
                 return ring_ops.append_decode_ring(
                     pool, layer, k, v, block_tables, seq_lens, valid,
                     page_size, mesh, ring_kv_axis,
+                    layer_axis=self._ring_layer_axis(),
                 )
 
             def attend(q, pool, layer):
@@ -735,6 +743,7 @@ class DeepSeekV3ForCausalLM:
                     q, pool, layer, block_tables, seq_lens, page_size,
                     kvh, kvd, split_kv=not self.absorb,
                     scale=self.attn_scale, mesh=mesh, axis=ring_kv_axis,
+                    layer_axis=self._ring_layer_axis(),
                 )
 
         else:

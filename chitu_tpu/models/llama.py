@@ -227,6 +227,13 @@ class LlamaForCausalLM:
             specs["lm_head"] = P(None, "tp")
         return specs
 
+    def _ring_layer_axis(self) -> str:
+        """pp composition for the ring-sharded pool: the layer dim is
+        'pp'-sharded (kv_cache_partition_spec), so ring ops must treat
+        non-owner stages as holding zero pages and fold stats over
+        ('dp', 'pp')."""
+        return "pp" if self.cfg.infer.pp_size > 1 else ""
+
     def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
         # layer dim follows the PP stage layout; the per-head interleaved
         # minor shards over 'tp' on whole KV-head boundaries when aligned
@@ -415,6 +422,7 @@ class LlamaForCausalLM:
                 return ring_ops.append_prefill_ring(
                     pool, layer, k, v, block_table, pos, valid_len,
                     page_size, mesh, ring_kv_axis, tp_axis="tp",
+                    layer_axis=self._ring_layer_axis(),
                 )
 
             def attend(q, pool, layer):
@@ -424,6 +432,7 @@ class LlamaForCausalLM:
                     total_len, page_size, self.args.n_kv_heads,
                     self.head_dim, split_kv=True, scale=self.attn_scale,
                     mesh=mesh, axis=ring_kv_axis, tp_axis="tp",
+                    layer_axis=self._ring_layer_axis(),
                     window=self.args.sliding_window,
                     softcap=self.args.attn_softcap,
                 )
@@ -748,6 +757,7 @@ class LlamaForCausalLM:
                 return ring_ops.append_decode_ring(
                     pool, layer, k, v, block_tables, seq_lens, valid,
                     page_size, mesh, ring_kv_axis, tp_axis="tp",
+                    layer_axis=self._ring_layer_axis(),
                 )
 
             def attend(q, pool, layer):
@@ -755,7 +765,7 @@ class LlamaForCausalLM:
                     q, pool, layer, block_tables, seq_lens, page_size,
                     self.args.n_kv_heads, self.head_dim, split_kv=True,
                     scale=self.attn_scale, mesh=mesh, axis=ring_kv_axis,
-                    tp_axis="tp",
+                    tp_axis="tp", layer_axis=self._ring_layer_axis(),
                     window=self.args.sliding_window,
                     softcap=self.args.attn_softcap,
                 )

@@ -51,6 +51,27 @@ def _tp(mesh, tp_axis: str):
     return mesh.shape.get(tp_axis, 1) if tp_axis else 1
 
 
+def _la(mesh, layer_axis: str):
+    """pp composition: the pool's LAYER dim additionally shards over
+    `layer_axis` (the engine's P('pp', ring, None, tp) pool spec). A
+    stage that does not own the current layer contributes zero pages —
+    its appends hit the drop sentinel and its attention stats fold into
+    the cross-shard combine as empty — so the flash-stat psum/pmax runs
+    over (ring x pp) and every device ends with the full output."""
+    return mesh.shape.get(layer_axis, 1) if layer_axis else 1
+
+
+def _local_layer(pool_l, layer_g, layer_axis: str):
+    """(local layer index clamped into range, owned?) for this shard."""
+    if not layer_axis:
+        return layer_g, None
+    L_local = pool_l.shape[0]
+    off = jax.lax.axis_index(layer_axis) * L_local
+    l_loc = layer_g - off
+    owned = (l_loc >= 0) & (l_loc < L_local)
+    return jnp.clip(l_loc, 0, L_local - 1), owned
+
+
 def _partial_attention(
     q: jnp.ndarray,  # [B, H, D]
     k: jnp.ndarray,  # [B, S, KV, D]
@@ -81,8 +102,10 @@ def _partial_attention(
     return m, l, acc
 
 
-def _combine(m, l, acc, axis: str):
-    """Fold per-shard stats over the ring: the cross-shard LSE reduce."""
+def _combine(m, l, acc, axis):
+    """Fold per-shard stats over the ring (and the 'pp' stage axis when
+    the layer dim is also sharded): the cross-shard LSE reduce. `axis`
+    is a name or tuple of names."""
     m_g = jax.lax.pmax(m, axis)
     corr = jnp.where(m > NEG_INF / 2, jnp.exp(m - m_g), 0.0)
     l_g = jax.lax.psum(l * corr, axis)
@@ -113,18 +136,23 @@ def append_decode_ring(
     mesh,
     axis: str = "dp",
     tp_axis: str = "",
+    layer_axis: str = "",
 ) -> jnp.ndarray:
     ta = tp_axis if _tp(mesh, tp_axis) > 1 else None
+    la = layer_axis if _la(mesh, layer_axis) > 1 else None
 
     def local(pool_l, layer_l, k_l, v_l, bt_l, sl_l, valid_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
+        l_loc, owned = _local_layer(pool_l, layer_l[0], la)
         flat = paged_flat_index(lbt, sl_l, page_size)  # -1 page -> sentinel
         flat = jnp.where(valid_l, flat, jnp.iinfo(jnp.int32).max)
+        if owned is not None:
+            flat = jnp.where(owned, flat, jnp.iinfo(jnp.int32).max)
         vals = pack_kv(
             k_l, None if v_l.ndim == 0 else v_l, pool_l.shape[-1]
         )
-        return paged_append(pool_l, layer_l[0], vals, flat)
+        return paged_append(pool_l, l_loc, vals, flat)
 
     v_in = v if v is not None else jnp.zeros((), pool.dtype)
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
@@ -132,7 +160,7 @@ def append_decode_ring(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None, ta),
+            P(la, axis, None, ta),
             P(None),
             P(None, ta, None),
             P(None, ta, None) if v is not None else P(),
@@ -140,7 +168,7 @@ def append_decode_ring(
             P(None),
             P(None),
         ),
-        out_specs=P(None, axis, None, ta),
+        out_specs=P(la, axis, None, ta),
         check_vma=False,
     )(pool, layer_arr, k, v_in, block_tables, seq_lens, valid)
 
@@ -161,27 +189,33 @@ def attend_decode_ring(
     window: int = 0,
     softcap: float = 0.0,
     tp_axis: str = "",
+    layer_axis: str = "",
 ) -> jnp.ndarray:
     B, H, D = q.shape
     tp = _tp(mesh, tp_axis)
     ta = tp_axis if tp > 1 else None
+    la = layer_axis if _la(mesh, layer_axis) > 1 else None
     kv_local = kv_heads // tp
     scale_ = scale if scale is not None else 1.0 / math.sqrt(D)
+    comb_axes = (axis,) if la is None else (axis, la)
 
     def local(q_l, pool_l, layer_l, bt_l, sl_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
-        gathered = _gather(pool_l, layer_l[0], lbt)  # [B, S, M_local]
+        l_loc, owned = _local_layer(pool_l, layer_l[0], la)
+        gathered = _gather(pool_l, l_loc, lbt)  # [B, S, M_local]
         k, v = unpack_pool(gathered, kv_local, head_dim, split_kv)
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
         mask = (cols <= sl_l[:, None]) & _page_mask(lbt, S, page_size)
+        if owned is not None:
+            mask = mask & owned
         if window > 0:
             mask = mask & (cols > sl_l[:, None] - window)
         m, l, acc = _partial_attention(
             q_l, k, v, mask, kv_local, scale_, softcap
         )
-        out = _combine(m, l, acc, axis)  # [B, KV_l, G, D]
+        out = _combine(m, l, acc, comb_axes)  # [B, KV_l, G, D]
         return out.reshape(B, q_l.shape[1], D).astype(q_l.dtype)
 
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
@@ -190,7 +224,7 @@ def attend_decode_ring(
         mesh=mesh,
         in_specs=(
             P(None, ta, None),
-            P(None, axis, None, ta),
+            P(la, axis, None, ta),
             P(None),
             P(None, None),
             P(None),
@@ -212,21 +246,26 @@ def append_prefill_ring(
     mesh,
     axis: str = "dp",
     tp_axis: str = "",
+    layer_axis: str = "",
 ) -> jnp.ndarray:
     T = k.shape[0]
     ta = tp_axis if _tp(mesh, tp_axis) > 1 else None
+    la = layer_axis if _la(mesh, layer_axis) > 1 else None
 
     def local(pool_l, layer_l, k_l, v_l, bt_l, pos_l, vl_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
+        l_loc, owned = _local_layer(pool_l, layer_l[0], la)
         pos = jnp.where(jnp.arange(T) < vl_l[0], pos_l, -1)
         bt_rows = jnp.broadcast_to(lbt, (T, lbt.shape[0]))
         flat = paged_flat_index(bt_rows, jnp.maximum(pos, 0), page_size)
         flat = jnp.where(pos >= 0, flat, jnp.iinfo(jnp.int32).max)
+        if owned is not None:
+            flat = jnp.where(owned, flat, jnp.iinfo(jnp.int32).max)
         vals = pack_kv(
             k_l, None if v_l.ndim == 0 else v_l, pool_l.shape[-1]
         )
-        return paged_append(pool_l, layer_l[0], vals, flat)
+        return paged_append(pool_l, l_loc, vals, flat)
 
     v_in = v if v is not None else jnp.zeros((), pool.dtype)
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
@@ -235,7 +274,7 @@ def append_prefill_ring(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, axis, None, ta),
+            P(la, axis, None, ta),
             P(None),
             P(None, ta, None),
             P(None, ta, None) if v is not None else P(),
@@ -243,7 +282,7 @@ def append_prefill_ring(
             P(None),
             P(None),
         ),
-        out_specs=P(None, axis, None, ta),
+        out_specs=P(la, axis, None, ta),
         check_vma=False,
     )(pool, layer_arr, k, v_in, block_table, q_pos, vl_arr)
 
@@ -265,19 +304,23 @@ def attend_prefill_ring(
     window: int = 0,
     softcap: float = 0.0,
     tp_axis: str = "",
+    layer_axis: str = "",
 ) -> jnp.ndarray:
     """Chunk prefill attention against the ring-sharded pool (chunked
     prefill reads earlier chunks' pages from their owner shards)."""
     T, H, D = q.shape
     tp = _tp(mesh, tp_axis)
     ta = tp_axis if tp > 1 else None
+    la = layer_axis if _la(mesh, layer_axis) > 1 else None
     kv_local = kv_heads // tp
     scale_ = scale if scale is not None else 1.0 / math.sqrt(D)
+    comb_axes = (axis,) if la is None else (axis, la)
 
     def local(q_l, pool_l, layer_l, bt_l, qp_l, info_l):
         idx = jax.lax.axis_index(axis)
         lbt = ring_local_block_table(bt_l, pool_l.shape[1], idx)
-        gathered = _gather(pool_l, layer_l[0], lbt[None])  # [1, S, M_l]
+        l_loc, owned = _local_layer(pool_l, layer_l[0], la)
+        gathered = _gather(pool_l, l_loc, lbt[None])  # [1, S, M_l]
         k, v = unpack_pool(gathered, kv_local, head_dim, split_kv)
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
@@ -286,6 +329,8 @@ def attend_prefill_ring(
             & (cols < info_l[0])
             & _page_mask(lbt[None], S, page_size)
         )
+        if owned is not None:
+            mask = mask & owned
         if window > 0:
             mask = mask & (cols > qp_l[:, None] - window)
         kb = jnp.broadcast_to(k, (T,) + k.shape[1:])
@@ -293,7 +338,7 @@ def attend_prefill_ring(
         m, l, acc = _partial_attention(
             q_l, kb, vb, mask, kv_local, scale_, softcap
         )
-        out = _combine(m, l, acc, axis)
+        out = _combine(m, l, acc, comb_axes)
         return out.reshape(T, q_l.shape[1], D).astype(q_l.dtype)
 
     info = jnp.stack([jnp.asarray(total_len, jnp.int32)])
@@ -303,7 +348,7 @@ def attend_prefill_ring(
         mesh=mesh,
         in_specs=(
             P(None, ta, None),
-            P(None, axis, None, ta),
+            P(la, axis, None, ta),
             P(None),
             P(None),
             P(None),

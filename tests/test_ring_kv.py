@@ -212,3 +212,33 @@ def test_ring_kv_deepseek_mla_matches_single_device():
     pool = next(iter(eng.cache.arrays.values()))
     shard = pool.sharding.shard_shape(pool.shape)
     assert shard[1] == pool.shape[1] // 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ring_kv_composes_with_pp():
+    """dp=2 ring x pp=2 stages: pages stripe over 'dp' AND the pool's
+    layer dim shards over 'pp' — a stage that does not own the current
+    layer contributes zero pages and the flash-stat combine folds over
+    ('dp', 'pp'). Tokens match the single-device engine and per-device
+    pool bytes = total / 4."""
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_ring_cfg())
+    want = base.generate("ring and pipeline parallel together", p)
+
+    cfg = _ring_cfg(dp=2)
+    infer = dataclasses.replace(cfg.infer, pp_size=2)
+    eng = Engine(dataclasses.replace(cfg, infer=infer))
+    assert eng.executor.ring_kv_axis == "dp"
+    got = eng.generate("ring and pipeline parallel together", p)
+    assert got == want
+
+    pool = next(iter(eng.cache.arrays.values()))
+    shard = pool.sharding.shard_shape(pool.shape)
+    assert shard[0] == pool.shape[0] // 2  # layers over pp
+    assert shard[1] == pool.shape[1] // 2  # pages over dp
+
+    # chunked prefill reads earlier chunks' pages across both axes
+    reqs = [eng.submit(f"burst item number {i}", p) for i in range(4)]
+    eng.run_until_complete()
+    for r in reqs:
+        assert len(r.async_stream.tokens) == 6
