@@ -208,6 +208,39 @@ def test_pipelined_decode_pp2_with_skew_scheduler():
     assert got == want
 
 
+def test_pipelined_decode_pp2_mixtral():
+    """MoE through the microbatch PP pipeline: Mixtral inherits the
+    llama layer stack, so pp=2 pipelined decode must emit tokens
+    identical to single-device — the expert stacks stay 'tp'-auto
+    inside the 'pp' shard_map (GSPMD handles EP collectives)."""
+    import dataclasses as dc
+
+    from chitu_tpu.config import load_config
+    from chitu_tpu.parallel.pipeline import supports_pipeline
+
+    def cfg_of(pp):
+        return load_config(
+            overrides=[
+                "models=tiny-mixtral-debug",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=4",
+                "infer.page_size=16",
+                "infer.stop_with_eos=false",
+                f"infer.pp_size={pp}",
+                "infer.merge_qkv_gate_up=off",
+            ]
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(cfg_of(1))
+    want = base.generate("mixtral pipeline probe", p)
+    eng = Engine(cfg_of(2))
+    assert supports_pipeline(eng.model, eng.mesh)
+    reqs = [eng.submit("mixtral pipeline probe", p), eng.submit("row 2", p)]
+    eng.run_until_complete()
+    assert list(reqs[0].async_stream.tokens) == want
+
+
 def test_multihost_two_process_smoke():
     """jax.distributed over localhost: two processes, one global mesh,
     identical tokens (VERDICT r1 item 10; reference multi-node serving,
