@@ -1058,14 +1058,13 @@ class Executor:
 
         if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
             # the pipelined program appends KV every step: hard-clamp to
-            # the batch's page headroom (it has its own window programs)
-            self._decode_pipelined(
-                live,
-                min(
-                    window,
-                    min(max(1, t.max_seq_len - t.seq_len) for t in live),
-                ),
+            # the batch's page headroom, BUCKETED so the (static-window)
+            # pipelined program count stays bounded near max_seq_len
+            head = min(max(1, t.max_seq_len - t.seq_len) for t in live)
+            w_pp = max(
+                [w for w in self._window_buckets() if w <= head] or [1]
             )
+            self._decode_pipelined(live, min(window, w_pp))
             timers("decode").stop()
             return
         if self._spec_ok(live):
