@@ -227,6 +227,28 @@ def _sorted_eligible(ws) -> bool:
     return all(kernel_eligible(w) for w in ws if w is not None)
 
 
+_capacity_warned = set()
+
+
+def _warn_capacity_fallback(T: int, E: int, cap: int):
+    """One-time host-side visibility when the capacity-einsum fallback is
+    traced (ADVICE r1: drops were silent). Tokens routed beyond an
+    expert's static capacity are dropped on this path under skewed
+    loads; the sorted paths are exact."""
+    key = (T, E, cap)
+    if key in _capacity_warned or cap >= T:
+        return  # cap == T can never drop (each token appears once/expert)
+    _capacity_warned.add(key)
+    from chitu_tpu.utils import get_logger
+
+    get_logger().warning(
+        "MoE capacity-einsum fallback (pp>1 or experts %% tp != 0): "
+        "tokens beyond capacity=%d/expert DROP under skewed load at "
+        "T=%d, E=%d — raise models.moe.capacity_factor for long prefill",
+        cap, T, E,
+    )
+
+
 def moe_ffn_auto(
     x: jnp.ndarray,
     w_gate,
@@ -268,6 +290,7 @@ def moe_ffn_auto(
     cap = expert_capacity(
         x.shape[0], E, moe.n_activated_experts, moe.capacity_factor
     )
+    _warn_capacity_fallback(x.shape[0], E, cap)
 
     def slice_layer(w):
         # stacked QTensor leaves stay whole for the kernel paths; the
