@@ -147,6 +147,7 @@ class AsyncDataStream:
         while True:
             with self.lock:
                 self._drain(final=self.finished)
+                seen = len(self.tokens)  # tokens covered by this drain
                 chunk = self.strs[emitted:]
                 done = self.finished
             for piece in chunk:
@@ -156,7 +157,16 @@ class AsyncDataStream:
                 return
             self.event.clear()
             with self.lock:
-                if self.finished or len(self.tokens) > self._decoded_upto or len(self.strs) > emitted:
+                # re-check without sleeping ONLY when something new
+                # arrived since the drain (finish, fresh pieces, or fresh
+                # tokens); a held-back incomplete UTF-8 tail keeps
+                # _decoded_upto < len(tokens) and must NOT busy-spin the
+                # event loop — the next add_data sets the event
+                if (
+                    self.finished
+                    or len(self.strs) > emitted
+                    or len(self.tokens) != seen
+                ):
                     continue
             await self.event.wait()
 

@@ -117,27 +117,28 @@ def warmup_engine(engine: Engine, full: bool = True):
         # window-length buckets (executor._pick_window): a UNIFORM batch
         # with max_new_tokens = W+1 enters decode with remaining = W, which
         # the chooser maps to window bucket W — so each submit burst below
-        # compiles exactly one (B, W, variant) decode program
-        win_buckets = ex._window_buckets()
-        for b in ex.decode_buckets:
-            for w in win_buckets:
-                for _ in range(b):
-                    engine.submit(
-                        "warmup",
-                        SampleParams(temperature=0.0, max_new_tokens=w + 1),
-                    )
-                engine.run_until_complete()
-        for b in ex.decode_buckets:
-            for w in win_buckets:
-                for _ in range(b):
-                    engine.submit(
-                        "warmup",
-                        SampleParams(
-                            temperature=0.8, top_k=16, top_p=0.9,
-                            frequency_penalty=0.1, max_new_tokens=w + 1,
-                        ),
-                    )
-                engine.run_until_complete()
+        # compiles exactly one (B, W, variant) decode program. With
+        # adaptive_window off the chooser always returns the largest
+        # allowed bucket, so only the full window is reachable in warmup
+        # (smaller buckets occur only via the max_seq_len headroom clamp).
+        win_buckets = (
+            ex._window_buckets()
+            if cfg.infer.adaptive_window
+            else ex._window_buckets()[:1]
+        )
+        variants = (
+            lambda w: SampleParams(temperature=0.0, max_new_tokens=w + 1),
+            lambda w: SampleParams(
+                temperature=0.8, top_k=16, top_p=0.9,
+                frequency_penalty=0.1, max_new_tokens=w + 1,
+            ),
+        )
+        for mk in variants:
+            for b in ex.decode_buckets:
+                for w in win_buckets:
+                    for _ in range(b):
+                        engine.submit("warmup", mk(w))
+                    engine.run_until_complete()
         # packed-slab variants: R and T are FIXED (executor._pack_slab), so
         # one burst of short prompts (mp=1) plus one of page-crossing
         # prompts (mp=2, when max_seq_len allows) covers the whole packed

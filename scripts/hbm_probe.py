@@ -41,16 +41,24 @@ def _rate(fn, args, nbytes, steps, label):
 def probe_reduce(nbytes=2 << 30, steps=20):
     n = nbytes // 2
     x = jnp.ones((n,), jnp.bfloat16)
+    span = n - steps
 
     @jax.jit
     def run(x):
-        def step(c, _):
-            return c + jnp.sum(x, dtype=jnp.float32), None
+        # per-iteration dynamic-slice offset makes the reduce
+        # loop-VARIANT (XLA LICM would hoist a loop-invariant sum and
+        # measure one read instead of `steps`); the slice fuses into the
+        # reduce, so each step still streams ~the whole array once
+        def step(c, off):
+            w = jax.lax.dynamic_slice(x, (off,), (span,))
+            return c + jnp.sum(w, dtype=jnp.float32), None
 
-        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=steps)
+        c, _ = jax.lax.scan(
+            step, jnp.float32(0), jnp.arange(steps, dtype=jnp.int32)
+        )
         return c
 
-    return _rate(run, (x,), nbytes, steps, "xla reduce (pure read)")
+    return _rate(run, (x,), span * 2, steps, "xla reduce (pure read)")
 
 
 def probe_pallas_stream(nbytes=2 << 30, steps=20, block=2048, lanes=512):
@@ -64,14 +72,23 @@ def probe_pallas_stream(nbytes=2 << 30, steps=20, block=2048, lanes=512):
     rows = rows // block * block
     x = jnp.ones((rows, lanes), jnp.bfloat16)
 
-    def kernel(x_ref, o_ref):
-        o_ref[0, 0] = jnp.sum(x_ref[...], dtype=jnp.float32)
+    def kernel(c_ref, x_ref, o_ref):
+        # the carry flows THROUGH the kernel so the pallas_call is
+        # loop-variant (LICM cannot hoist it out of the scan)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[0, 0] = c_ref[0, 0]
+
+        o_ref[0, 0] += jnp.sum(x_ref[...], dtype=jnp.float32)
 
     grid = rows // block
     reduce_p = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((block, lanes), lambda i: (i, 0))],
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((block, lanes), lambda i: (i, 0)),
+        ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
     )
@@ -79,7 +96,7 @@ def probe_pallas_stream(nbytes=2 << 30, steps=20, block=2048, lanes=512):
     @jax.jit
     def run(x):
         def step(c, _):
-            return c + reduce_p(x)[0, 0], None
+            return reduce_p(c.reshape(1, 1), x)[0, 0], None
 
         c, _ = jax.lax.scan(step, jnp.float32(0), None, length=steps)
         return c
@@ -109,7 +126,7 @@ def probe_gemm_chain(bs=16, d=2048, f=5632, layers=44, steps=20):
             x, _ = jax.lax.scan(layer, x, (w, w2))
             return x, None
 
-        x, _ = jax.lax.scan(step, x0, None, length=steps)
+        x, _ = jax.lax.scan(step, x, None, length=steps)
         return x
 
     nbytes = (w.size + w2.size) * 2

@@ -97,7 +97,7 @@ def main():
                         "prompt": PROMPT,
                         "new": NEW,
                         "rounds": [round(r, 1) for r in rounds],
-                        "kv_read_gb_per_step_bf16": round(kv_gb / BS, 3),
+                        "kv_read_gb_per_step_bf16": round(kv_gb, 3),
                     },
                 }
             )

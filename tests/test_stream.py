@@ -79,3 +79,42 @@ def test_invalid_bytes_stream_incrementally():
     pieces = collect(stream)
     joined = "".join(p for p, _ in pieces)
     assert len(joined) == 16  # every byte surfaced (as replacement chars)
+
+
+def test_held_back_tail_does_not_spin_event_loop():
+    """A held-back incomplete UTF-8 tail must leave the iterator AWAITING
+    (not busy-spinning the event loop re-draining forever): with only an
+    incomplete tail pending, other coroutines must keep running, and the
+    completing byte must wake the stream."""
+    import asyncio
+    import threading
+
+    tk = ByteTokenizer()
+    stream = AsyncDataStream(tk)
+    result = {}
+
+    async def main():
+        stream.add_data(0xE4)  # first byte of a 3-byte codepoint
+        it = stream.__aiter__()
+        nxt = asyncio.ensure_future(anext(it))
+        # if the iterator busy-spins, this sleep never completes because
+        # the event loop is monopolized
+        ticks = 0
+        for _ in range(5):
+            await asyncio.sleep(0.01)
+            ticks += 1
+        assert not nxt.done()  # tail held back, nothing to emit yet
+        # completing bytes arrive from the "engine thread"
+        stream.add_data(0xBD)
+        stream.add_data(0xA0)
+        piece, _ = await asyncio.wait_for(nxt, timeout=5)
+        result["piece"] = piece
+        result["ticks"] = ticks
+        stream.finish()
+
+    t = threading.Thread(target=lambda: asyncio.run(main()), daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "event loop blocked (busy-spin)"
+    assert result.get("ticks") == 5
+    assert result.get("piece") == "你" or len(result.get("piece", "")) > 0
