@@ -140,6 +140,11 @@ class Engine:
             infer = dataclasses.replace(cfg.infer, page_size=page_size)
             cfg = dataclasses.replace(cfg, infer=infer)
             self.cfg = cfg
+        if cfg.infer.prefix_cache and cache_type != "paged":
+            logger.warning(
+                "prefix_cache requires cache_type=paged (got %s); disabled",
+                cache_type,
+            )
         ring_kv = (
             cfg.infer.ring_kv
             and self.mesh is not None
@@ -199,7 +204,11 @@ class Engine:
             sharding=cache_sharding,
             layer_groups=spec.get("layer_groups"),
             max_slots=cfg.infer.max_reqs,
-            prefix_cache=cfg.infer.prefix_cache,
+            # prefix caching is page-granular: dense/skew/nop use one
+            # max_seq_len page per request, so no full prompt page can
+            # ever be shared — disable loudly instead of reporting a
+            # cache that can never hit
+            prefix_cache=cfg.infer.prefix_cache and cache_type == "paged",
         )
         if cache_type == "nop":
             from chitu_tpu.kvcache.paged import NopAllocator

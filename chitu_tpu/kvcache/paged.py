@@ -31,7 +31,6 @@ class PageAllocator:
         self.page_size = page_size
         self.free_pages: List[int] = list(range(num_pages - 1, -1, -1))
         self.req_pages: Dict[str, List[int]] = {}
-        self.req_len: Dict[str, int] = {}
 
     def num_free(self) -> int:
         return len(self.free_pages)
@@ -41,20 +40,28 @@ class PageAllocator:
 
         The reference raises on pool exhaustion (cache_manager.py:160-168);
         we return False so the scheduler can defer admission instead.
-        """
+        On failure THIS call's pages roll back — a deferred request must
+        not hoard pages it cannot use (they'd starve the running decodes
+        into preemption)."""
         pages = self.req_pages.setdefault(req_id, [])
+        start = len(pages)
         need = (total_tokens + self.page_size - 1) // self.page_size
         while len(pages) < need:
             if not self.free_pages:
+                self._rollback(req_id, pages, start)
                 return False
             pages.append(self.free_pages.pop())
-        self.req_len[req_id] = total_tokens
         return True
+
+    def _rollback(self, req_id: str, pages: List[int], start: int):
+        while len(pages) > start:
+            self.free_pages.append(pages.pop())
+        if not pages:
+            self.req_pages.pop(req_id, None)
 
     def free(self, req_id: str):
         for p in self.req_pages.pop(req_id, []):
             self.free_pages.append(p)
-        self.req_len.pop(req_id, None)
 
     def block_table(
         self, req_ids: Sequence[str], max_pages: int
@@ -88,7 +95,12 @@ class PrefixCachingAllocator(PageAllocator):
         super().__init__(num_pages, page_size)
         from collections import OrderedDict
 
-        self.entries: Dict[int, int] = {}  # chain hash -> page id
+        # chain hash -> (page id, this page's token tuple, parent page id)
+        # — the tokens + parent linkage are VERIFIED on every hit, so a
+        # hash collision (accidental or crafted) can never attach another
+        # prompt's KV pages (the vLLM hash-sharing lesson: content-check
+        # on hit, never trust the hash alone)
+        self.entries: Dict[int, tuple] = {}
         self.page_hash: Dict[int, int] = {}  # page id -> chain hash
         self.refcount: Dict[int, int] = {}  # shared page id -> refs
         self.lru = OrderedDict()  # chain hash -> None (evictable)
@@ -109,13 +121,20 @@ class PrefixCachingAllocator(PageAllocator):
     def lookup(self, req_id: str, tokens: Sequence[int]) -> int:
         """Attach the longest cached prefix; returns its token count.
         Idempotent per request (no-op once pages are attached)."""
-        if req_id in self.req_pages:
+        if self.req_pages.get(req_id):
             return 0
+        ps = self.page_size
         pages = []
         chain = self._chain(tokens)
-        for h in chain:
-            p = self.entries.get(h)
-            if p is None:
+        for i, h in enumerate(chain):
+            e = self.entries.get(h)
+            if e is None:
+                break
+            p, page_toks, parent = e
+            # content + linkage verification (see __init__ note)
+            if page_toks != tuple(tokens[i * ps : (i + 1) * ps]):
+                break
+            if parent != (pages[i - 1] if i else -1):
                 break
             pages.append(p)
         for p in pages:
@@ -125,11 +144,11 @@ class PrefixCachingAllocator(PageAllocator):
         self.misses += len(chain) - len(pages)
         if pages:
             self.req_pages[req_id] = list(pages)
-            self.req_len[req_id] = len(pages) * self.page_size
         return len(pages) * self.page_size
 
     def register(self, req_id: str, tokens: Sequence[int]):
         """Publish a prefilled prompt's full pages for future sharing."""
+        ps = self.page_size
         pages = self.req_pages.get(req_id, [])
         for i, h in enumerate(self._chain(tokens)):
             if i >= len(pages):
@@ -141,19 +160,27 @@ class PrefixCachingAllocator(PageAllocator):
                 continue
             if p in self.page_hash:
                 continue  # page already published under another chain
-            self.entries[h] = p
+            self.entries[h] = (
+                p,
+                tuple(tokens[i * ps : (i + 1) * ps]),
+                pages[i - 1] if i else -1,
+            )
             self.page_hash[p] = h
             # cache ref + this request's ref
             self.refcount[p] = self.refcount.get(p, 1) + 1
 
     def ensure(self, req_id: str, total_tokens: int) -> bool:
         pages = self.req_pages.setdefault(req_id, [])
+        start = len(pages)
         need = (total_tokens + self.page_size - 1) // self.page_size
         while len(pages) < need:
             if not self.free_pages and not self._evict_one():
+                # roll back THIS call's pages only: they are always fresh
+                # pops from free_pages (shared attachments happen in
+                # lookup), so plain return is refcount-safe
+                self._rollback(req_id, pages, start)
                 return False
             pages.append(self.free_pages.pop())
-        self.req_len[req_id] = total_tokens
         return True
 
     def num_free(self) -> int:
@@ -162,7 +189,7 @@ class PrefixCachingAllocator(PageAllocator):
     def _evict_one(self) -> bool:
         while self.lru:
             h, _ = self.lru.popitem(last=False)
-            p = self.entries.pop(h)
+            p = self.entries.pop(h)[0]
             self.page_hash.pop(p, None)
             self.refcount[p] -= 1
             if self.refcount[p] == 0:
@@ -184,7 +211,6 @@ class PrefixCachingAllocator(PageAllocator):
                     self.free_pages.append(p)
             else:
                 self.free_pages.append(p)
-        self.req_len.pop(req_id, None)
 
 
 class NativeBackedPageAllocator:
@@ -207,12 +233,20 @@ class NativeBackedPageAllocator:
 
     def ensure(self, req_id: str, total_tokens: int) -> bool:
         h = self._handle.get(req_id)
-        if h is None:
+        fresh = h is None
+        if fresh:
             if not self._free_handles:
                 return False
             h = self._free_handles.pop()
             self._handle[req_id] = h
-        return self.native.ensure(h, total_tokens)
+        ok = self.native.ensure(h, total_tokens)
+        if not ok and fresh:
+            # a deferred request must not retain a handle (or any pages a
+            # partial native grow acquired) — handles would exhaust under
+            # sustained overload and block admission even with pages free
+            self.native.release(h)
+            self._free_handles.append(self._handle.pop(req_id))
+        return ok
 
     def free(self, req_id: str):
         h = self._handle.pop(req_id, None)
@@ -310,27 +344,22 @@ class PagedKVCache:
             num_pages, page_size, max_slots, prefix_cache
         )
 
-        if self.merged:
-            self.minor = pad_kv_minor(1, kv_dim)
-            groups = layer_groups or {"kv": n_layers}
-            self.arrays = {
-                name: jnp.zeros(
-                    (n, num_pages, page_size, self.minor), dtype=dtype
-                )
-                for name, n in groups.items()
-            }
-        else:
-            # per-head interleaved [K_h || V_h] page rows: one DMA per page
-            # fetches both, and the minor dim shards over 'tp' on whole
-            # KV-head boundaries
-            self.minor = kv_pool_minor(kv_heads, head_dim)
-            groups = layer_groups or {"kv": n_layers}
-            self.arrays = {
-                name: jnp.zeros(
-                    (n, num_pages, page_size, self.minor), dtype=dtype
-                )
-                for name, n in groups.items()
-            }
+        # merged (MLA latent) pages hold one padded C row per token;
+        # split-KV pages hold per-head interleaved [K_h || V_h] rows (one
+        # DMA per page fetches both, and the minor dim shards over 'tp'
+        # on whole KV-head boundaries)
+        self.minor = (
+            pad_kv_minor(1, kv_dim)
+            if self.merged
+            else kv_pool_minor(kv_heads, head_dim)
+        )
+        groups = layer_groups or {"kv": n_layers}
+        self.arrays = {
+            name: jnp.zeros(
+                (n, num_pages, page_size, self.minor), dtype=dtype
+            )
+            for name, n in groups.items()
+        }
         if sharding is not None:
             # sharding = (mesh, PartitionSpec); divisibility checked per
             # array (layer groups differ in size)
@@ -364,10 +393,6 @@ class PagedKVCache:
             except (RuntimeError, OSError):
                 pass
         return PageAllocator(num_pages, page_size)
-
-    @property
-    def max_pages_per_seq(self) -> int:
-        return self.num_pages
 
     def bytes(self) -> int:
         return sum(a.size * a.dtype.itemsize for a in self.arrays.values())

@@ -75,3 +75,38 @@ def test_nop_cache_type_runs():
     )
     toks = eng.generate("nop", SampleParams(temperature=0.0, max_new_tokens=4))
     assert len(toks) == 4
+
+
+def test_ensure_rolls_back_on_exhaustion():
+    """A failed ensure must not hoard pages: the deferred request keeps
+    nothing and the free count is unchanged (review finding: hoarded
+    pages starved running decodes into preemption)."""
+    a = PageAllocator(num_pages=4, page_size=16)
+    assert a.ensure("resident", 3 * 16)
+    free0 = a.num_free()
+    assert not a.ensure("big", 3 * 16)  # needs 3, only 1 free
+    assert a.num_free() == free0
+    assert "big" not in a.req_pages
+    # a resident request's failed GROW keeps its existing pages
+    assert not a.ensure("resident", 6 * 16)
+    assert len(a.req_pages["resident"]) == 3
+    assert a.num_free() == free0
+
+
+def test_native_handles_released_on_deferred():
+    """Deferred requests must not retain native handles: sustained
+    overload would exhaust the handle pool and block admission even with
+    pages free (review finding)."""
+    import pytest
+
+    from chitu_tpu.kvcache.paged import NativeBackedPageAllocator
+
+    try:
+        a = NativeBackedPageAllocator(num_pages=4, page_size=16, max_slots=2)
+    except Exception:
+        pytest.skip("native allocator unavailable")
+    assert a.ensure("r0", 4 * 16)  # takes the whole pool
+    for i in range(5):  # would exhaust max_slots=2 without the rollback
+        assert not a.ensure(f"defer{i}", 16)
+    a.free("r0")
+    assert a.ensure("late", 16)  # handles still available

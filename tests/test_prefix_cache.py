@@ -159,3 +159,57 @@ def test_engine_concurrent_sharers_and_reclaim(engines):
     assert all(o == outs[0] for o in outs)
     # everything reclaimable after completion (cached pages count as free)
     assert eng.cache.allocator.num_free() == free0
+
+
+def test_lookup_rejects_hash_collisions():
+    """Sharing must verify token content + parent linkage, never the
+    chain hash alone: a collision (accidental or crafted) attaching
+    another prompt's KV pages would be a cross-request leak (review
+    finding; the vLLM hash-sharing lesson)."""
+    from chitu_tpu.kvcache.paged import PrefixCachingAllocator
+
+    a = PrefixCachingAllocator(num_pages=8, page_size=4)
+    victim = list(range(100, 105))  # one full page + tail
+    assert a.lookup("victim", victim) == 0
+    assert a.ensure("victim", len(victim) + 1)
+    a.register("victim", victim)
+    a.free("victim")
+
+    # forge a colliding chain entry: same hash, different tokens
+    h = a._chain(victim)[0]
+    attacker = [1, 2, 3, 4, 9]
+    a.entries[a._chain(attacker)[0]] = a.entries[h]  # simulate collision
+    assert a.lookup("attacker", attacker) == 0  # content check rejects
+
+    # linkage check: page 2's entry must chain from the attached page 1
+    long_prompt = list(range(200, 210))  # two full pages + tail
+    assert a.ensure("p", len(long_prompt) + 1)
+    a.register("p", long_prompt)
+    a.free("p")
+    chain = a._chain(long_prompt)
+    pg, toks, parent = a.entries[chain[1]]
+    a.entries[chain[1]] = (pg, toks, 999)  # corrupt the parent link
+    got = a.lookup("q", long_prompt)
+    assert got == 4  # only page 1 attaches; broken link stops the walk
+    a.free("q")
+
+
+def test_deferred_request_still_hits_cache_on_retry():
+    """A request deferred by pool exhaustion must still get its prefix
+    hit when retried after a twin published (review finding: the
+    idempotency guard used to be tripped by the failed ensure)."""
+    from chitu_tpu.kvcache.paged import PrefixCachingAllocator
+
+    a = PrefixCachingAllocator(num_pages=3, page_size=4)
+    prompt = list(range(50, 59))  # two full pages + tail -> needs 3 pages
+    # twin takes the whole pool
+    assert a.lookup("twin", prompt) == 0
+    assert a.ensure("twin", len(prompt) + 1)
+    # cold request: lookup misses, ensure fails -> deferred
+    assert a.lookup("cold", prompt) == 0
+    assert not a.ensure("cold", len(prompt) + 1)
+    # twin finishes and publishes
+    a.register("twin", prompt)
+    a.free("twin")
+    # retry: the full-page prefix now attaches
+    assert a.lookup("cold", prompt) == 8
