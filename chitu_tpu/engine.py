@@ -26,7 +26,14 @@ from chitu_tpu.executor import Executor
 from chitu_tpu.kvcache import PagedKVCache
 from chitu_tpu.models import build_model
 from chitu_tpu.scheduler import Scheduler
-from chitu_tpu.task import SampleParams, Task, TaskPool, UserRequest, new_request_id
+from chitu_tpu.task import (
+    SampleParams,
+    Task,
+    TaskLoad,
+    TaskPool,
+    UserRequest,
+    new_request_id,
+)
 from chitu_tpu.tokenizer import build_tokenizer
 from chitu_tpu.utils import get_logger, init_logger
 
@@ -265,7 +272,12 @@ class Engine:
             prompt_tokens=prompt_tokens,
             priority=priority,
         )
-        self.pool.add(task)
+        if not self.pool.add(task):
+            # duplicate request id: Task.__init__ already bumped the
+            # global TaskLoad; undo it or /load_status admission drifts
+            # and eventually rejects legitimate traffic
+            TaskLoad.reduce(task.load_score())
+            raise ValueError(f"duplicate request id {rid!r}")
         return req
 
     # -- engine loop --------------------------------------------------------

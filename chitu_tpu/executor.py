@@ -633,6 +633,7 @@ class Executor:
         """Speculative decode covers greedy, penalty-free batches (the
         standard restriction: stochastic acceptance needs rejection
         sampling); anything else takes the windowed path."""
+        K1 = max(1, self.cfg.infer.spec_k) + 1
         return (
             self.cfg.infer.spec_decode == "ngram"
             and hasattr(self.model, "verify_draft")
@@ -640,6 +641,10 @@ class Executor:
             and all(
                 t.req.params.top_k == 1
                 and t.req.params.frequency_penalty == 0.0
+                # rows near max_seq_len cannot host K+1 verify columns;
+                # the windowed path finishes them (a spec-only branch
+                # would exclude them forever — they'd never progress)
+                and t.seq_len + K1 <= t.max_seq_len
                 for t in tasks
             )
         )
@@ -794,6 +799,14 @@ class Executor:
             if not self.cache.allocator.ensure(t.task_id, t.prefix_len + 1):
                 self.slots.release(t.task_id)
                 t.slot = -1
+                if t.prefilled_len:
+                    # detach the prefix pages lookup() just pinned: a
+                    # deferred request must not hold cache pages out of
+                    # the LRU (they could neither be evicted nor used —
+                    # preemption churn under pressure); the retry's
+                    # lookup re-attaches them if still cached
+                    self.cache.allocator.free(t.task_id)
+                    t.prefilled_len = 0
                 logger.warning("KV pool exhausted; deferring %s", t.task_id)
                 continue
             if t.req.prefill_start_time is None:
@@ -1035,7 +1048,14 @@ class Executor:
         pending = sorted(tasks, key=lambda t: t.arrival)  # oldest first
         while pending:
             t = pending.pop(0)
-            while not self.cache.allocator.ensure(t.task_id, t.seq_len + window):
+            # reserve only what this row can actually write: its budget
+            # caps the window (_pick_window), so demanding the full
+            # configured window would preempt victims for pages that are
+            # never used (tail rows with 1 token left)
+            ask = t.seq_len + min(
+                window, max(1, t.max_new_tokens - len(t.response_tokens))
+            )
+            while not self.cache.allocator.ensure(t.task_id, ask):
                 if pending:
                     victim = pending.pop()  # newest waits
                 else:
@@ -1054,6 +1074,12 @@ class Executor:
         if not live:
             timers("decode").stop()
             return
+        # restore the SCHEDULER's emission order (admission sorted by
+        # arrival for victim fairness): the skew_pipeline policy emits
+        # decodes group-interleaved, and the pipelined path's round-robin
+        # regrouping below depends on that order surviving
+        order = {id(t): i for i, t in enumerate(tasks)}
+        live.sort(key=lambda t: order[id(t)])
         from chitu_tpu.parallel.pipeline import supports_pipeline
 
         if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
@@ -1172,9 +1198,11 @@ class Executor:
         # group-interleaved order so this reconstructs its slot groups
         for i, t in enumerate(live):
             groups[i % S].append(t)
+        # bucket bound must cover ceil(live/S): with live > S*(max_reqs//S)
+        # a floor bound under-sizes the arrays (IndexError on the fill)
         Bg = _bucket(
             max(len(g) for g in groups),
-            _pow2_buckets(1, max(self.max_reqs // S, 1)),
+            _pow2_buckets(1, max(-(-self.max_reqs // S), 1)),
         )
         mp = self.mp_full
 
@@ -1185,7 +1213,6 @@ class Executor:
         temps = np.ones((S, Bg), np.float32)
         tks = np.ones((S, Bg), np.int32)
         tps = np.ones((S, Bg), np.float32)
-        slots = np.full((S, Bg), np.iinfo(np.int32).max, np.int32)
         for s, g in enumerate(groups):
             for j, t in enumerate(g):
                 tokens0[s, j] = (
@@ -1200,7 +1227,6 @@ class Executor:
                 temps[s, j] = max(p.temperature, 1e-6)
                 tks[s, j] = p.top_k
                 tps[s, j] = p.top_p
-                slots[s, j] = t.slot
 
         toks, self.cache.arrays = decode_pipelined(
             self.model,
@@ -1230,11 +1256,7 @@ class Executor:
                     t.append_token(tok)
                     new_counts.append(tok)
                     new_slots.append(t.slot)
-                    if (
-                        t.need_remove()
-                        or len(t.response_tokens) >= t.max_new_tokens
-                        or (t.stop_with_eos and tok in t.stop_tokens)
-                    ):
+                    if t.need_remove():
                         break
         if new_counts:
             # frequency-penalty counts update post-window (the pipelined

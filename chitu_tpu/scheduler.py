@@ -46,8 +46,6 @@ class Scheduler:
         serve.py:61-67 — we do both)."""
         out = []
         for t in self.pool.snapshot():
-            if t.waiting:
-                continue
             if (
                 t.task_type == TaskType.PREFILL
                 and admit is not None
@@ -103,8 +101,10 @@ class PrefillFirstScheduler(Scheduler):
 
 
 class StrideScheduler(Scheduler):
-    """Priority-stride scheduling: score += priority * elapsed
-    (reference: scheduler.py:189-235)."""
+    """Priority-weighted aging: score = priority * elapsed, recomputed
+    each round — matches the reference's Stride policy semantics
+    (reference: scheduler.py:189-235), which also recomputes rather than
+    accumulating a true stride pass."""
 
     def schedule(self, admit=None) -> List[str]:
         tasks = self._runnable(admit)

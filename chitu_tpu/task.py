@@ -209,7 +209,6 @@ class Task:
         self.priority = priority
         self.arrival = time.time()
         self.sched_score = 0.0
-        self.waiting = False  # in-flight on another pipeline stage
         self.stop_with_eos = stop_with_eos
         self.max_seq_len = max_seq_len
 
@@ -280,7 +279,6 @@ class Task:
         cache_manager.py:160-168)."""
         self.task_type = TaskType.PREFILL
         self.prefilled_len = 0
-        self.waiting = False
 
     def rebuild_tokens(self) -> List[int]:
         """Token context a preempted task must re-prefill: everything

@@ -304,3 +304,49 @@ def test_long_context_many_pages():
     r2 = eng.submit("", p, prompt_tokens=prompt + toks[:3])
     eng.run_until_complete()
     assert list(r2.async_stream.tokens)[:3] == toks[3:6]
+
+
+def test_duplicate_request_id_rejected_without_load_leak(engine):
+    """A duplicate request id must be rejected loudly AND must not leak
+    global TaskLoad (review finding: the silent drop inflated
+    /load_status until admission rejected legitimate traffic)."""
+    from chitu_tpu.task import TaskLoad
+
+    p = SampleParams(temperature=0.0, max_new_tokens=2)
+    load0 = TaskLoad.get_load()
+    r = engine.submit("dup probe", p, request_id="dup-1")
+    with pytest.raises(ValueError, match="duplicate"):
+        engine.submit("dup probe again", p, request_id="dup-1")
+    engine.run_until_complete()
+    assert r.finish_reason == "length"
+    assert TaskLoad.get_load() == load0
+
+
+def test_spec_decode_completes_near_max_seq_len():
+    """Rows too close to max_seq_len for K+1 verify columns must fall
+    back to the windowed path and still finish (review finding: the
+    spec-only branch excluded them forever — the engine spun)."""
+    from helpers import tiny_cfg
+    from chitu_tpu.engine import Engine
+
+    eng = Engine(
+        tiny_cfg(
+            **{
+                "infer.stop_with_eos": False,
+                "infer.spec_decode": "ngram",
+                "infer.spec_k": 4,
+            }
+        )
+    )
+    # prompt leaves 6 tokens of headroom < spec_k+1 budget at the tail
+    prompt = list(range(5, 5 + 122))  # max_seq_len=128 -> headroom 6
+    r = eng.submit(
+        "", SampleParams(temperature=0.0, max_new_tokens=5),
+        prompt_tokens=prompt,
+    )
+    guard = 0
+    while len(eng.pool) and guard < 200:
+        eng.step()
+        guard += 1
+    assert guard < 200, "engine spun without progress"
+    assert len(r.async_stream.tokens) == 5
