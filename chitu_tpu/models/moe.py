@@ -205,6 +205,12 @@ def moe_ffn_sorted(
     tok = jnp.where(valid, jnp.minimum(row_assign, A - 1) // k, 0)
     xs = jnp.take(x, tok, axis=0).astype(jnp.bfloat16)  # [NB*bm, D]
 
+    # quant.fp8_act='e4m3': the expert GEMMs bypass linear(), so the
+    # true-fp8 activation rounding must apply here too (reference
+    # act_quant feeds fused_moe the same way, chitu/fused_moe.py:613-793)
+    from chitu_tpu.ops.linear import maybe_fp8_act
+
+    xs = maybe_fp8_act(xs, w_gate)
     layer = 0 if layer is None else layer
     if w_up is None:
         # merged [gate | up] stack: ONE grouped GEMM, split halves
@@ -217,6 +223,7 @@ def moe_ffn_sorted(
     h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
         jnp.bfloat16
     )
+    h = maybe_fp8_act(h, w_down)
     d = grouped_matmul(h, w_down, layer, block_expert, bm, interpret)
     return sorted_combine(d, row_assign, weights).astype(x.dtype)
 

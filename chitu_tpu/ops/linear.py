@@ -30,12 +30,33 @@ _DENSE_KERNEL = os.environ.get("CHITU_TPU_DENSE_KERNEL", "0") == "1"
 # per-token int8 (the v5e speed path), "e4m3" = TRUE fp8 rounding of the
 # activations (reference act_quant accuracy semantics, chitu/ops.py:329-353)
 _FP8_ACT = os.environ.get("CHITU_TPU_FP8_ACT", "int8")
+if _FP8_ACT not in ("int8", "e4m3"):  # a typo must not silently pick int8
+    raise ValueError(
+        f"CHITU_TPU_FP8_ACT={_FP8_ACT!r}: expected 'int8' or 'e4m3'"
+    )
 
 
 def set_fp8_act(mode: str):
     global _FP8_ACT
     assert mode in ("int8", "e4m3")
     _FP8_ACT = mode
+
+
+def maybe_fp8_act(x, w):
+    """Apply the TRUE-fp8 activation rounding for QuantKind.FP8 weights
+    when quant.fp8_act='e4m3' — shared by linear() and the MoE grouped
+    GEMM path (models/moe.py), which bypasses linear()."""
+    from chitu_tpu.ops.qtensor import QTensor, QuantKind
+
+    if (
+        _FP8_ACT == "e4m3"
+        and isinstance(w, QTensor)
+        and w.kind == QuantKind.FP8
+    ):
+        from chitu_tpu.quantize.transforms import fp8_act_roundtrip
+
+        return fp8_act_roundtrip(x)
+    return x
 
 
 def get_fp8_act() -> str:
@@ -168,6 +189,13 @@ def _quantized_matmul(x, w: QTensor, layer=None) -> jnp.ndarray:
             and w.data.ndim == 3
             and w.kind
             in (QuantKind.SOFT_FP8, QuantKind.FP8, QuantKind.W4A16)
+            # the stacked kernel's scale indexing assumes QBLK groups;
+            # other group sizes (e.g. group-64 GPTQ) take the XLA
+            # dequant fallback below, same as the non-stacked _wrap guard
+            and (
+                w.kind != QuantKind.W4A16
+                or w.block == pallas_quant_gemm.QBLK
+            )
         ):
             return pallas_quant_gemm.matmul_stacked(x, w, layer)
         fn = quant_gemm.PALLAS_GEMMS.get(w.kind)

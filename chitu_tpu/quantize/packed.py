@@ -109,7 +109,11 @@ def unpack_gptq(
 def pack_awq(q: QTensor) -> dict:
     """Inverse of unpack_awq (used by tests / preprocess-and-save)."""
     data = np.asarray(q.data, np.uint32)  # [in, out]
-    zeros = np.asarray(q.zeros, np.uint32)
+    # zero-points must land on the uint4 grid: quantize_weight emits
+    # integer zeros, but round+clip defensively — a float/negative zero
+    # cast straight to uint32 would silently wrap before the & 0xF
+    zeros = np.clip(np.round(np.asarray(q.zeros, np.float32)), 0, 15)
+    zeros = zeros.astype(np.uint32)
     inv = np.empty_like(AWQ_ORDER)
     inv[AWQ_ORDER] = np.arange(8)
 

@@ -103,10 +103,21 @@ def quantize_weight(
         ng = _block_pad(fin, g) // g
         pad = [(0, 0)] * len(lead) + [(0, ng * g - fin), (0, 0)]
         wp = jnp.pad(wf, pad).reshape(*lead, ng, g, fout)
-        wmax = jnp.max(wp, axis=-2)  # [..., ng, out]
-        wmin = jnp.min(wp, axis=-2)
+        # mask the zero-padded tail rows out of the group statistics,
+        # then include 0 in the range EXPLICITLY (standard asymmetric
+        # quant: the zero-point must be representable, so all-positive /
+        # all-negative groups anchor at 0 rather than clipping)
+        real = (
+            jnp.arange(ng * g).reshape(ng, g) < fin
+        )[..., None]  # [ng, g, 1]
+        wmax = jnp.max(jnp.where(real, wp, -jnp.inf), axis=-2)
+        wmin = jnp.min(jnp.where(real, wp, jnp.inf), axis=-2)
+        wmax = jnp.maximum(wmax, 0.0)  # [..., ng, out]
+        wmin = jnp.minimum(wmin, 0.0)
         scale = jnp.maximum(wmax - wmin, 1e-8) / 15.0
-        zeros = -wmin / scale  # zero-point in quantized units
+        # INTEGER zero-point (AWQ/GPTQ convention): exact round-trip
+        # through the packed uint4 checkpoint format (pack_awq)
+        zeros = jnp.clip(jnp.round(-wmin / scale), 0, 15)
         q = jnp.clip(
             jnp.round(wp / scale[..., :, None, :] + zeros[..., :, None, :]),
             0,
@@ -257,13 +268,16 @@ def pack_int4_storage(params: Any) -> Any:
 
 
 def unpack_int4_storage(q: QTensor) -> QTensor:
-    """Inverse of pack_int4_storage (for dequantize / XLA fallback)."""
-    K, half = q.data.shape
+    """Inverse of pack_int4_storage (for dequantize / XLA fallback);
+    handles stacked [L, K, half] storage like the packer does."""
+    *lead, K, half = q.data.shape
     t = PACK_TILE
-    tiles = q.data.astype(jnp.uint8).reshape(K, half // (t // 2), t // 2)
+    tiles = q.data.astype(jnp.uint8).reshape(
+        *lead, K, half // (t // 2), t // 2
+    )
     lo = tiles & 0xF
     hi = (tiles >> 4) & 0xF
-    full = jnp.concatenate([lo, hi], axis=-1).reshape(K, half * 2)
+    full = jnp.concatenate([lo, hi], axis=-1).reshape(*lead, K, half * 2)
     return QTensor(
         data=full.astype(jnp.int8),
         scale=q.scale,
@@ -406,6 +420,13 @@ def merge_moe_gate_up(params: Any) -> Any:
             and a.data.ndim == 4
             and a.in_perm is None and b.in_perm is None
             and a.oc_idx is None and b.oc_idx is None
+            # blockwise scales concatenate on the block axis, which is
+            # only exact when the gate's out dim fills its last block —
+            # otherwise the up half's scale grid shifts silently
+            and (
+                a.scale.ndim < a.data.ndim  # rowwise: exact concat
+                or a.data.shape[-1] % a.block == 0
+            )
         )
 
     def cat(a, b):

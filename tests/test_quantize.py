@@ -236,3 +236,124 @@ def test_fp8_act_roundtrip_semantics():
     x2 = jax.random.normal(jax.random.PRNGKey(4), (3, 200), jnp.bfloat16)
     y2 = fp8_act_roundtrip(x2)
     assert y2.shape == x2.shape and y2.dtype == x2.dtype
+
+
+def test_w4a16_pack_awq_roundtrip_exact():
+    """quantize_weight emits INTEGER zero-points, so the packed AWQ
+    checkpoint round-trip must be bit-exact (review finding: float /
+    negative zeros were silently truncated or wrapped by the uint cast)."""
+    from chitu_tpu.quantize.packed import pack_awq, unpack_awq
+
+    key = jax.random.PRNGKey(3)
+    # include an all-positive block so the zero-point anchors at 0
+    w = jnp.abs(jax.random.normal(key, (256, 128), jnp.float32)) + 0.1
+    w = w.at[128:].set(jax.random.normal(jax.random.fold_in(key, 1), (128, 128)))
+    q = quantize_weight(w, QuantKind.W4A16)
+    assert jnp.all(q.zeros == jnp.round(q.zeros))  # integer grid
+    packed = pack_awq(q)
+    q2 = unpack_awq(packed["qweight"], packed["qzeros"], packed["scales"])
+    np.testing.assert_array_equal(np.asarray(q.data), np.asarray(q2.data))
+    np.testing.assert_allclose(
+        np.asarray(q.dequantize(jnp.float32)),
+        np.asarray(q2.dequantize(jnp.float32)),
+        rtol=2e-3, atol=2e-3,  # fp16 scales in the AWQ format
+    )
+
+
+def test_w4a16_tail_group_ignores_padding():
+    """in_features not a multiple of the group: the tail group's range
+    must come from REAL rows (plus the 0 anchor), not the zero padding
+    (review finding: padding polluted min/max)."""
+    w = jnp.ones((200, 64), jnp.float32) * 3.0  # all-positive
+    q = quantize_weight(w, QuantKind.W4A16, block=128)
+    d = np.asarray(q.dequantize(jnp.float32))
+    np.testing.assert_allclose(d, 3.0, rtol=0.05)
+
+
+def test_stacked_packed_int4_dequantize():
+    """Stacked [L, K, N] W4A16 leaves survive the pack_int4_storage /
+    dequantize round-trip (review finding: the unpacker only handled
+    2-D data and crashed the XLA fallback on stacked weights)."""
+    from chitu_tpu.quantize.transforms import (
+        pack_int4_storage,
+        unpack_int4_storage,
+    )
+
+    key = jax.random.PRNGKey(7)
+    w = jax.random.normal(key, (2, 256, 512), jnp.float32)
+    q = quantize_weight(w, QuantKind.W4A16)
+    packed = pack_int4_storage({"w": q})["w"]
+    assert packed.data.shape == (2, 256, 256)
+    un = unpack_int4_storage(packed)
+    np.testing.assert_array_equal(np.asarray(un.data), np.asarray(q.data))
+    np.testing.assert_allclose(
+        np.asarray(packed.dequantize(jnp.float32)),
+        np.asarray(q.dequantize(jnp.float32)),
+    )
+
+
+def test_stacked_w4a16_group64_falls_back(monkeypatch):
+    """Stacked W4A16 with a non-kernel group size (e.g. group-64 GPTQ)
+    must take the XLA dequant fallback instead of crashing the stacked
+    Pallas kernel's scale reshape (review finding)."""
+    import importlib
+
+    # ops/__init__ re-exports the linear FUNCTION, shadowing the module
+    linmod = importlib.import_module("chitu_tpu.ops.linear")
+
+    key = jax.random.PRNGKey(9)
+    w = jax.random.normal(key, (2, 256, 128), jnp.float32)
+    q = quantize_weight(w, QuantKind.W4A16, block=64)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 256), jnp.bfloat16)
+    monkeypatch.setattr(linmod, "_OP_IMPL", "pallas")
+    got = linear(x, q, layer=1)
+    want = jnp.dot(
+        x, q[1].dequantize(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_fp8_e4m3_acts_reach_moe_gemms(monkeypatch):
+    """quant.fp8_act='e4m3' must round the MoE expert GEMM activations
+    too (review finding: the expert path bypasses linear(), so the
+    flagship MoE case silently kept int8 acts)."""
+    from chitu_tpu.models import moe as moe_mod
+    from chitu_tpu.ops.linear import set_fp8_act, get_fp8_act
+    from chitu_tpu.quantize import transforms as tr
+
+    calls = {"n": 0}
+    real = tr.fp8_act_roundtrip
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    monkeypatch.setattr(tr, "fp8_act_roundtrip", counting)
+    key = jax.random.PRNGKey(11)
+    E, D, F, T, k = 4, 128, 128, 8, 2
+    wg = quantize_weight(
+        jax.random.normal(key, (E, D, F), jnp.float32), QuantKind.FP8
+    )
+    wu = quantize_weight(
+        jax.random.normal(jax.random.fold_in(key, 1), (E, D, F), jnp.float32),
+        QuantKind.FP8,
+    )
+    wd = quantize_weight(
+        jax.random.normal(jax.random.fold_in(key, 2), (E, F, D), jnp.float32),
+        QuantKind.FP8,
+    )
+    x = jax.random.normal(jax.random.fold_in(key, 3), (T, D), jnp.bfloat16)
+    weights = jnp.ones((T, k), jnp.float32) / k
+    sel = jnp.tile(jnp.arange(k, dtype=jnp.int32), (T, 1))
+    prev = get_fp8_act()
+    try:
+        set_fp8_act("e4m3")
+        moe_mod.moe_ffn_sorted(
+            x, wg, wu, wd, weights, sel, E, interpret=True
+        )
+    finally:
+        set_fp8_act(prev)
+    assert calls["n"] >= 2  # entry acts + mid-FFN acts
