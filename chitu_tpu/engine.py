@@ -143,6 +143,14 @@ class Engine:
             num_pages = PagedKVCache.num_pages_for(
                 cfg.infer.max_reqs, cfg.infer.max_seq_len, page_size
             )
+        if page_size >= 8 and page_size % 8:
+            # the fused pallas decode's aligned read-modify-write tiles
+            # pages in 8-row blocks; a non-multiple page would silently
+            # splice the new token's KV into the wrong row on TPU
+            raise ValueError(
+                f"page_size={page_size} must be a multiple of 8 "
+                "(for dense/skew/nop cache types page_size = max_seq_len)"
+            )
         if page_size != cfg.infer.page_size:
             infer = dataclasses.replace(cfg.infer, page_size=page_size)
             cfg = dataclasses.replace(cfg, infer=infer)

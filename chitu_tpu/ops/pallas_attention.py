@@ -55,6 +55,16 @@ def _fit_ring(page: int, M: int, itemsize: int, budget: int) -> int:
     ring = DMA_RING
     while ring > 2 and ring * page * M * itemsize > budget:
         ring //= 2
+    if ring * page * M * itemsize > 2 * budget:
+        # fail with the cause instead of an opaque Mosaic VMEM error
+        # (dense/skew cache types set page_size = max_seq_len: at large
+        # contexts those layouts cannot host the pallas page ring)
+        raise ValueError(
+            f"page_size={page} x pool minor {M} needs "
+            f"{ring * page * M * itemsize >> 20} MiB of VMEM ring "
+            f"scratch; use cache_type=paged with a smaller page_size "
+            f"or attn_type=xla"
+        )
     return ring
 
 
@@ -149,9 +159,9 @@ def _pool_f32(x):
     soft-fp8 trick, reference: chitu/triton_kernels.py:250-287) — using
     VPU integer ops instead of the slow fp8 cast path."""
     if x.dtype == jnp.int8:
-        u = x.astype(jnp.int32) & 0xFF
-        bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
-        return pltpu.bitcast(bits, jnp.float32) * 2.0 ** 120
+        from chitu_tpu.ops.kernel_common import fp8_place_bits
+
+        return fp8_place_bits(x) * 2.0 ** 120
     return x.astype(jnp.float32)
 
 def _decode_kernel(
@@ -451,13 +461,18 @@ def _decode_fused_kernel(
         row = g * RB + r
         pid_new, off_new, blk0, can_write = slot_geom(row)
 
-        # retire the PREVIOUS row's write before its wbuf half is reused
-        if r == 0:
-            @pl.when(g > 0)
-            def _():
-                retire_write(row - 1)
+        # retire row-2's write just before ITS wbuf half (row % 2) is
+        # reused by this row's RMW read: retiring row-1 here would wait
+        # on a DMA issued at the END of the immediately preceding
+        # iteration (zero work in between, serializing every write);
+        # row-2's write has a full row of attention to hide behind
+        if 2 - r <= 0:
+            retire_write(row - 2)
         else:
-            retire_write(row - 1)
+            gmin = (2 - r + RB - 1) // RB  # smallest g with row >= 2
+            @pl.when(g >= gmin)
+            def _():
+                retire_write(row - 2)
 
         @pl.when(can_write)
         def _():
@@ -564,9 +579,11 @@ def _decode_fused_kernel(
                 wsem.at[jax.lax.rem(row, 2)],
             ).start()
 
-    # the LAST row's write has no successor to retire it
+    # the last TWO rows' writes have no successor-plus-2 to retire them
     @pl.when(g + 1 >= G)
     def _():
+        if B >= 2:
+            retire_write(B - 2)
         retire_write(B - 1)
 
 

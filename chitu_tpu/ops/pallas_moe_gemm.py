@@ -42,6 +42,13 @@ W_BUDGET = 6 * 1024 * 1024  # double-buffered weight chunk VMEM budget
 
 def _pick_bk(K: int, N: int, itemsize: int) -> int:
     """Largest QBLK-multiple K-chunk whose two DMA buffers fit the budget."""
+    if K % QBLK:
+        # fail clearly instead of the decrement loop reaching K % 0
+        raise ValueError(
+            f"grouped_matmul needs K divisible by {QBLK} (got K={K}); "
+            "route ineligible stacks through the XLA fallback "
+            "(models/moe.kernel_eligible)"
+        )
     bk = (K // QBLK) * QBLK
     while bk > QBLK and (2 * bk * N * itemsize > W_BUDGET or K % bk):
         bk -= QBLK
@@ -150,11 +157,11 @@ def _moe_gemm_kernel(
                 for g in range(groups):
                     raw = wbuf[slot, g * QBLK : (g + 1) * QBLK, :]
                     if fp8_bits:
-                        u = raw.astype(jnp.int32) & 0xFF
-                        bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
-                        wg = pltpu.bitcast(bits, jnp.float32).astype(
-                            jnp.bfloat16
+                        from chitu_tpu.ops.kernel_common import (
+                            fp8_place_bits,
                         )
+
+                        wg = fp8_place_bits(raw).astype(jnp.bfloat16)
                     else:
                         wg = raw.astype(jnp.bfloat16)
                     xg = x_ref[

@@ -95,9 +95,9 @@ def _gemm_kernel(
             # folded into the scales (the reference's 0x7b800000 trick,
             # chitu/triton_kernels.py:250-287, done with VPU integer ops
             # instead of the slow fp8 cast path)
-            u = raw.astype(jnp.int32) & 0xFF
-            bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
-            wg = pltpu.bitcast(bits, jnp.float32).astype(jnp.bfloat16)
+            from chitu_tpu.ops.kernel_common import fp8_place_bits
+
+            wg = fp8_place_bits(raw).astype(jnp.bfloat16)
         else:
             wg = raw.astype(jnp.bfloat16)
         xg = x_ref[:, g * QBLK : (g + 1) * QBLK].astype(jnp.bfloat16)
