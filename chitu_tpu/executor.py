@@ -192,10 +192,16 @@ class Executor:
         if not self.cfg.infer.ring_prefill or self.mesh is None:
             return False
         dp = self.mesh.shape.get("dp", 1)
+        a = self.model.args
         return (
             dp > 1
             and pos == 0
             and hasattr(self.model, "kv_tp_shard")  # llama family
+            # ring_attention computes full-causal, uncapped scores: a
+            # windowed/softcapped model must take the paged prefill path
+            # or its prefill logits silently diverge from decode's
+            and getattr(a, "sliding_window", 0) == 0
+            and getattr(a, "attn_softcap", 0.0) == 0.0
         )
 
     def _decode_fn(

@@ -67,7 +67,9 @@ def rope_tables(
 
             low = max(math.floor(find_dim(rope_scaling.beta_fast)), 0)
             high = min(math.ceil(find_dim(rope_scaling.beta_slow)), half - 1)
-            # linear ramp over [low, high]: 0 -> fully scaled, 1 -> unscaled
+            # linear ramp over [low, high]: rng=0 keeps the original
+            # freqs (extrapolation), rng=1 divides by factor (full
+            # interpolation) — smooth = 1 - rng blends between them
             rng = jnp.clip(
                 (jnp.arange(half, dtype=jnp.float32) - low)
                 / max(high - low, 1e-3),
@@ -166,18 +168,6 @@ def grouped_attention(
     return out.reshape(T, H, -1).astype(q.dtype)
 
 
-def causal_mask(T: int, valid_len: jnp.ndarray, offset: jnp.ndarray = 0):
-    """[T, T] causal mask for a (possibly padded) prefill chunk.
-
-    Token t attends to s <= t, and both must be < valid_len. `offset` shifts
-    absolute positions for chunked prefill (bottom-right alignment semantics
-    of the reference, attn_backend.py:88-101, handled by the caller).
-    """
-    rows = jnp.arange(T)[:, None]
-    cols = jnp.arange(T)[None, :]
-    return (cols <= rows) & (rows < valid_len) & (cols < valid_len)
-
-
 # ---------------------------------------------------------------------------
 # Paged KV helpers (XLA path; reference contract: cache_manager.py §2.2)
 # ---------------------------------------------------------------------------
@@ -194,11 +184,18 @@ def paged_flat_index(
     """
     page = pos // page_size
     off = pos % page_size
+    mp = block_table.shape[-1]
     blk = jnp.take_along_axis(
-        block_table, page[..., None].astype(jnp.int32), axis=-1
+        block_table,
+        jnp.minimum(page, mp - 1)[..., None].astype(jnp.int32),
+        axis=-1,
     )[..., 0]
     idx = blk * page_size + off
-    return jnp.where(blk < 0, jnp.iinfo(jnp.int32).max, idx)
+    # -1 table entries AND positions past the table width both map to the
+    # drop sentinel (take_along_axis would otherwise clamp an overflow to
+    # the LAST column and silently overwrite that page's live KV)
+    oob = (blk < 0) | (page >= mp)
+    return jnp.where(oob, jnp.iinfo(jnp.int32).max, idx)
 
 
 def pad_kv_minor(kv_heads: int, head_dim: int, lane: int = 128) -> int:
@@ -225,8 +222,6 @@ def kv_encode(vals: jnp.ndarray, pool_dtype) -> jnp.ndarray:
     the v5e storage path fast (same trick as soft-fp8 weights,
     reference: ops.py:395-449)."""
     if pool_dtype == jnp.int8:
-        import jax
-
         return jax.lax.bitcast_convert_type(
             vals.astype(jnp.float8_e4m3fn), jnp.int8
         )
@@ -236,8 +231,6 @@ def kv_encode(vals: jnp.ndarray, pool_dtype) -> jnp.ndarray:
 def kv_decode(x: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Inverse of kv_encode (int8 bits -> e4m3 value -> out_dtype)."""
     if x.dtype == jnp.int8:
-        import jax
-
         return jax.lax.bitcast_convert_type(
             x, jnp.float8_e4m3fn
         ).astype(out_dtype)
@@ -268,24 +261,3 @@ def paged_append(
     flat = pool.reshape(L * P * page, C)
     flat = flat.at[idx].set(kv_encode(vals, pool.dtype), mode="drop")
     return flat.reshape(L, P, page, C)
-
-
-def paged_gather(
-    pool: jnp.ndarray,  # [L, num_pages, page, C]
-    layer: jnp.ndarray,  # scalar i32
-    block_table: jnp.ndarray,  # [B, max_pages] int32
-    kv_heads: int,
-    head_dim: int,
-) -> jnp.ndarray:
-    """Materialize one layer's per-request KV: [B, max_pages*page, KV, D].
-
-    The XLA reference decode path; the Pallas paged-decode kernel reads
-    pages directly from HBM instead (ops/pallas_attention.py). Rows gather
-    straight from the flattened [L*P, ...] view — no layer slice copy.
-    """
-    B, MP = block_table.shape
-    L, P, page, C = pool.shape
-    safe = jnp.maximum(block_table, 0) + layer.astype(jnp.int32) * P
-    out = pool.reshape(L * P, page, C)[safe]  # [B, MP, page, C]
-    out = out.reshape(B, MP * page, C)[..., : kv_heads * head_dim]
-    return out.reshape(B, MP * page, kv_heads, head_dim)

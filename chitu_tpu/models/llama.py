@@ -95,9 +95,7 @@ class LlamaForCausalLM:
         self.cos, self.sin = rope_tables(
             self.rot_dim, max_seq, args.rope_theta, args.rope_scaling
         )
-        self.rotary_layout = (
-            "hf-llama" if args.rotary_type == "hf-llama" else args.rotary_type
-        )
+        self.rotary_layout = args.rotary_type
         # TP-sharded KV cache (VERDICT r1 item 2; reference sizes per-rank
         # caches by n_local_kv_heads, backend.py:181-217): the interleaved
         # pool minor shards over 'tp' when every shard gets whole KV-head
@@ -298,19 +296,25 @@ class LlamaForCausalLM:
         h = h + self._ffn(x, layers, layer, mesh)
         return h, pool
 
-    def _norm_acts(self, h, norm_w, proj_w, mesh):
-        """RMSNorm, fused with per-token int8 act quantization when the
-        consuming projections are W8A8 (reference fused norm+quant:
-        chitu/quantize/muxi_w8a8.py:15-36 NormAndQuant)."""
+    @staticmethod
+    def _w8a8_pallas(proj_w, mesh) -> bool:
+        """Gate for the fused int8-activation path: single-chip pallas
+        with a W8A8 consuming projection."""
         from chitu_tpu.ops.linear import get_op_impl
         from chitu_tpu.ops.qtensor import QTensor, QuantKind
 
-        if (
+        return (
             mesh is None
             and isinstance(proj_w, QTensor)
             and proj_w.kind == QuantKind.W8A8
             and get_op_impl() == "pallas"
-        ):
+        )
+
+    def _norm_acts(self, h, norm_w, proj_w, mesh):
+        """RMSNorm, fused with per-token int8 act quantization when the
+        consuming projections are W8A8 (reference fused norm+quant:
+        chitu/quantize/muxi_w8a8.py:15-36 NormAndQuant)."""
+        if self._w8a8_pallas(proj_w, mesh):
             from chitu_tpu.ops.pallas_norm_quant import rms_norm_quant
 
             return rms_norm_quant(
@@ -321,15 +325,7 @@ class LlamaForCausalLM:
 
     def _maybe_quant_acts(self, x, proj_w, mesh):
         """Mid-FFN activation quantization feeding a W8A8 down-projection."""
-        from chitu_tpu.ops.linear import get_op_impl
-        from chitu_tpu.ops.qtensor import QTensor, QuantKind
-
-        if (
-            mesh is None
-            and isinstance(proj_w, QTensor)
-            and proj_w.kind == QuantKind.W8A8
-            and get_op_impl() == "pallas"
-        ):
+        if self._w8a8_pallas(proj_w, mesh):
             from chitu_tpu.ops.pallas_norm_quant import quant_acts
 
             return quant_acts(x, interpret=jax.default_backend() != "tpu")
@@ -346,7 +342,7 @@ class LlamaForCausalLM:
             gate = linear(x, g("w_gate"), layer=layer)
             up = linear(x, g("w_up"), layer=layer)
         hid = jax.nn.silu(gate) * up
-        hid = self._maybe_quant_acts(hid.astype(jnp.bfloat16), g("w_down"), mesh)
+        hid = self._maybe_quant_acts(hid.astype(x.dtype), g("w_down"), mesh)
         return linear(hid, g("w_down"), layer=layer)
 
     def _run_layers(
@@ -390,7 +386,7 @@ class LlamaForCausalLM:
     def prefill(
         self,
         params,
-        cache: Dict[str, jnp.ndarray],  # {"k": [L,P,page,KV,Dh], "v": ...}
+        cache: Dict[str, jnp.ndarray],  # {"kv": [L, P, page, M] packed pool}
         tokens: jnp.ndarray,  # [T] int32 (padded)
         block_table: jnp.ndarray,  # [mp] int32
         start_pos: jnp.ndarray,  # scalar i32: chunk offset (chunked prefill)
