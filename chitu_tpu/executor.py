@@ -1088,7 +1088,11 @@ class Executor:
         live.sort(key=lambda t: order[id(t)])
         from chitu_tpu.parallel.pipeline import supports_pipeline
 
-        if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
+        # the pipelined program samples WITHOUT frequency penalties (its
+        # scope note); penalized batches take the sequential GSPMD path
+        # so the penalty actually applies
+        no_pen = all(t.req.params.frequency_penalty == 0.0 for t in live)
+        if supports_pipeline(self.model, self.mesh) and len(live) >= 2 and no_pen:
             # the pipelined program appends KV every step: hard-clamp to
             # the batch's page headroom, BUCKETED so the (static-window)
             # pipelined program count stays bounded near max_seq_len
@@ -1251,8 +1255,6 @@ class Executor:
             mesh=self.mesh,
         )
         toks_host = np.asarray(toks)  # [W, S, Bg]
-        new_counts = []
-        new_slots = []
         for s, g in enumerate(groups):
             for j, t in enumerate(g):
                 for k in range(toks_host.shape[0]):
@@ -1260,16 +1262,8 @@ class Executor:
                     if tok < 0:
                         break
                     t.append_token(tok)
-                    new_counts.append(tok)
-                    new_slots.append(t.slot)
                     if t.need_remove():
                         break
-        if new_counts:
-            # frequency-penalty counts update post-window (the pipelined
-            # step samples without in-window penalties; see pipeline.py)
-            self.counts = self.counts.at[
-                jnp.asarray(new_slots), jnp.asarray(new_counts)
-            ].add(1, mode="drop")
 
     def _stop_ids(self, tasks: List[Task], n: int) -> jnp.ndarray:
         """Per-row stop-token ids [n, 8], -2 padded (per-request sets so one

@@ -263,22 +263,18 @@ class DeepSeekV3ForCausalLM:
 
     # -- attention ----------------------------------------------------------
 
-    def _mla(self, x, layers, kv_pool, layer, cos, sin, append, attend):
-        """MLA absorb forward for a [T, D] slab.
-
-        (reference absorb paths: model_deepseek_v3.py:475-536 decode,
-        :564-602 prefill-as-MQA)"""
+    def _mla_qkv(self, x, layers, layer, cos, sin):
+        """Shared MLA prologue for the absorb and dense paths: q (lora or
+        direct) with rope on the pe dims, the latent c_kv + roped k_pe,
+        and the materialized per-layer W_kv_b (the reference also
+        re-dequants per call, model_deepseek_v3.py:516-532)."""
         from chitu_tpu.models.llama import _layer_leaf
+        from chitu_tpu.ops.qtensor import QTensor
 
         a, m = self.args, self.mla
         T = x.shape[0]
         H = a.n_heads
-        dn, dr, dv, dc = (
-            m.qk_nope_head_dim,
-            m.qk_rope_head_dim,
-            m.v_head_dim,
-            m.kv_lora_rank,
-        )
+        dn, dc = m.qk_nope_head_dim, m.kv_lora_rank
         g = lambda name: _layer_leaf(layers, name, layer)
 
         if m.q_lora_rank > 0:
@@ -295,29 +291,49 @@ class DeepSeekV3ForCausalLM:
         q_nope, q_pe = q[..., :dn], q[..., dn:]
         q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
 
-        kv_a = linear(x, g("wkv_a"), layer=layer)  # [T, 576]
+        kv_a = linear(x, g("wkv_a"), layer=layer)  # [T, dc + dr]
         c_kv = rms_norm(kv_a[:, :dc], g("kv_norm"), a.norm_eps)
         k_pe = apply_rope(
             kv_a[:, None, dc:], cos, sin, self.rotary_layout
-        )[:, 0]  # [T, 64]
-
-        # absorb: q' = q_nope @ W_uk -> [T, H, 512]; the absorb einsums need
-        # the materialized per-layer weight (the reference also re-dequants
-        # per call, model_deepseek_v3.py:516-532)
-        from chitu_tpu.ops.qtensor import QTensor
+        )  # [T, 1, dr]
 
         wkv_b = layers["wkv_b"]
         if isinstance(wkv_b, QTensor):
-            # whole-stacked quantized leaf: slice + dequant for the einsum
+            # whole-stacked quantized leaf: slice + dequant
             wkv_b_d = wkv_b[layer].dequantize(x.dtype)
         else:
             wkv_b_d = wkv_b.astype(x.dtype)  # already scan-sliced
+        return q_nope, q_pe, c_kv, k_pe, wkv_b_d, g
+
+    def _mla(self, x, layers, kv_pool, layer, cos, sin, append, attend):
+        """MLA absorb forward for a [T, D] slab.
+
+        (reference absorb paths: model_deepseek_v3.py:475-536 decode,
+        :564-602 prefill-as-MQA)"""
+        from chitu_tpu.models.llama import _layer_leaf
+
+        a, m = self.args, self.mla
+        T = x.shape[0]
+        H = a.n_heads
+        dn, dr, dv, dc = (
+            m.qk_nope_head_dim,
+            m.qk_rope_head_dim,
+            m.v_head_dim,
+            m.kv_lora_rank,
+        )
+        q_nope, q_pe, c_kv, k_pe, wkv_b_d, g = self._mla_qkv(
+            x, layers, layer, cos, sin
+        )
+        k_pe = k_pe[:, 0]  # [T, dr]
         w_b = wkv_b_d.reshape(dc, H, dn + dv)
         w_uk = w_b[..., :dn]  # [512, H, 128]
         w_uv = w_b[..., dn:]  # [512, H, 128]
+        # bf16 operands with f32 accumulation: an f32xf32 MXU matmul on
+        # this per-layer hot path costs several bf16 passes for the same
+        # accumulator precision
         q_abs = jnp.einsum(
-            "thd,chd->thc", q_nope.astype(jnp.float32),
-            w_uk.astype(jnp.float32),
+            "thd,chd->thc", q_nope, w_uk,
+            preferred_element_type=jnp.float32,
         ).astype(x.dtype)  # [T, H, 512]
 
         # merged cache row: [c_kv || k_pe], one shared "kv head"
@@ -330,10 +346,11 @@ class DeepSeekV3ForCausalLM:
         if pad:
             q_full = jnp.pad(q_full, ((0, 0), (0, 0), (0, pad)))
         o = attend(q_full, kv_pool, layer)  # [T, H, kv_minor]
-        out_c = o[..., :dc].astype(jnp.float32)  # latent-weighted sum
+        out_c = o[..., :dc]  # latent-weighted sum
 
         v_out = jnp.einsum(
-            "thc,chd->thd", out_c, w_uv.astype(jnp.float32)
+            "thc,chd->thd", out_c, w_uv,
+            preferred_element_type=jnp.float32,
         ).astype(x.dtype)  # [T, H, 128]
         return (
             linear(v_out.reshape(T, H * dv), g("wo"), layer=layer),
@@ -355,36 +372,10 @@ class DeepSeekV3ForCausalLM:
             m.v_head_dim,
             m.kv_lora_rank,
         )
-        g = lambda name: _layer_leaf(layers, name, layer)
-
-        if m.q_lora_rank > 0:
-            q = linear(
-                rms_norm(
-                    linear(x, g("wq_a"), layer=layer), g("q_norm"), a.norm_eps
-                ),
-                g("wq_b"),
-                layer=layer,
-            )
-        else:
-            q = linear(x, g("wq"), layer=layer)
-        q = q.reshape(T, H, self.qk_head_dim)
-        q_nope, q_pe = q[..., :dn], q[..., dn:]
-        q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
+        q_nope, q_pe, c_kv, k_pe, wkv_b_d, g = self._mla_qkv(
+            x, layers, layer, cos, sin
+        )
         q = jnp.concatenate([q_nope, q_pe], axis=-1)  # [T, H, 192]
-
-        kv_a = linear(x, g("wkv_a"), layer=layer)
-        c_kv = rms_norm(kv_a[:, :dc], g("kv_norm"), a.norm_eps)
-        k_pe = apply_rope(
-            kv_a[:, None, dc:], cos, sin, self.rotary_layout
-        )  # [T, 1, 64]
-
-        from chitu_tpu.ops.qtensor import QTensor
-
-        wkv_b = layers["wkv_b"]
-        if isinstance(wkv_b, QTensor):
-            wkv_b_d = wkv_b[layer].dequantize(x.dtype)
-        else:
-            wkv_b_d = wkv_b.astype(x.dtype)
         kv = linear(c_kv, wkv_b_d).reshape(T, H, dn + dv)
         k = jnp.concatenate(
             [kv[..., :dn], jnp.broadcast_to(k_pe, (T, H, dr))], axis=-1

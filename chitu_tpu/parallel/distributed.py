@@ -27,8 +27,10 @@ _initialized = False
 
 
 def maybe_initialize(cfg) -> bool:
-    """Initialize jax.distributed when configured (infer.coordinator or
-    the standard env vars). Returns True when multi-process."""
+    """Initialize jax.distributed when configured (infer.coordinator /
+    num_processes / process_id, or the CHITU_TPU_COORDINATOR,
+    CHITU_TPU_NUM_PROCESSES, CHITU_TPU_PROCESS_ID env vars).
+    Returns True when multi-process."""
     global _initialized
     coord = cfg.infer.coordinator or os.environ.get(
         "CHITU_TPU_COORDINATOR", ""
@@ -36,8 +38,15 @@ def maybe_initialize(cfg) -> bool:
     n_proc = cfg.infer.num_processes or int(
         os.environ.get("CHITU_TPU_NUM_PROCESSES", "1")
     )
-    if n_proc <= 1 or not coord:
+    if n_proc <= 1:
         return False
+    if not coord:
+        # half-configured multi-host must not silently serve 1/N of the
+        # model from each process's local devices
+        raise ValueError(
+            f"num_processes={n_proc} but no coordinator: set "
+            "infer.coordinator=host:port (or CHITU_TPU_COORDINATOR)"
+        )
     if not _initialized:
         pid = cfg.infer.process_id
         if pid < 0:

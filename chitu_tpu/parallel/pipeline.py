@@ -138,6 +138,7 @@ def decode_pipelined(
                     q, pool, layer, btm, seqm, page_size,
                     a.n_kv_heads, model.head_dim, split_kv=True,
                     scale=model.attn_scale, impl="xla", mesh=None,
+                    window=a.sliding_window, softcap=a.attn_softcap,
                 )
 
             h_out, pool_l = model._run_layers(

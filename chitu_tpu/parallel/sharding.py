@@ -110,20 +110,26 @@ def shard_params(params: Any, specs: Any, mesh: Optional[Mesh]) -> Any:
                     leaf.zeros,
                     safe_named_sharding(mesh, z_spec, leaf.zeros.shape),
                 )
-            in_perm = leaf.in_perm
-            if in_perm is not None:
-                # the activation-gather permutation is needed whole on
-                # every shard
-                in_perm = jax.device_put(
-                    in_perm, NamedSharding(mesh, P(*([None] * in_perm.ndim)))
+            def replicate(aux):
+                # small per-weight side tensors needed whole on every
+                # shard (activation-gather permutation, llmint8 outlier
+                # channel ids + dense rows — dropping the latter would
+                # silently zero the outlier correction term)
+                if aux is None:
+                    return None
+                return jax.device_put(
+                    aux, NamedSharding(mesh, P(*([None] * aux.ndim)))
                 )
+
             return QTensor(
                 data=jax.device_put(leaf.data, data_sh),
                 scale=jax.device_put(leaf.scale, scale_sh),
                 zeros=zeros,
                 kind=leaf.kind,
                 block=leaf.block,
-                in_perm=in_perm,
+                in_perm=replicate(leaf.in_perm),
+                oc_idx=replicate(leaf.oc_idx),
+                oc_w=replicate(leaf.oc_w),
             )
         return jax.device_put(
             leaf, safe_named_sharding(mesh, spec, leaf.shape)

@@ -257,3 +257,73 @@ def test_multihost_two_process_smoke():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "MULTIHOST-SMOKE-OK" in r.stdout
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_llmint8_outliers_survive_mesh_sharding():
+    """shard_params must carry oc_idx/oc_w through the placed QTensor:
+    dropping them zeroes the outlier correction term, silently wrecking
+    llmint8 logits on any mesh (review finding)."""
+    import dataclasses as dc
+
+    p = SampleParams(temperature=0.0, max_new_tokens=4)
+    base_cfg = _tp_friendly_cfg()
+    base_cfg = dc.replace(
+        base_cfg,
+        quant=dc.replace(base_cfg.quant, method="llmint8", quant_on_load=True),
+    )
+    want = Engine(base_cfg).generate("outlier sharding check", p)
+
+    cfg = _tp_friendly_cfg(tp=2)
+    cfg = dc.replace(
+        cfg, quant=dc.replace(cfg.quant, method="llmint8", quant_on_load=True)
+    )
+    eng = Engine(cfg)
+    wq = eng.params["layers"]["wq"]
+    assert wq.oc_idx is not None and wq.oc_w is not None
+    assert eng.generate("outlier sharding check", p) == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_pipelined_decode_pp2_window_softcap():
+    """Sliding window + softcap must survive the pipelined PP decode
+    (review finding: the pipeline's attend dropped both kwargs, silently
+    diverging Mistral/Gemma-style models under pp>1)."""
+    import dataclasses as dc
+
+    from chitu_tpu.parallel.pipeline import supports_pipeline
+
+    def cfg_of(pp):
+        cfg = _tp_friendly_cfg()
+        m = dc.replace(cfg.models, sliding_window=24, attn_softcap=30.0)
+        return dc.replace(
+            cfg, models=m, infer=dc.replace(cfg.infer, pp_size=pp)
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    prompt = "windowed softcapped pipeline " * 3
+    want = Engine(cfg_of(1)).generate(prompt, p)
+    eng = Engine(cfg_of(2))
+    assert supports_pipeline(eng.model, eng.mesh)
+    reqs = [eng.submit(prompt, p), eng.submit("second row", p)]
+    eng.run_until_complete()
+    assert list(reqs[0].async_stream.tokens) == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_pipelined_decode_penalized_batch_routes_sequential():
+    """Frequency-penalized batches must take the sequential path under
+    pp>1 (the pipelined program samples without penalties) and match the
+    single-device output exactly."""
+    import dataclasses as dc
+
+    p = SampleParams(
+        temperature=0.0, max_new_tokens=8, frequency_penalty=50.0
+    )
+    want = Engine(_tp_friendly_cfg()).generate("penalty pipeline", p)
+    cfg = _tp_friendly_cfg()
+    cfg = dc.replace(cfg, infer=dc.replace(cfg.infer, pp_size=2))
+    eng = Engine(cfg)
+    reqs = [eng.submit("penalty pipeline", p), eng.submit("other row", p)]
+    eng.run_until_complete()
+    assert list(reqs[0].async_stream.tokens) == want
