@@ -132,6 +132,11 @@ class Engine:
         # - "nop": single shared page, garbage outputs (perf debugging,
         #   KVCacheManagerNop equivalent)
         cache_type = cfg.infer.cache_type
+        if cache_type not in ("paged", "dense", "skew", "nop"):
+            raise ValueError(
+                f"unknown cache_type {cache_type!r}: expected paged, "
+                "dense, skew, or nop"
+            )
         page_size = cfg.infer.page_size
         if cache_type in ("dense", "skew"):
             page_size = cfg.infer.max_seq_len
@@ -143,10 +148,11 @@ class Engine:
             num_pages = PagedKVCache.num_pages_for(
                 cfg.infer.max_reqs, cfg.infer.max_seq_len, page_size
             )
-        if page_size >= 8 and page_size % 8:
+        if page_size % 8:
             # the fused pallas decode's aligned read-modify-write tiles
-            # pages in 8-row blocks; a non-multiple page would silently
-            # splice the new token's KV into the wrong row on TPU
+            # pages in 8-row blocks; a non-multiple page (including 1-7,
+            # where the 8-row block would SPAN two requests' pages) would
+            # silently corrupt pool rows on TPU
             raise ValueError(
                 f"page_size={page_size} must be a multiple of 8 "
                 "(for dense/skew/nop cache types page_size = max_seq_len)"
@@ -347,6 +353,14 @@ class Engine:
         while task_id in self.pool:
             self.step()
         return list(req.async_stream.tokens)
+
+    def cancel(self, request_id: str):
+        """Stop generating for an abandoned request (client disconnect):
+        the task finishes with reason 'cancelled' at its next scheduling
+        check, releasing its slot and KV pages."""
+        task = self.pool.pool.get(f"task-{request_id}")
+        if task is not None and task.req.finish_reason is None:
+            task.cancel()
 
     # -- termination (reference: chitu_main.py:124-131) ---------------------
 

@@ -128,6 +128,9 @@ class Executor:
         # speculative decode: [tokens emitted, verify rounds] — mean
         # tokens/round is the acceptance-driven speedup over plain decode
         self._spec_stats = [0, 0]
+        # warmup toggles this off so the windowed decode programs compile
+        # even when every warmup burst would take the speculative path
+        self.spec_enabled = True
         self._jit_reset = jax.jit(sampling.reset_slots, donate_argnums=(0,))
 
     def _resolve_attn_impl(self) -> str:
@@ -641,7 +644,8 @@ class Executor:
         sampling); anything else takes the windowed path."""
         K1 = max(1, self.cfg.infer.spec_k) + 1
         return (
-            self.cfg.infer.spec_decode == "ngram"
+            self.spec_enabled
+            and self.cfg.infer.spec_decode == "ngram"
             and hasattr(self.model, "verify_draft")
             and not self.ring_kv_axis
             and all(

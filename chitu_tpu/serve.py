@@ -20,7 +20,7 @@ import time
 from typing import List, Optional, Union
 
 from aiohttp import web
-from pydantic import BaseModel, ValidationError
+from pydantic import BaseModel, Field, ValidationError
 
 from chitu_tpu.async_response import AsyncResponse
 from chitu_tpu.config import EngineConfig, load_config
@@ -37,18 +37,19 @@ class ChatMessage(BaseModel):
 
 
 class ChatRequest(BaseModel):
-    """Request schema (reference: serve.py:45-53)."""
+    """Request schema (reference: serve.py:45-53); out-of-range sampling
+    fields reject with 400 like the OpenAI contract."""
 
     messages: Union[str, List[ChatMessage]]
     model: Optional[str] = None
-    temperature: float = 1.0
-    top_p: float = 0.9
-    top_k: int = -1
-    frequency_penalty: float = 0.0
+    temperature: float = Field(1.0, ge=0.0, le=10.0)
+    top_p: float = Field(0.9, gt=0.0, le=1.0)
+    top_k: int = Field(-1, ge=-1)
+    frequency_penalty: float = Field(0.0, ge=-2.0, le=2.0)
     stream: bool = False
-    max_tokens: Optional[int] = None
+    max_tokens: Optional[int] = Field(None, ge=1)
     # scheduler weight for the stride policy (reference: scheduler.py:189-235)
-    priority: float = 1.0
+    priority: float = Field(1.0, gt=0.0)
 
 
 class ServerContext:
@@ -86,7 +87,15 @@ class ServerContext:
     def stop(self):
         self.stop_flag.set()
         if self.worker is not None:
-            self.worker.join(timeout=5)
+            # a cold jit compile inside engine.step can take tens of
+            # seconds; terminate() mutates allocator/sampler state the
+            # running step also touches, so NEVER run it concurrently
+            self.worker.join(timeout=60)
+            if self.worker.is_alive():
+                logger.error(
+                    "worker still stepping after 60s; skipping terminate"
+                )
+                return
         if self.engine is not None:
             self.engine.terminate()
 
@@ -133,12 +142,26 @@ def warmup_engine(engine: Engine, full: bool = True):
                 frequency_penalty=0.1, max_new_tokens=w + 1,
             ),
         )
-        for mk in variants:
-            for b in ex.decode_buckets:
-                for w in win_buckets:
-                    for _ in range(b):
-                        engine.submit("warmup", mk(w))
-                    engine.run_until_complete()
+        # spec decode would capture every greedy warmup burst and leave
+        # the windowed programs uncompiled for its fallback cases (rows
+        # near max_seq_len) — sweep with spec off, then one spec burst
+        ex.spec_enabled = False
+        try:
+            for mk in variants:
+                for b in ex.decode_buckets:
+                    for w in win_buckets:
+                        for _ in range(b):
+                            engine.submit("warmup", mk(w))
+                        engine.run_until_complete()
+        finally:
+            ex.spec_enabled = True
+        if cfg.infer.spec_decode == "ngram":
+            for _ in range(n):
+                engine.submit(
+                    "warmup spec",
+                    SampleParams(temperature=0.0, max_new_tokens=12),
+                )
+            engine.run_until_complete()
         # packed-slab variants: R and T are FIXED (executor._pack_slab), so
         # one burst of short prompts (mp=1) plus one of page-crossing
         # prompts (mp=2, when max_seq_len allows) covers the whole packed
@@ -227,7 +250,11 @@ def build_app(ctx: ServerContext) -> web.Application:
             top_p=body.top_p,
             top_k=body.top_k,
             frequency_penalty=body.frequency_penalty,
-            max_new_tokens=body.max_tokens or ctx.cfg.request.max_new_tokens,
+            max_new_tokens=(
+                body.max_tokens
+                if body.max_tokens is not None
+                else ctx.cfg.request.max_new_tokens
+            ),
         )
         message = (
             body.messages
@@ -235,25 +262,42 @@ def build_app(ctx: ServerContext) -> web.Application:
             else [{"role": m.role, "content": m.content} for m in body.messages]
         )
         try:
-            req = engine.submit(message, params, priority=body.priority)
+            # tokenization runs off the event loop: a huge prompt would
+            # otherwise freeze every in-flight SSE stream and health probe
+            req = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: engine.submit(message, params, priority=body.priority),
+            )
+            # submit ran on an executor thread where bind_loop() finds no
+            # running loop; re-bind HERE so finish() wakes the awaiting
+            # coroutine via call_soon_threadsafe (a plain Event.set from
+            # the worker thread never wakes an already-waiting await)
+            req.bind_loop()
         except ValueError as e:
             return _json_error(400, str(e))
         ctx.wake.set()
         resp_fmt = AsyncResponse(req)
-        if body.stream:
-            sse = web.StreamResponse(
-                status=200,
-                headers={
-                    "Content-Type": "text/event-stream",
-                    "Cache-Control": "no-cache",
-                },
-            )
-            await sse.prepare(request)
-            async for chunk in resp_fmt.stream_generator():
-                await sse.write(chunk.encode())
-            await sse.write_eof()
-            return sse
-        return web.json_response(await resp_fmt.full_response())
+        try:
+            if body.stream:
+                sse = web.StreamResponse(
+                    status=200,
+                    headers={
+                        "Content-Type": "text/event-stream",
+                        "Cache-Control": "no-cache",
+                    },
+                )
+                await sse.prepare(request)
+                async for chunk in resp_fmt.stream_generator():
+                    await sse.write(chunk.encode())
+                await sse.write_eof()
+                return sse
+            return web.json_response(await resp_fmt.full_response())
+        finally:
+            # client gone before completion: stop generating (a dropped
+            # stream would otherwise decode to max_tokens, burning device
+            # time and KV pages that block live admissions)
+            if req.finish_reason is None:
+                engine.cancel(req.request_id)
 
     async def ping(_):
         return web.json_response({"message": "pong"})

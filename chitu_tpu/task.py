@@ -211,6 +211,7 @@ class Task:
         self.sched_score = 0.0
         self.stop_with_eos = stop_with_eos
         self.max_seq_len = max_seq_len
+        self.cancelled = False
 
         # tokenize at construction (reference: task.py:230-237)
         if prompt_tokens is not None:
@@ -257,8 +258,15 @@ class Task:
         self.response_tokens.append(token_id)
         self.req.add_data(token_id)
 
+    def cancel(self):
+        """Client abandoned the request (disconnect): stop generating at
+        the next scheduling check and release device residency."""
+        self.cancelled = True
+
     def need_remove(self) -> bool:
         """EOS / length stop check (reference: task.py:260-271)."""
+        if self.cancelled:
+            return True
         if (
             self.stop_with_eos
             and self.response_tokens
@@ -287,6 +295,8 @@ class Task:
         return self.tokens + self.response_tokens[:-1]
 
     def finish_reason(self) -> str:
+        if self.cancelled:
+            return "cancelled"
         if (
             self.stop_with_eos
             and self.response_tokens

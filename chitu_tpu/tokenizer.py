@@ -178,14 +178,27 @@ class TokenizerTiktoken(BaseTokenizer):
         self.stop_tokens = frozenset({self.eos_id, self.eot_id})
 
     def encode(self, s: str, bos: bool = False, eos: bool = False) -> List[int]:
-        # chunked encode to bound tiktoken's quadratic behavior on huge inputs
-        # (reference: tokenizer.py:120-160 uses 400k char chunks)
+        # chunked encode to bound tiktoken's quadratic behavior on huge
+        # inputs (reference: tokenizer.py:120-160 uses 400k char chunks);
+        # chunks split at whitespace so no BPE merge spans a boundary
+        # (an arbitrary cut changes the tokenization vs unchunked)
         CHUNK = 400_000
         ids: List[int] = []
-        for off in range(0, max(len(s), 1), CHUNK):
-            ids += self.model.encode(
-                s[off : off + CHUNK], allowed_special="all"
-            )
+        off = 0
+        n = len(s)
+        while off < n or (off == 0 and n == 0):
+            end = min(off + CHUNK, n)
+            if end < n:
+                ws = s.rfind(" ", off + CHUNK // 2, end)
+                if ws > off:
+                    end = ws
+            # specials in CONTENT are plain text, never control tokens —
+            # "all" would let user text forge turn boundaries / EOS
+            # (chat structure uses explicit ids, _encode_header)
+            ids += self.model.encode(s[off:end], disallowed_special=())
+            if end == off:
+                break
+            off = end
         if bos:
             ids = [self.bos_id] + ids
         if eos:

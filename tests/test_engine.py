@@ -350,3 +350,24 @@ def test_spec_decode_completes_near_max_seq_len():
         guard += 1
     assert guard < 200, "engine spun without progress"
     assert len(r.async_stream.tokens) == 5
+
+
+def test_cancel_stops_generation_and_frees_residency(engine):
+    """engine.cancel (the client-disconnect path) must stop decoding at
+    the next scheduling check, finish with reason 'cancelled', and
+    release the slot + KV pages."""
+    free0 = engine.cache.allocator.num_free()
+    r = engine.submit(
+        "cancel me", SampleParams(temperature=0.0, max_new_tokens=100)
+    )
+    engine.step()  # prefill
+    engine.step()  # some decode
+    engine.cancel(r.request_id)
+    guard = 0
+    while len(engine.pool) and guard < 50:
+        engine.step()
+        guard += 1
+    assert guard < 50
+    assert r.finish_reason == "cancelled"
+    assert 0 < len(r.async_stream.tokens) < 100
+    assert engine.cache.allocator.num_free() == free0
