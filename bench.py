@@ -46,9 +46,15 @@ def model_bytes(m, dtype_bytes=2) -> int:
 BS = 16
 PROMPT = 128
 NEW = 128
-
-
 ROUNDS = 3  # steady-state rounds measured after a full warmup round
+
+# CHITU_BENCH_SMOKE=1: tiny geometry so the WHOLE bench code path can be
+# validated on CPU in minutes (the real numbers come from the TPU run)
+import os
+
+SMOKE = os.environ.get("CHITU_BENCH_SMOKE", "") == "1"
+if SMOKE:
+    BS, PROMPT, NEW, ROUNDS = 4, 16, 16, 1
 
 
 def _measure_engine(overrides):
@@ -72,6 +78,27 @@ def _measure_engine(overrides):
         ]
         + overrides
     )
+    if SMOKE:
+        import dataclasses
+
+        m = dataclasses.replace(
+            cfg.models, n_layers=2, dim=256, n_heads=4, n_kv_heads=2,
+            inter_dim=512, vocab_size=512,
+        )
+        if cfg.models.moe is not None:
+            m = dataclasses.replace(
+                m,
+                moe=dataclasses.replace(
+                    cfg.models.moe, n_routed_experts=4, moe_inter_dim=128
+                ),
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            models=m,
+            infer=dataclasses.replace(
+                cfg.infer, max_seq_len=128, page_size=16, decode_window=8
+            ),
+        )
     eng = Engine(cfg)
     rng = np.random.default_rng(0)
 
@@ -155,7 +182,7 @@ def _measure_envelope(cfg):
     head = jax.random.normal(key, (d, V), jnp.bfloat16)
     x0 = jax.random.normal(key, (BS, d), jnp.bfloat16)
 
-    steps = 50
+    steps = 5 if SMOKE else 50
 
     # weights are ARGUMENTS, not closure captures (captured constants
     # embed 2+ GB into the lowered module and break compile transport),
