@@ -44,16 +44,46 @@ def _iter_safetensors(ckpt_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
     if not files:
         raise FileNotFoundError(f"no .safetensors under {ckpt_dir}")
     for fname in files:
-        with safe_open(
-            os.path.join(ckpt_dir, fname), framework="np"
-        ) as f:
+        path = os.path.join(ckpt_dir, fname)
+        torch_f = None
+        with safe_open(path, framework="np") as f:
             for key in f.keys():
-                yield key, f.get_tensor(key)
+                try:
+                    yield key, f.get_tensor(key)
+                except Exception:
+                    # numpy has no float8: fp8 checkpoint tensors read
+                    # via torch and yield as raw uint8 BYTES (the fp8
+                    # convention _maybe_fp8 / the fp8-scale path expect)
+                    if torch_f is None:
+                        import torch  # noqa: F401
+
+                        torch_f = safe_open(path, framework="pt")
+                    t = torch_f.get_tensor(key)
+                    yield key, t.view(__import__("torch").uint8).numpy()
+
+
+# MP-sharded Meta checkpoints: concatenation dim per tensor family
+# ([out, in] torch layout; column-parallel splits out=0, row-parallel
+# in=1, ParallelEmbedding the hidden dim=1; norms are replicated)
+_META_MP_CAT = {
+    "attention.wq": 0, "attention.wk": 0, "attention.wv": 0,
+    "feed_forward.w1": 0, "feed_forward.w3": 0, "output": 0,
+    "attention.wo": 1, "feed_forward.w2": 1, "tok_embeddings": 1,
+}
+
+
+def _meta_mp_dim(key: str):
+    for fam, dim in _META_MP_CAT.items():
+        if fam in key:
+            return dim
+    return None  # replicated (norms, rope freqs)
 
 
 def _iter_meta_pth(ckpt_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
     """Meta-Llama consolidated .pth checkpoints (reference: backend.py
-    Meta path). torch (cpu) is only imported for this format."""
+    Meta path); MP-sharded checkpoints (consolidated.00..NN.pth) merge
+    along each tensor family's parallel dim. torch (cpu) is only
+    imported for this format."""
     import torch
 
     files = sorted(
@@ -61,12 +91,25 @@ def _iter_meta_pth(ckpt_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
     )
     if not files:
         raise FileNotFoundError(f"no consolidated*.pth under {ckpt_dir}")
-    for fname in files:
+    if len(files) == 1:
         sd = torch.load(
-            os.path.join(ckpt_dir, fname), map_location="cpu", mmap=True
+            os.path.join(ckpt_dir, files[0]), map_location="cpu", mmap=True
         )
         for k, v in sd.items():
             yield k, v.to(torch.float32).numpy()
+        return
+    shards = [
+        torch.load(os.path.join(ckpt_dir, f), map_location="cpu", mmap=True)
+        for f in files
+    ]
+    for k in shards[0]:
+        dim = _meta_mp_dim(k)
+        if dim is None:
+            yield k, shards[0][k].to(torch.float32).numpy()
+        else:
+            yield k, np.concatenate(
+                [sd[k].to(torch.float32).numpy() for sd in shards], axis=dim
+            )
 
 
 def iter_checkpoint(ckpt_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
@@ -158,6 +201,9 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
     staged: Dict[str, List[Optional[np.ndarray]]] = {}
     # AWQ/GPTQ packed projections: (layer, our_name) -> {qweight,...}
     packed: Dict[Tuple[int, str], Dict[str, np.ndarray]] = {}
+    # fp8 checkpoints: blockwise weight scales (DeepSeek-style
+    # weight_scale_inv), (layer, our_name) -> [out_blocks, in_blocks]
+    fp8_scales: Dict[Tuple[int, str], np.ndarray] = {}
 
     t0 = time.time()
     n = 0
@@ -177,6 +223,35 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
                 packed.setdefault((layer, ours), {})[part] = tensor
                 n += 1
                 continue
+        sm = re.fullmatch(
+            r"model\.layers\.(\d+)\.(self_attn|mlp)\.(\w+)"
+            r"\.weight_scale(_inv)?",
+            key,
+        )
+        if sm:
+            ours = {
+                "q_proj": "wq", "k_proj": "wk", "v_proj": "wv",
+                "o_proj": "wo", "gate_proj": "w_gate", "up_proj": "w_up",
+                "down_proj": "w_down",
+            }.get(sm.group(3))
+            if ours is None or tensor.ndim != 2:
+                # rowwise / unknown fp8 scale layouts: refuse rather than
+                # load unscaled fp8 weights that generate garbage
+                raise ValueError(
+                    f"unsupported fp8 scale layout for {key!r} "
+                    f"(shape {tensor.shape}); expected blockwise "
+                    "weight_scale_inv [out_blocks, in_blocks]"
+                )
+            fp8_scales[(int(sm.group(1)), ours)] = np.asarray(
+                tensor, np.float32
+            )
+            n += 1
+            continue
+        if key.endswith(("weight_scale", "weight_scale_inv")):
+            raise ValueError(
+                f"fp8 scale key {key!r} matched no loader rule; refusing "
+                "to load fp8 weights without their scales"
+            )
         path, layer, transpose = _match_rules(rules, key)
         if path is None:
             # glm4 fused tensors handled by the glm4 adapter; others skipped
@@ -234,10 +309,38 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
             params["layers"][name[len("__packed__"):]] = arr
         else:
             params[name] = to_dev(arr, name)
+    fp8_names = {ours for (_, ours) in fp8_scales}
     for name, pieces in staged.items():
         missing = [i for i, p in enumerate(pieces) if p is None]
         if missing:
             raise ValueError(f"checkpoint missing {name} for layers {missing}")
+        if name in fp8_names:
+            # fp8 weights + blockwise scales -> soft-fp8 QTensor stacks
+            # (the deepseek loader's _maybe_fp8 convention: data [in, out]
+            # e4m3, scale [bi, bo] f32); silently dropping the scales
+            # would load unscaled fp8 garbage
+            from chitu_tpu.ops.qtensor import QTensor, QuantKind
+
+            sc_missing = [
+                i for i in range(L) if (i, name) not in fp8_scales
+            ]
+            if sc_missing:
+                raise ValueError(
+                    f"fp8 checkpoint missing {name} scales for layers "
+                    f"{sc_missing}"
+                )
+            data = jnp.asarray(np.stack(pieces))
+            if data.dtype == jnp.uint8:
+                data = data.view(jnp.float8_e4m3fn)
+            data = data.astype(jnp.float8_e4m3fn)
+            scale = jnp.asarray(
+                np.stack([fp8_scales[(i, name)].T for i in range(L)]),
+                jnp.float32,
+            )  # [L, bi, bo] (weights were transposed to [in, out])
+            params["layers"][name] = QTensor(
+                data=data, scale=scale, kind=QuantKind.SOFT_FP8, block=128
+            )
+            continue
         params["layers"][name] = to_dev(np.stack(pieces), name)
 
     if "lm_head" not in params and not a.tie_word_embeddings:
@@ -322,6 +425,11 @@ def save_preprocessed(params: Any, out_dir: str):
                 put(f"{key}#qt.zeros", tree.zeros)
             if tree.in_perm is not None:
                 put(f"{key}#qt.in_perm", tree.in_perm)
+            if tree.oc_idx is not None:
+                # llmint8 outlier decomposition: the zeroed int8 rows are
+                # worthless without these
+                put(f"{key}#qt.oc_idx", tree.oc_idx)
+                put(f"{key}#qt.oc_w", tree.oc_w)
             return
         put(key, tree)
 
@@ -377,6 +485,8 @@ def load_preprocessed(out_dir: str, mesh=None) -> Any:
                 kind=QuantKind(info["kind"]),
                 block=info["block"],
                 in_perm=fields.get("in_perm"),
+                oc_idx=fields.get("oc_idx"),
+                oc_w=fields.get("oc_w"),
             ),
         )
     return tree

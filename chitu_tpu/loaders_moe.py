@@ -79,9 +79,15 @@ class _Staging:
         else:
             self.per_layer.setdefault(name, {})[layer] = value
 
-    def stack(self, name: str, layers: List[int]):
+    def stack(self, name: str, layers: List[int], required: bool = True):
         slot = self.per_layer.get(name)
         if slot is None:
+            if required:
+                # a None leaf would crash far from the cause (concat /
+                # sharding) — name the missing tensor family here
+                raise ValueError(
+                    f"checkpoint missing {name} for every layer"
+                )
             return None
         missing = [i for i in layers if i not in slot]
         if missing:

@@ -188,7 +188,12 @@ class LlamaForCausalLM:
         stages inside the scan (the GSPMD replacement for the reference's
         isend/recv stage relay, executor.py:179-299)."""
         a = self.args
-        if self.merged:
+        # derive the layout from the ACTUAL params: a quantized checkpoint
+        # skips the merge transform even when self.merged is set, and the
+        # forward keys off the param tree too — spec'ing the wrong layout
+        # would crash shard_params on a pytree mismatch
+        merged = "wqkv" in params["layers"]
+        if merged:
             # merged weights only exist unsharded; replicate over tp
             layer_specs = {
                 "attn_norm": P("pp", None),

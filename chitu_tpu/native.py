@@ -36,17 +36,40 @@ def _load() -> Optional[ctypes.CDLL]:
         if _build_failed:
             return None
         src = os.path.join(_CSRC, "hostops.cpp")
-        stale = os.path.exists(_LIB_PATH) and os.path.getmtime(
-            _LIB_PATH
-        ) < os.path.getmtime(src)
-        if not os.path.exists(_LIB_PATH) or stale:
+        try:
+            stale = os.path.exists(_LIB_PATH) and os.path.exists(
+                src
+            ) and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+            need_build = stale or not os.path.exists(_LIB_PATH)
+        except OSError:
+            need_build = not os.path.exists(_LIB_PATH)
+        if need_build:
+            if not os.path.exists(src):
+                logger.warning("native hostops source missing; python fallback")
+                _build_failed = True
+                return None
             try:
-                subprocess.run(
-                    ["make", "-C", _CSRC, "-B", "libchituhost.so"],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+                # cross-PROCESS lock: concurrent engines (dp workers, test
+                # shards) must not run make into the same .so while a
+                # third dlopens a half-written file
+                import fcntl
+
+                with open(os.path.join(_CSRC, ".build.lock"), "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    try:
+                        if not os.path.exists(_LIB_PATH) or (
+                            os.path.exists(src)
+                            and os.path.getmtime(_LIB_PATH)
+                            < os.path.getmtime(src)
+                        ):
+                            subprocess.run(
+                                ["make", "-C", _CSRC, "-B", "libchituhost.so"],
+                                check=True,
+                                capture_output=True,
+                                timeout=120,
+                            )
+                    finally:
+                        fcntl.flock(lk, fcntl.LOCK_UN)
             except (subprocess.SubprocessError, OSError) as e:
                 logger.warning("native hostops build failed: %s", e)
                 _build_failed = True

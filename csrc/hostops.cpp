@@ -47,15 +47,32 @@ int32_t chitu_alloc_num_free(void* h) {
   return static_cast<int32_t>(static_cast<Allocator*>(h)->free_pages.size());
 }
 
+namespace {
+inline bool slot_ok(const Allocator* a, int32_t slot) {
+  // out-of-range slots must fail cleanly, not index past the vector
+  // (the python facade passes caller-supplied handles)
+  return slot >= 0 && slot < static_cast<int32_t>(a->pages.size());
+}
+}  // namespace
+
 // Grow slot's page list to cover total_tokens. Returns 1 on success,
-// 0 when the pool is exhausted (no partial allocation is rolled back:
-// already-held pages stay with the slot, matching the python allocator).
+// 0 when the pool is exhausted — THIS call's pages roll back so a
+// deferred request never hoards pages it cannot use (matching the
+// python allocator's rollback).
 int32_t chitu_alloc_ensure(void* h, int32_t slot, int32_t total_tokens) {
   auto* a = static_cast<Allocator*>(h);
+  if (!slot_ok(a, slot)) return 0;
   auto& pages = a->pages[slot];
+  const size_t start = pages.size();
   int32_t need = (total_tokens + a->page_size - 1) / a->page_size;
   while (static_cast<int32_t>(pages.size()) < need) {
-    if (a->free_pages.empty()) return 0;
+    if (a->free_pages.empty()) {
+      while (pages.size() > start) {
+        a->free_pages.push_back(pages.back());
+        pages.pop_back();
+      }
+      return 0;
+    }
     pages.push_back(a->free_pages.back());
     a->free_pages.pop_back();
   }
@@ -64,6 +81,7 @@ int32_t chitu_alloc_ensure(void* h, int32_t slot, int32_t total_tokens) {
 
 void chitu_alloc_release(void* h, int32_t slot) {
   auto* a = static_cast<Allocator*>(h);
+  if (!slot_ok(a, slot)) return;
   auto& pages = a->pages[slot];
   for (int32_t p : pages) a->free_pages.push_back(p);
   pages.clear();
@@ -71,6 +89,7 @@ void chitu_alloc_release(void* h, int32_t slot) {
 
 int32_t chitu_alloc_pages_of(void* h, int32_t slot) {
   auto* a = static_cast<Allocator*>(h);
+  if (!slot_ok(a, slot)) return 0;
   return static_cast<int32_t>(a->pages[slot].size());
 }
 

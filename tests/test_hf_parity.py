@@ -428,3 +428,130 @@ def test_fp8_true_act_accuracy_vs_hf(tmp_path):
         want = hf(torch.tensor([IDS])).logits[0].float().numpy()
     agree = (got.argmax(-1) == want.argmax(-1)).mean()
     assert agree >= 0.8, agree
+
+
+def test_fp8_llama_checkpoint_parity(tmp_path):
+    """FP8 llama-family checkpoints (fp8 weights + blockwise
+    weight_scale_inv): the loader must wrap them into soft-fp8 QTensors
+    — it used to keep the raw fp8 bytes and silently DROP the scales,
+    generating garbage (review finding)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    # quantize the projections to blockwise fp8 (128x128 absmax / 448)
+    from safetensors.torch import save_file
+
+    sd = dict(hf.state_dict())
+    out = {}
+    for k, v in sd.items():
+        import re as _re
+
+        if _re.fullmatch(
+            r"model\.layers\.\d+\.(self_attn|mlp)\.\w+_proj\.weight", k
+        ):
+            w = v.float()
+            O, I = w.shape
+            bo, bi = -(-O // 128), -(-I // 128)
+            wp = torch.zeros(bo * 128, bi * 128)
+            wp[:O, :I] = w
+            blocks = wp.reshape(bo, 128, bi, 128)
+            absmax = blocks.abs().amax(dim=(1, 3)).clamp(min=1e-8)
+            scale = absmax / 448.0
+            q = (blocks / scale[:, None, :, None]).reshape(
+                bo * 128, bi * 128
+            )[:O, :I]
+            out[k] = q.to(torch.float8_e4m3fn)
+            out[k[: -len(".weight")] + ".weight_scale_inv"] = scale
+        else:
+            out[k] = v
+    save_file(out, str(tmp_path / "model.safetensors"))
+
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="hf-llama", dim=256, inter_dim=512, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+        ),
+        {"infer.merge_qkv_gate_up": "off"},
+    )
+    eng = Engine(cfg)
+    from chitu_tpu.ops.qtensor import QTensor
+
+    assert isinstance(eng.params["layers"]["wq"], QTensor)
+    got = _engine_all_logits(eng, IDS)
+    with torch.no_grad():
+        want = hf(torch.tensor([IDS])).logits[0].float().numpy()
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.85, agree  # fp8 quantization noise on random init
+
+
+def test_meta_llama_mp_sharded_checkpoint_parity(tmp_path):
+    """MP-sharded Meta checkpoints (consolidated.00/01.pth holding
+    tensor-parallel slices) must concatenate along each family's
+    parallel dim — later shards used to silently overwrite earlier ones
+    (review finding)."""
+
+    def unpermute(w, n_heads):
+        out, din = w.shape
+        return (
+            w.view(n_heads, 2, out // n_heads // 2, din)
+            .transpose(1, 2)
+            .reshape(out, din)
+        )
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(12)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    sd = hf.state_dict()
+    full = {
+        "tok_embeddings.weight": sd["model.embed_tokens.weight"],
+        "norm.weight": sd["model.norm.weight"],
+        "output.weight": sd["lm_head.weight"],
+    }
+    for i in range(2):
+        s, d = f"model.layers.{i}", f"layers.{i}"
+        full[f"{d}.attention_norm.weight"] = sd[f"{s}.input_layernorm.weight"]
+        full[f"{d}.ffn_norm.weight"] = sd[f"{s}.post_attention_layernorm.weight"]
+        full[f"{d}.attention.wq.weight"] = unpermute(
+            sd[f"{s}.self_attn.q_proj.weight"], 8
+        )
+        full[f"{d}.attention.wk.weight"] = unpermute(
+            sd[f"{s}.self_attn.k_proj.weight"], 4
+        )
+        full[f"{d}.attention.wv.weight"] = sd[f"{s}.self_attn.v_proj.weight"]
+        full[f"{d}.attention.wo.weight"] = sd[f"{s}.self_attn.o_proj.weight"]
+        full[f"{d}.feed_forward.w1.weight"] = sd[f"{s}.mlp.gate_proj.weight"]
+        full[f"{d}.feed_forward.w3.weight"] = sd[f"{s}.mlp.up_proj.weight"]
+        full[f"{d}.feed_forward.w2.weight"] = sd[f"{s}.mlp.down_proj.weight"]
+
+    from chitu_tpu.loader import _meta_mp_dim
+
+    shards = [{}, {}]
+    for k, v in full.items():
+        dim = _meta_mp_dim(k)
+        if dim is None:
+            shards[0][k] = v
+            shards[1][k] = v
+        else:
+            halves = torch.chunk(v, 2, dim=dim)
+            shards[0][k], shards[1][k] = halves[0], halves[1]
+    torch.save(shards[0], tmp_path / "consolidated.00.pth")
+    torch.save(shards[1], tmp_path / "consolidated.01.pth")
+
+    cfg = _mk_cfg(
+        tmp_path,
+        dict(
+            type="llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+            n_kv_heads=4, vocab_size=512, rotary_type="llama",
+        ),
+    )
+    _check_parity(Engine(cfg), hf, IDS)

@@ -133,3 +133,30 @@ def test_preprocessed_preserves_qtensors(tmp_path):
         np.asarray(wq.data.astype(jnp.float32)),
     )
     np.testing.assert_array_equal(np.asarray(orig.scale), np.asarray(wq.scale))
+
+
+def test_preprocessed_preserves_llmint8_outliers(tmp_path):
+    """llmint8 QTensors round-trip through preprocess-and-save with
+    their outlier decomposition intact (review finding: oc_idx/oc_w were
+    silently dropped — the zeroed int8 rows lose the correction term)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chitu_tpu.ops.qtensor import QuantKind
+    from chitu_tpu.quantize.transforms import quantize_llmint8
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (128, 64), jnp.float32)
+    q = quantize_llmint8(w)
+    assert q.oc_idx is not None
+    out = str(tmp_path / "pre")
+    save_preprocessed({"layers": {"wq": q}}, out)
+    back = load_preprocessed(out)["layers"]["wq"]
+    assert back.kind == QuantKind.LLMINT8 if hasattr(QuantKind, "LLMINT8") else True
+    assert back.oc_idx is not None and back.oc_w is not None
+    np.testing.assert_array_equal(np.asarray(back.oc_idx), np.asarray(q.oc_idx))
+    np.testing.assert_allclose(
+        np.asarray(back.dequantize(jnp.float32)),
+        np.asarray(q.dequantize(jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
