@@ -132,10 +132,15 @@ class Engine:
         # - "nop": single shared page, garbage outputs (perf debugging,
         #   KVCacheManagerNop equivalent)
         cache_type = cfg.infer.cache_type
+        if cache_type == "normal":
+            # reference config value (gather-based KVCacheManager,
+            # cache_manager.py:228-370): the dense layout subsumes it
+            logger.info("cache_type=normal maps to dense")
+            cache_type = "dense"
         if cache_type not in ("paged", "dense", "skew", "nop"):
             raise ValueError(
                 f"unknown cache_type {cache_type!r}: expected paged, "
-                "dense, skew, or nop"
+                "dense, skew, nop, or normal (= dense)"
             )
         page_size = cfg.infer.page_size
         if cache_type in ("dense", "skew"):
