@@ -166,3 +166,47 @@ def test_stop_then_init_lifecycle():
         assert r.status_code == 200
     finally:
         srv.stop()
+
+
+def test_client_disconnect_cancels_generation(base_url):
+    """Dropping a streaming connection mid-generation must cancel the
+    engine request (review finding: abandoned requests used to decode to
+    max_tokens, holding KV pages against live admissions)."""
+    import time
+
+    r = requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={
+            "messages": "disconnect probe",
+            "temperature": 0.0,
+            "max_tokens": 5000,  # would take a long time if not cancelled
+            "stream": True,
+        },
+        stream=True,
+        timeout=120,
+    )
+    it = r.iter_content(chunk_size=1)
+    next(it)  # first byte arrived: generation is live
+    r.close()  # drop the connection
+
+    # the engine should drain well before 5000 tokens
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        ls = requests.get(f"{base_url}/load_status", timeout=10).json()
+        if ls["num_reqs"] == 0:
+            break
+        time.sleep(0.5)
+    assert ls["num_reqs"] == 0, "request not cancelled after disconnect"
+
+
+def test_request_validation_rejects_bad_params(base_url):
+    for bad in (
+        {"messages": "x", "max_tokens": 0},
+        {"messages": "x", "max_tokens": -5},
+        {"messages": "x", "temperature": -1.0},
+        {"messages": "x", "top_p": 0.0},
+    ):
+        r = requests.post(
+            f"{base_url}/v1/chat/completions", json=bad, timeout=30
+        )
+        assert r.status_code in (400, 422), bad
