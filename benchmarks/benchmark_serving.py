@@ -99,6 +99,10 @@ def run_benchmark(
     out_tokens = sum(r["output_tokens"] for r in results)
     ttfts = sorted(r["ttft"] for r in results)
     totals = sorted(r["total"] for r in results)
+    # without --stream the first byte IS the full response, so TTFT
+    # equals total latency — mark it so readers don't compare it against
+    # streamed TTFT numbers
+    ttft_measured = bool(stream)
 
     def pct(xs, p):
         return xs[min(int(len(xs) * p), len(xs) - 1)]
@@ -110,8 +114,8 @@ def run_benchmark(
         "output_tokens": out_tokens,
         "output_tok_per_s": round(out_tokens / wall, 2),
         "req_per_s": round(num_requests / wall, 3),
-        "ttft_p50_s": round(pct(ttfts, 0.5), 4),
-        "ttft_p99_s": round(pct(ttfts, 0.99), 4),
+        "ttft_p50_s": round(pct(ttfts, 0.5), 4) if ttft_measured else None,
+        "ttft_p99_s": round(pct(ttfts, 0.99), 4) if ttft_measured else None,
         "latency_p50_s": round(pct(totals, 0.5), 4),
         "latency_p99_s": round(pct(totals, 0.99), 4),
     }

@@ -44,7 +44,6 @@ def perplexity_from_tokens(
     from chitu_tpu.kvcache import PagedKVCache
 
     spec = model.kv_cache_spec()
-    n_pages = window // page + 1
 
     total_nll = 0.0
     total_count = 0

@@ -55,6 +55,9 @@ def maybe_initialize(cfg) -> bool:
             "jax.distributed.initialize(%s, num_processes=%d, process_id=%d)",
             coord, n_proc, pid,
         )
+        from chitu_tpu.utils.logging import init_logger
+
+        init_logger(rank=pid)
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=n_proc,

@@ -11,22 +11,24 @@ import sys
 
 _LOGGER_NAME = "chitu_tpu"
 _initialized = False
+_rank = [0]  # mutable so a later init_logger(rank=...) takes effect
 
 
 class _RankFilter(logging.Filter):
-    def __init__(self, rank: int):
-        super().__init__()
-        self.rank = rank
-
     def filter(self, record: logging.LogRecord) -> bool:
-        record.rank = self.rank
+        record.rank = _rank[0]
         return True
 
 
 def init_logger(rank: int = 0, level: int = logging.INFO) -> logging.Logger:
+    """Idempotent handler setup; the rank prefix UPDATES on every call —
+    modules call get_logger() at import (rank 0), and the multi-host
+    bring-up re-inits with the real process index afterwards."""
     global _initialized
     logger = logging.getLogger(_LOGGER_NAME)
+    _rank[0] = rank
     if _initialized:
+        logger.setLevel(level)
         return logger
     handler = logging.StreamHandler(sys.stderr)
     handler.setFormatter(
@@ -35,7 +37,7 @@ def init_logger(rank: int = 0, level: int = logging.INFO) -> logging.Logger:
             datefmt="%H:%M:%S",
         )
     )
-    handler.addFilter(_RankFilter(rank))
+    handler.addFilter(_RankFilter())
     logger.addHandler(handler)
     logger.setLevel(level)
     logger.propagate = False

@@ -25,7 +25,14 @@ class _Timer:
 
     def _fence(self):
         if self.sync:
-            # flush all outstanding device work so wall-clock is honest
+            # NOTE: effects_barrier only awaits side-effecting programs,
+            # not in-flight pure jit work. The engine's timer boundaries
+            # are honest because every phase ENDS with a host fetch of
+            # its outputs (sampled tokens), which drains the in-order
+            # device queue; this barrier only covers stray effects. A
+            # full flush (dispatch + block_until_ready) would add ~1ms
+            # per fence through a dispatch relay — unacceptable in the
+            # serving hot loop.
             jax.effects_barrier()
 
     def start(self):
@@ -102,14 +109,11 @@ class ProfilerSession:
         self.active = False
 
     def start(self):
-        import jax
-
-        jax.profiler.start_trace(self.log_dir)
-        self.active = True
+        if not self.active:
+            jax.profiler.start_trace(self.log_dir)
+            self.active = True
 
     def stop(self):
-        import jax
-
         if self.active:
             jax.profiler.stop_trace()
             self.active = False

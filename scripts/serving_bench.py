@@ -50,7 +50,10 @@ def main():
         bench = os.path.join(_REPO, "benchmarks", "benchmark_serving.py")
         from chitu_tpu.utils import get_timers
 
-        get_timers().reset()  # isolate the measured run from warmup
+        # NOTE: the client runs its own warmup waves after this reset,
+        # so the server-side totals below INCLUDE warmup traffic — use
+        # them for phase ratios, not absolute per-request costs
+        get_timers().reset()
         proc = subprocess.run(
             [
                 sys.executable, bench,
@@ -62,7 +65,10 @@ def main():
             capture_output=True, text=True, timeout=900, env=env,
         )
         summary = json.loads(proc.stdout.strip().splitlines()[-1])
-        print("server-side " + get_timers().log(), file=sys.stderr)
+        print(
+            "server-side (incl. client warmup waves) " + get_timers().log(),
+            file=sys.stderr,
+        )
     finally:
         srv.stop()
     out = {"metric": "serving_http_tinyllama1.1b_bs16", **summary}
