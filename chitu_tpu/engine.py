@@ -90,29 +90,44 @@ class Engine:
             self.params = load_checkpoint(self.model, cfg, mesh=mesh)
         else:
             # arch-only debug: random weights (reference: infer.do_load=False,
-            # config/serve_config.yaml:9)
-            self.params = self.model.init_params(
-                jax.random.PRNGKey(cfg.infer.seed)
+            # config/serve_config.yaml:9). On accelerators this runs as ONE
+            # jitted call: eager init is ~100 small dispatches, which
+            # dominates bring-up behind high-latency device links (50s ->
+            # 14s for the 1.1B bench geometry). CPU keeps eager init: the
+            # latency problem doesn't exist there, and jit changes bf16
+            # fusion rounding, which would re-roll every test's weights.
+            init = (
+                self.model.init_params
+                if jax.default_backend() == "cpu"
+                else jax.jit(self.model.init_params)
             )
+            self.params = init(jax.random.PRNGKey(cfg.infer.seed))
         if cfg.quant.method != "none" and cfg.quant.quant_on_load:
             from chitu_tpu.quantize import quantize_params
 
             self.params = quantize_params(
                 self.params, cfg.quant, self.model
             )
+        from chitu_tpu.quantize import merge_moe_gate_up
+
         if jax.default_backend() == "tpu":
-            # v5e storage fast paths: fp8 -> int8 lanes, int4 -> 2/byte
+            # v5e storage fast paths: fp8 -> int8 lanes, int4 -> 2/byte;
+            # plus the gate+up merge — all inside ONE jitted tree
+            # transform (the eager walks cost ~10s of small dispatches
+            # through high-latency device links)
             from chitu_tpu.quantize import (
                 pack_int4_storage,
                 requantize_fp8_storage,
             )
 
-            self.params = requantize_fp8_storage(self.params)
-            self.params = pack_int4_storage(self.params)
-        # one grouped GEMM per MoE layer for gate+up (half the dispatches)
-        from chitu_tpu.quantize import merge_moe_gate_up
-
-        self.params = merge_moe_gate_up(self.params)
+            self.params = jax.jit(
+                lambda p: merge_moe_gate_up(
+                    pack_int4_storage(requantize_fp8_storage(p))
+                )
+            )(self.params)
+        else:
+            # one grouped GEMM per MoE layer for gate+up
+            self.params = merge_moe_gate_up(self.params)
         if self.mesh is not None:
             from chitu_tpu.parallel import shard_params
 

@@ -372,25 +372,12 @@ def quantize_params(
                 else lambda w: _quantize_weight_jit(w, kind, block)
             )
             if tree.ndim >= 3 and tree.shape[0] > 1:
-                # stacked leaves quantize layer-by-layer: whole-leaf f32
-                # intermediates peak at several GB for large models
-                parts = [qfn(tree[i]) for i in range(tree.shape[0])]
-
-                def stk(field):
-                    vals = [getattr(p, field) for p in parts]
-                    return jnp.stack(vals) if vals[0] is not None else None
-
-                out = QTensor(
-                    data=stk("data"),
-                    scale=stk("scale"),
-                    zeros=stk("zeros"),
-                    kind=kind,
-                    block=block,
-                    oc_idx=stk("oc_idx"),
-                    oc_w=stk("oc_w"),
-                )
-                del parts
-                return out
+                # stacked leaves quantize layer-by-layer so whole-leaf f32
+                # intermediates stay bounded (they peak at several GB for
+                # large models) — but inside ONE jitted lax.map: the eager
+                # python loop was hundreds of small dispatches, which
+                # dominates bring-up behind high-latency device links
+                return jax.jit(lambda t: jax.lax.map(qfn, t))(tree)
             return qfn(tree)
         return tree
 
