@@ -120,10 +120,15 @@ class Engine:
                 requantize_fp8_storage,
             )
 
+            # donate the input tree: the old params are dead after this
+            # reassignment, and without donation XLA copies EVERY leaf
+            # (pass-through dense weights included), doubling peak device
+            # memory during bring-up (ADVICE r2 medium)
             self.params = jax.jit(
                 lambda p: merge_moe_gate_up(
                     pack_int4_storage(requantize_fp8_storage(p))
-                )
+                ),
+                donate_argnums=0,
             )(self.params)
         else:
             # one grouped GEMM per MoE layer for gate+up

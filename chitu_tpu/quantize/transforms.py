@@ -45,6 +45,21 @@ def _quantize_weight_jit(w, kind, block):
     return quantize_weight(w, kind, block)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("kind", "block"), donate_argnums=(0,)
+)
+def _quantize_stacked_jit(t, kind, block):
+    """One cached compile per (shape, kind, block) for stacked leaves;
+    donation frees the bf16 input instead of holding it alive next to the
+    quantized output (per-leaf lambda-jit shared neither)."""
+    return jax.lax.map(lambda w: quantize_weight(w, kind, block), t)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _quantize_stacked_llmint8_jit(t):
+    return jax.lax.map(quantize_llmint8, t)
+
+
 def fp8_act_roundtrip(x: jnp.ndarray, block: int = BLOCK) -> jnp.ndarray:
     """Round activations through the fp8-e4m3 grid with dynamic
     per-(row, 128-wide in-block) scales — the reference's runtime
@@ -377,7 +392,9 @@ def quantize_params(
                 # large models) — but inside ONE jitted lax.map: the eager
                 # python loop was hundreds of small dispatches, which
                 # dominates bring-up behind high-latency device links
-                return jax.jit(lambda t: jax.lax.map(qfn, t))(tree)
+                if method in _OUTLIER_METHODS:
+                    return _quantize_stacked_llmint8_jit(tree)
+                return _quantize_stacked_jit(tree, kind, block)
             return qfn(tree)
         return tree
 

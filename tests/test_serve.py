@@ -210,3 +210,17 @@ def test_request_validation_rejects_bad_params(base_url):
             f"{base_url}/v1/chat/completions", json=bad, timeout=30
         )
         assert r.status_code in (400, 422), bad
+
+
+def test_top_k_above_sampler_limit_clamps_not_errors(base_url):
+    """top_k beyond the device sampler's MAX_K candidate set serves fine
+    (clamped with a log), instead of being silently narrowed deep in the
+    jitted step (VERDICT r2 weak 8)."""
+    r = requests.post(
+        f"{base_url}/v1/chat/completions",
+        json={"messages": "hi", "top_k": 500, "max_tokens": 3},
+        timeout=60,
+    )
+    assert r.status_code == 200, r.text
+    out = r.json()
+    assert out["choices"][0]["message"]["content"] is not None
