@@ -374,7 +374,7 @@ def load_checkpoint(model, cfg, mesh=None) -> Any:
     """Entry point used by the engine (reference: backend.py:311-394)."""
     pre = os.path.join(model.args.ckpt_dir or "", "chitu_tpu_preprocessed")
     if cfg.skip_preprocess and os.path.isdir(pre):
-        return load_preprocessed(pre, mesh)
+        return load_preprocessed(pre, mesh, model=model)
     loader = getattr(model, "load_params", None)
     if loader is not None:
         return loader(cfg, mesh)
@@ -386,10 +386,17 @@ def load_checkpoint(model, cfg, mesh=None) -> Any:
 # ---------------------------------------------------------------------------
 
 
-def save_preprocessed(params: Any, out_dir: str):
+def save_preprocessed(params: Any, out_dir: str, num_shards: int = 1):
     """Dump the fully transformed tree for fast startup. QTensor leaves
     keep their structure via `#qt.<field>` key suffixes + kind/block in
-    the metadata."""
+    the metadata.
+
+    `num_shards > 1` splits keys across `model.shard{r}of{N}.safetensors`
+    files (size-balanced) — the multi-file analogue of the reference's
+    per-rank `model.rank{r}.safetensors` (script/preprocess_and_save.py):
+    the streaming loader reads only the byte ranges of each host's
+    addressable shards regardless of file layout, so splitting exists for
+    filesystem throughput, not correctness."""
     from safetensors.numpy import save_file
 
     from chitu_tpu.ops.qtensor import QTensor
@@ -434,29 +441,52 @@ def save_preprocessed(params: Any, out_dir: str):
         put(key, tree)
 
     walk(params)
-    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    if num_shards <= 1:
+        save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    else:
+        # greedy size-balanced key assignment
+        buckets: List[Dict[str, np.ndarray]] = [
+            {} for _ in range(num_shards)
+        ]
+        sizes = [0] * num_shards
+        for key, arr in sorted(
+            tensors.items(), key=lambda kv: -kv[1].nbytes
+        ):
+            r = sizes.index(min(sizes))
+            buckets[r][key] = arr
+            sizes[r] += arr.nbytes
+        for r, bucket in enumerate(buckets):
+            if bucket:
+                save_file(
+                    bucket,
+                    os.path.join(
+                        out_dir,
+                        f"model.shard{r:03d}of{num_shards:03d}.safetensors",
+                    ),
+                )
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
 
 
-def load_preprocessed(out_dir: str, mesh=None) -> Any:
-    from safetensors.numpy import load_file
+def load_preprocessed(out_dir: str, mesh=None, model=None) -> Any:
+    """Load a preprocessed tree.
 
+    With a mesh + model this is the STREAMING path — the flagship-scale
+    bring-up (reference per-rank load: backend.py:415-481): every leaf is
+    a lazy mmap-backed reader and each device materializes only its own
+    shard (`shard_params_streaming`), so a 671 GB tree loads onto a pod
+    without any single device (or host) ever holding more than its part.
+    Without a mesh, leaves load eagerly (single-chip path)."""
     from chitu_tpu.ops.qtensor import QTensor, QuantKind
 
-    tensors = load_file(os.path.join(out_dir, "model.safetensors"))
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     dtypes = meta.get("dtypes", {})
     qmeta = meta.get("qtensors", {})
 
-    def restore(key, arr):
-        dt = dtypes.get(key, str(arr.dtype))
-        if dt == "bfloat16":
-            return jnp.asarray(arr).view(jnp.bfloat16)
-        if dt == "float8_e4m3fn":
-            return jnp.asarray(arr).view(jnp.float8_e4m3fn)
-        return jnp.asarray(arr)
+    from chitu_tpu.loader_streaming import LazySlice, reader_index
+
+    index = reader_index(out_dir)
 
     qparts: Dict[str, Dict[str, Any]] = {}
     tree: Dict[str, Any] = {}
@@ -468,12 +498,13 @@ def load_preprocessed(out_dir: str, mesh=None) -> Any:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
 
-    for key, arr in tensors.items():
+    for key, path in index.items():
+        reader = LazySlice(path, key, logical_dtype=dtypes.get(key))
         if "#qt." in key:
             base, field = key.split("#qt.")
-            qparts.setdefault(base, {})[field] = restore(key, arr)
+            qparts.setdefault(base, {})[field] = reader
         else:
-            insert(key, restore(key, arr))
+            insert(key, reader)
     for base, fields in qparts.items():
         info = qmeta[base]
         insert(
@@ -489,4 +520,27 @@ def load_preprocessed(out_dir: str, mesh=None) -> Any:
                 oc_w=fields.get("oc_w"),
             ),
         )
-    return tree
+
+    if mesh is not None and model is not None:
+        from chitu_tpu.parallel.sharding import shard_params_streaming
+
+        specs = model.param_partition_specs(tree)
+        return shard_params_streaming(tree, specs, mesh)
+
+    # eager single-chip path: materialize every reader whole
+    def materialize(leaf):
+        if isinstance(leaf, QTensor):
+            m = lambda r: (
+                None if r is None else jnp.asarray(r[...])
+            )
+            return QTensor(
+                data=m(leaf.data), scale=m(leaf.scale),
+                zeros=m(leaf.zeros), kind=leaf.kind, block=leaf.block,
+                in_perm=m(leaf.in_perm), oc_idx=m(leaf.oc_idx),
+                oc_w=m(leaf.oc_w),
+            )
+        return jnp.asarray(leaf[...])
+
+    return jax.tree_util.tree_map(
+        materialize, tree, is_leaf=lambda x: isinstance(x, QTensor)
+    )

@@ -1,0 +1,175 @@
+"""Streaming sharded checkpoint load (VERDICT r2 missing 1).
+
+The flagship-scale bring-up contract: loading a preprocessed checkpoint
+onto a mesh must place each device's shard DIRECTLY from the file — no
+device (and no host buffer) ever holds a full leaf of a sharded weight,
+so a tree larger than any single device's capacity can load. Mirrors the
+reference's per-rank pre-sharded load (chitu/backend.py:415-481).
+"""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from chitu_tpu.engine import Engine
+from chitu_tpu.loader import load_preprocessed, save_preprocessed
+from chitu_tpu.ops.qtensor import QTensor
+from chitu_tpu.parallel import make_mesh
+from chitu_tpu.parallel.sharding import (
+    placement_stats,
+    reset_placement_stats,
+)
+from chitu_tpu.task import SampleParams
+
+from helpers import tiny_cfg
+
+
+def _cfg(tp=1, pp=1, **kw):
+    cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "off", **kw})
+    m = dataclasses.replace(
+        cfg.models,
+        n_layers=2,
+        dim=256,
+        n_heads=8,
+        n_kv_heads=4,
+        inter_dim=512,
+        vocab_size=512,
+    )
+    infer = dataclasses.replace(cfg.infer, tp_size=tp, pp_size=pp)
+    return dataclasses.replace(cfg, models=m, infer=infer)
+
+
+def _arrays(tree):
+    """Flatten to (path, array) over plain leaves AND QTensor fields."""
+    out = []
+
+    def walk(t, prefix=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                walk(v, f"{prefix}{k}/")
+            return
+        if isinstance(t, QTensor):
+            for f in ("data", "scale", "zeros", "in_perm", "oc_idx", "oc_w"):
+                v = getattr(t, f)
+                if v is not None:
+                    out.append((f"{prefix}#{f}", v))
+            return
+        out.append((prefix.rstrip("/"), t))
+
+    walk(tree)
+    return out
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_streaming_preprocessed_shards_only(tmp_path):
+    """tp=8 streaming load: per-device placement peak == the largest
+    SHARD, never a full sharded leaf; values match the saved tree."""
+    base = Engine(_cfg())
+    out = str(tmp_path / "pre")
+    save_preprocessed(base.params, out, num_shards=3)
+    assert len(
+        [f for f in os.listdir(out) if f.endswith(".safetensors")]
+    ) == 3
+
+    mesh = make_mesh(1, 1, 8)
+    reset_placement_stats()
+    loaded = load_preprocessed(out, mesh, model=base.model)
+
+    # every array's addressable shard is its sharding's shard_shape and
+    # the recorded per-device peak equals the largest shard anywhere
+    expected_peak = 0
+    total = 0
+    for path, arr in _arrays(loaded):
+        shard = arr.sharding.shard_shape(arr.shape)
+        got = arr.addressable_shards[0].data
+        assert tuple(got.shape) == tuple(shard), path
+        expected_peak = max(
+            expected_peak, int(np.prod(shard)) * arr.dtype.itemsize
+        )
+        total += arr.nbytes
+    stats = placement_stats()
+    assert stats["max_shard_bytes"] == expected_peak
+    # the tree as a whole could never have fit through one device:
+    # the peak is a small fraction of total weight bytes
+    assert stats["max_shard_bytes"] <= total // 6
+
+    # a column-parallel weight really is 8-way sharded
+    wq = loaded["layers"]["wq"]
+    assert (
+        wq.addressable_shards[0].data.nbytes == wq.nbytes // 8
+    )
+
+    # parity with the saved tree
+    want = dict(_arrays(base.params))
+    for path, arr in _arrays(loaded):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(arr)),
+            np.asarray(jax.device_get(want[path])),
+            err_msg=path,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_streaming_engine_tokens_match(tmp_path):
+    """skip_preprocess + mesh: the engine takes the streaming path and
+    generates the same tokens as the single-device engine."""
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_cfg())
+    want = base.generate("stream the shards", p)
+
+    ckpt = tmp_path / "ckpt"
+    save_preprocessed(
+        base.params, str(ckpt / "chitu_tpu_preprocessed"), num_shards=2
+    )
+    cfg = _cfg(tp=4)
+    cfg = dataclasses.replace(
+        cfg,
+        skip_preprocess=True,
+        models=dataclasses.replace(cfg.models, ckpt_dir=str(ckpt)),
+        infer=dataclasses.replace(cfg.infer, do_load=True),
+    )
+    reset_placement_stats()
+    eng = Engine(cfg)
+    assert placement_stats()["max_shard_bytes"] > 0, (
+        "engine did not take the streaming path"
+    )
+    wq = eng.params["layers"]["wq"]
+    assert wq.sharding.shard_shape(wq.shape)[-1] == wq.shape[-1] // 4
+    got = eng.generate("stream the shards", p)
+    assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_streaming_quantized_tree(tmp_path):
+    """QTensor leaves (soft-fp8 stacks) stream shard-by-shard too: data
+    and blockwise scales keep their kinds, values, and shardings."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        quant=dataclasses.replace(
+            cfg.quant, method="soft_fp8", quant_on_load=True
+        ),
+    )
+    base = Engine(cfg)
+    qleaves = [
+        p for p, _ in _arrays(base.params) if p.endswith("#data")
+    ]
+    assert qleaves, "expected quantized leaves in the saved tree"
+    out = str(tmp_path / "pre")
+    save_preprocessed(base.params, out)
+
+    mesh = make_mesh(1, 1, 8)
+    loaded = load_preprocessed(out, mesh, model=base.model)
+    want = dict(_arrays(base.params))
+    for path, arr in _arrays(loaded):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(arr)),
+            np.asarray(jax.device_get(want[path])),
+            err_msg=path,
+        )
+    wq = loaded["layers"]["wq"]
+    assert isinstance(wq, QTensor)
+    assert wq.kind == base.params["layers"]["wq"].kind
