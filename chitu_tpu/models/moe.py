@@ -271,10 +271,15 @@ def moe_ffn_auto(
     """Pick the MoE execution path:
 
     - no mesh: exact sorted dispatch + grouped kernel (interpret on CPU);
-    - mesh with pp=1 and experts divisible by tp: shard_map EP — each
-      shard sorts/dispatches its local experts, psum combine;
+    - mesh with experts divisible by tp: shard_map EP — each shard
+      sorts/dispatches its local experts, psum combine. Composes with
+      pp>1 (the flagship DeepSeek layout, reference: chitu/executor.py:179-299
+      PP stage relay + fused_moe.py): quantized whole stacks keep their
+      'pp' layer-dim sharding inside the shard_map and only the owning
+      stage computes a given layer — fp8 experts NEVER dequantize on a
+      pp mesh;
     - otherwise: capacity-einsum fallback (GSPMD partitions the einsums;
-      quantized experts dequantize — the price of pp>1 layouts).
+      quantized experts dequantize — only non-divisible layouts pay this).
     """
     E = moe.n_routed_experts
     if interpret is None:
@@ -289,7 +294,11 @@ def moe_ffn_auto(
     else:
         tp = mesh.shape.get("tp", 1)
         pp = mesh.shape.get("pp", 1)
-        if eligible and pp == 1 and E % tp == 0:
+        if (
+            eligible
+            and E % tp == 0
+            and (pp == 1 or _pp_composable((w_gate, w_up, w_down), pp))
+        ):
             return _moe_ffn_ep(
                 x, w_gate, w_up, w_down, weights, sel, E, layer, mesh,
                 interpret,
@@ -326,33 +335,69 @@ def moe_ffn_auto(
     )
 
 
+def _stack_layers(w) -> int:
+    """Layer count of a whole stacked leaf ([L, E, K, N]), 0 otherwise."""
+    from chitu_tpu.ops.qtensor import QTensor
+
+    nd = w.data.ndim if isinstance(w, QTensor) else w.ndim
+    return (w.data if isinstance(w, QTensor) else w).shape[0] if nd == 4 else 0
+
+
+def _pp_composable(ws, pp: int) -> bool:
+    """The EP shard_map can keep 'pp' layer-dim sharding only when every
+    whole stacked leaf's layer count divides pp (mirrors how the GSPMD
+    specs shard the stack, P('pp', ...))."""
+    return all(
+        L % pp == 0 for L in (_stack_layers(w) for w in ws if w is not None)
+        if L
+    )
+
+
 def _moe_ffn_ep(
     x, w_gate, w_up, w_down, weights, sel, E, layer, mesh, interpret
 ):
     """Expert-parallel sorted MoE: experts sharded over 'tp', tokens over
     'dp' when present; each shard computes its experts' contributions and
     the combine is a psum over 'tp' (the all-to-all-free EP formulation —
-    tokens are small next to expert weights at MoE scale)."""
+    tokens are small next to expert weights at MoE scale).
+
+    pp>1 composition (the flagship layout): whole stacked leaves keep
+    their global P('pp', 'tp', ...) sharding — each pp stage holds L/pp
+    layers x E/tp experts. For a given layer only the OWNING stage
+    dispatches (other stages mark every assignment invalid, so their
+    grouped GEMM blocks are dead: zero weight DMA, zero output) and the
+    combine psums over ('tp', 'pp'). Dense scan-sliced [E, K, N] leaves
+    are pp-replicated by the scan's layer gather, so pp joins the psum
+    only when a stacked leaf is actually stage-gated."""
     from jax.sharding import PartitionSpec as P
 
     from chitu_tpu.ops.qtensor import QTensor
 
     tp = mesh.shape.get("tp", 1)
+    pp = mesh.shape.get("pp", 1)
     El = E // tp
     # tokens shard over 'dp' only when the count divides; small decode
     # batches (or ring_kv's replicated batch) stay replicated
     dp = mesh.shape.get("dp", 1)
     dp_ax = "dp" if dp > 1 and x.shape[0] % dp == 0 else None
 
+    merged = w_up is None
+    wleaves = (w_gate, w_down) if merged else (w_gate, w_up, w_down)
+    # stage-gate when pp>1 and any whole stack carries a pp-sharded layer
+    # dim (all stacks have the same L by construction)
+    L_stack = max((_stack_layers(w) for w in wleaves), default=0)
+    pp_gated = pp > 1 and L_stack > 0
+    Ll = L_stack // pp if pp_gated else 0
+
     def leaf_spec(w):
         nd = w.data.ndim if isinstance(w, QTensor) else w.ndim
-        return P(None, "tp") if nd == 4 else P("tp")
+        if nd == 4:
+            return P("pp" if pp_gated else None, "tp")
+        return P("tp")
 
     layer_arr = jnp.reshape(
         jnp.asarray(0 if layer is None else layer, jnp.int32), (1,)
     )
-
-    merged = w_up is None
 
     def local(x_l, weights_l, sel_l, layer_l, *wls):
         wg_l, wu_l, wd_l = (
@@ -361,13 +406,21 @@ def _moe_ffn_ep(
         e0 = jax.lax.axis_index("tp") * El
         sl = sel_l - e0
         sl = jnp.where((sl < 0) | (sl >= El), El, sl)
+        lidx = layer_l[0]
+        if pp_gated:
+            stage = jax.lax.axis_index("pp")
+            loc = lidx - stage * Ll
+            owns = (loc >= 0) & (loc < Ll)
+            lidx = jnp.clip(loc, 0, Ll - 1)
+            # non-owners invalidate every assignment: all grouped-GEMM
+            # blocks dead, zero contribution to the psum
+            sl = jnp.where(owns, sl, El)
         y = moe_ffn_sorted(
             x_l, wg_l, wu_l, wd_l, weights_l, sl, El,
-            layer=layer_l[0], interpret=interpret, e_dispatch=El + 1,
+            layer=lidx, interpret=interpret, e_dispatch=El + 1,
         )
-        return jax.lax.psum(y, "tp")
+        return jax.lax.psum(y, ("tp", "pp") if pp_gated else "tp")
 
-    wleaves = (w_gate, w_down) if merged else (w_gate, w_up, w_down)
     return jax.shard_map(
         local,
         mesh=mesh,

@@ -269,8 +269,12 @@ def kernel_eligible(w) -> bool:
         if w.kind not in (QuantKind.SOFT_FP8, QuantKind.FP8):
             return False
         K, N = w.data.shape[-2], w.data.shape[-1]
-        rowwise = w.scale.shape[-1] == N
-        return K % QBLK == 0 and N % QBLK == 0 and rowwise
+        # rowwise [.., nq, N] (requantize_fp8_storage pre-expands on TPU)
+        # or blockwise [.., nq, N/block] (expanded at call time — the
+        # CPU/interpret engines never run requantize)
+        so = w.scale.shape[-1]
+        scale_ok = so == N or so * w.block >= N
+        return K % QBLK == 0 and N % QBLK == 0 and scale_ok
     K, N = w.shape[-2], w.shape[-1]
     return K % QBLK == 0 and N % QBLK == 0
 
@@ -293,6 +297,12 @@ def grouped_matmul(
             data = jax.lax.bitcast_convert_type(data, jnp.int8)
             scale_rows = scale_rows * jnp.float32(2.0**120)
             fp8_bits = True
+        N = data.shape[-1]
+        if scale_rows.shape[-1] != N:
+            # blockwise [.., nq, N/block] -> rowwise [.., nq, N] (XLA
+            # fuses the repeat; TPU engines pre-expand on load instead,
+            # quantize/transforms.requantize_fp8_storage)
+            scale_rows = jnp.repeat(scale_rows, w.block, axis=-1)[..., :N]
         # the kernel DMAs the whole [nq, N] scale slab per block; Mosaic
         # needs the sublane dim 8-aligned (requantize_fp8_storage pre-pads
         # engine-loaded expert stacks, so this pad is a no-op there)
