@@ -349,23 +349,26 @@ def load_llama_params(model, cfg, mesh=None) -> Any:
 
     if getattr(model, "merged", False):
         # merged-projection layout (reference merge transforms:
-        # model_hf_llama.py:506-566)
+        # model_hf_llama.py:506-566); rank-major when tp-sharded
+        # (models/llama.rank_major_merge)
         ly = params["layers"]
         if all(k in ly for k in ("wq", "wk", "wv")):
+            from chitu_tpu.models.llama import rank_major_merge
             from chitu_tpu.ops.qtensor import QTensor
 
+            mtp = getattr(model, "merge_tp", 1)
             if not any(
                 isinstance(ly[k], QTensor) for k in ("wq", "wk", "wv")
             ):
-                ly["wqkv"] = jnp.concatenate(
-                    [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], axis=-1
+                ly["wqkv"] = rank_major_merge(
+                    [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], mtp
                 )
                 if "bq" in ly:
-                    ly["b_qkv"] = jnp.concatenate(
-                        [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], axis=-1
+                    ly["b_qkv"] = rank_major_merge(
+                        [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], mtp
                     )
-                ly["w_gate_up"] = jnp.concatenate(
-                    [ly.pop("w_gate"), ly.pop("w_up")], axis=-1
+                ly["w_gate_up"] = rank_major_merge(
+                    [ly.pop("w_gate"), ly.pop("w_up")], mtp
                 )
     return params
 

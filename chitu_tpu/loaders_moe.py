@@ -222,16 +222,19 @@ def load_glm4_params(model, cfg, mesh=None) -> Any:
     for name in names:
         params["layers"][name] = st.stack(name, layers)
     if getattr(model, "merged", False):
+        from chitu_tpu.models.llama import rank_major_merge
+
+        mtp = getattr(model, "merge_tp", 1)
         ly = params["layers"]
-        ly["wqkv"] = jnp.concatenate(
-            [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], axis=-1
+        ly["wqkv"] = rank_major_merge(
+            [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], mtp
         )
         if a.attn_bias:
-            ly["b_qkv"] = jnp.concatenate(
-                [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], axis=-1
+            ly["b_qkv"] = rank_major_merge(
+                [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], mtp
             )
-        ly["w_gate_up"] = jnp.concatenate(
-            [ly.pop("w_gate"), ly.pop("w_up")], axis=-1
+        ly["w_gate_up"] = rank_major_merge(
+            [ly.pop("w_gate"), ly.pop("w_up")], mtp
         )
     return params
 
