@@ -71,7 +71,7 @@ def _measure_engine(overrides):
             "models=tiny-llama-debug",
             "infer.max_seq_len=512",
             "infer.page_size=256",
-            "infer.decode_window=32",
+            "infer.decode_window=128",
             f"infer.max_reqs={BS}",
             "infer.stop_with_eos=false",
             f"infer.decode_buckets={BS}",
@@ -215,13 +215,18 @@ def _measure_envelope(cfg):
         return x
 
     # time via data FETCH: block_until_ready on a small output can return
-    # early through a dispatch relay and report impossible speeds
+    # early through a dispatch relay and report impossible speeds.
+    # median of 3 timed reps: a single rep folds one tunnel round-trip's
+    # jitter into the denominator (observed 20% swings between runs)
     ws = (wqkv, wo, wgu, wdn, head)
     np.asarray(chain(x0, *ws))
-    t0 = time.perf_counter()
-    np.asarray(chain(x0, *ws))
-    dt = time.perf_counter() - t0
-    return BS * steps / dt
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(x0, *ws))
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    return BS * steps / reps[len(reps) // 2]
 
 
 def main():

@@ -270,6 +270,19 @@ class Engine:
         self.pool = TaskPool()
         self.scheduler = Scheduler.build(self.pool, cfg)
         self.executor = Executor(cfg, self.model, self.params, self.cache, mesh)
+        # queue probe: non-resident prefill work waiting keeps decode
+        # window chains short (executor._window_schedule). Capture the
+        # POOL, not self: an engine-capturing closure stored on the
+        # executor forms a reference cycle that defers every weight
+        # buffer's release to the cycle GC — serial engine builds (bench,
+        # tests) then OOM the device
+        from chitu_tpu.task import TaskType as _TT
+
+        pool = self.pool
+        self.executor.has_waiting = lambda: any(
+            t.task_type == _TT.PREFILL and t.slot < 0
+            for t in pool.snapshot()
+        )
 
     # -- request API --------------------------------------------------------
 

@@ -114,6 +114,9 @@ class Executor:
         self.counts = jnp.zeros((self.max_reqs, vocab), jnp.int32)
         self.slots = SlotAllocator(self.max_reqs)
         self.key = jax.random.PRNGKey(cfg.infer.seed)
+        # admission-queue probe (set by the engine): True when prefill
+        # work is waiting for a slot — decode chains stay short then
+        self.has_waiting = lambda: False
 
         self.prefill_buckets = _pow2_buckets(16, cfg.infer.max_seq_len)
         self.decode_buckets = tuple(
@@ -964,9 +967,12 @@ class Executor:
                 t.prefilled_len = t.prefix_len
                 t.start_decoding()
                 t.append_token(int(toks_host[i]))
-        # packed rows: one effective host sync over all slab outputs
-        for toks_dev, rows in packed_results:
-            th = np.asarray(toks_dev)
+        # packed rows: ONE host sync over all slab outputs (device_get
+        # starts every transfer async before blocking; per-slab
+        # np.asarray paid one tunnel round-trip each — the ~95 ms
+        # prefill->decode stall in the decode-window profile)
+        fetched = jax.device_get([toks for toks, _ in packed_results])
+        for th, (_, rows) in zip(fetched, packed_results):
             for i, t in enumerate(rows):
                 if t is None:
                     continue
@@ -1043,6 +1049,46 @@ class Executor:
             key=lambda w: (sum(min(w, r) for r in r_eff) / (w + kappa), w),
         )
 
+    def _window_schedule(
+        self, window: int, budget: int, headroom: int
+    ) -> List[int]:
+        """Chain of bucket-ladder window lengths dispatched back-to-back
+        with device-side carry (ONE host round for the whole chain).
+
+        With admission work waiting, keep the short chain (<=4 x window)
+        so freed slots refill promptly; with an empty queue, cover the
+        batch's shared budget — each extra dispatch through a
+        high-latency link costs ~15 steps of decode time, so one
+        slightly-larger bucket (overshoot steps go done-masked in-scan)
+        beats a tail of small exact ones. Total scheduled steps stay
+        <= 4 x window, so cancellation latency (client disconnects are
+        seen between chains) never exceeds the legacy bound; `headroom`
+        (min pages to max_seq_len) caps the total hard — overshoot steps
+        still append KV for rows that are not yet done."""
+        if self.has_waiting():
+            return [window] * max(1, min(budget // window, 4))
+        buckets = self._window_buckets()  # descending
+        rem = max(1, min(budget, 4 * window))
+        cap = min(max(1, headroom), 4 * window)
+        schedule: List[int] = []
+        total = 0
+        while rem > 0 and len(schedule) < 8:
+            over = [
+                w for w in buckets
+                if rem <= w <= 2 * rem and total + w <= cap
+            ]
+            if over:
+                schedule.append(min(over))
+                break
+            fit = [w for w in buckets if w <= rem and total + w <= cap]
+            if not fit:
+                break
+            w = fit[0]  # largest that fits
+            schedule.append(w)
+            total += w
+            rem -= w
+        return schedule or [max(1, min(window, headroom))]
+
     def decode_step(self, tasks: List[Task]):
         """One decode group: several window scans chained through
         device-side carry (tokens/seq_lens/done never touch the host between
@@ -1092,11 +1138,7 @@ class Executor:
         live.sort(key=lambda t: order[id(t)])
         from chitu_tpu.parallel.pipeline import supports_pipeline
 
-        # the pipelined program samples WITHOUT frequency penalties (its
-        # scope note); penalized batches take the sequential GSPMD path
-        # so the penalty actually applies
-        no_pen = all(t.req.params.frequency_penalty == 0.0 for t in live)
-        if supports_pipeline(self.model, self.mesh) and len(live) >= 2 and no_pen:
+        if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
             # the pipelined program appends KV every step: hard-clamp to
             # the batch's page headroom, BUCKETED so the (static-window)
             # pipelined program count stays bounded near max_seq_len
@@ -1133,30 +1175,29 @@ class Executor:
             for i, t in enumerate(live)
         ]
         window = self._pick_window(r_eff, min_headroom)
-        # how many windows can run without any host decision: every live
-        # task still has budget and headroom for the whole group
-        n_windows = max(1, min(r_eff) // window)
-        n_windows = min(n_windows, 4)
+        schedule = self._window_schedule(window, min(r_eff), min_headroom)
 
         stop_ids = self._stop_ids(live, B)
         temps, tks, tps, pens, slots, valid = self._sampling_arrays(live, B)
         greedy = all(t.req.params.top_k == 1 for t in live)
         nopen = all(t.req.params.frequency_penalty == 0.0 for t in live)
-        fn = self._decode_fn(B, self.mp_full, window, greedy, nopen)
 
         dev_tokens = jnp.asarray(tokens)
         dev_seq = jnp.asarray(seq_lens)
         dev_rem = jnp.asarray(remaining)
         dev_done = jnp.zeros((B,), bool)
         outs = []
-        for w in range(n_windows):
+        steps_issued = 0
+        for wi, win_w in enumerate(schedule):
+            fn = self._decode_fn(B, self.mp_full, win_w, greedy, nopen)
+            steps_issued += win_w
             ok = True
             for t in live:
                 if not self.cache.allocator.ensure(
-                    t.task_id, t.seq_len + window * (w + 1)
+                    t.task_id, t.seq_len + steps_issued
                 ):
                     ok = False
-            if not ok and w > 0:
+            if not ok and wi > 0:
                 break  # pool exhausted: settle for the windows issued
             bts = np.full((B, self.mp_full), -1, np.int32)
             bts[: len(live)] = self.cache.allocator.block_table(
@@ -1184,9 +1225,11 @@ class Executor:
             outs.append(toks_w)
             dev_tokens, dev_seq, dev_rem, dev_done = carry
 
-        toks_host = np.concatenate(
-            [np.asarray(t) for t in outs], axis=0
-        )  # [n*window, B] — single effective host sync
+        # ONE host sync for the whole chain: device_get starts every
+        # transfer async before blocking — per-window np.asarray paid one
+        # tunnel round-trip EACH (~15 ms; the 54 ms inter-round stall the
+        # decode-window profile attributed, STATUS.md perf ledger)
+        toks_host = np.concatenate(jax.device_get(outs), axis=0)
         for i, t in enumerate(live):
             for k in range(toks_host.shape[0]):
                 tok = int(toks_host[k, i])
@@ -1227,6 +1270,11 @@ class Executor:
         temps = np.ones((S, Bg), np.float32)
         tks = np.ones((S, Bg), np.int32)
         tps = np.ones((S, Bg), np.float32)
+        slots = np.zeros((S, Bg), np.int32)
+        pens = np.zeros((S, Bg), np.float32)
+        remaining = np.full((S, Bg), 1, np.int32)
+        stop_ids = np.full((S, Bg, 8), -2, np.int32)
+        check_stop = np.zeros((S, Bg), bool)
         for s, g in enumerate(groups):
             for j, t in enumerate(g):
                 tokens0[s, j] = (
@@ -1241,8 +1289,16 @@ class Executor:
                 temps[s, j] = max(p.temperature, 1e-6)
                 tks[s, j] = p.top_k
                 tps[s, j] = p.top_p
+                slots[s, j] = max(t.slot, 0)
+                pens[s, j] = p.frequency_penalty
+                remaining[s, j] = max(
+                    1, t.max_new_tokens - len(t.response_tokens)
+                )
+                for q, tok in enumerate(sorted(t.stop_tokens)[:8]):
+                    stop_ids[s, j, q] = tok
+                check_stop[s, j] = t.stop_with_eos
 
-        toks, self.cache.arrays = decode_pipelined(
+        toks, self.cache.arrays, self.counts = decode_pipelined(
             self.model,
             self.params,
             self.cache.arrays,
@@ -1253,6 +1309,12 @@ class Executor:
             jnp.asarray(temps),
             jnp.asarray(tks),
             jnp.asarray(tps),
+            self.counts,
+            jnp.asarray(slots),
+            jnp.asarray(pens),
+            jnp.asarray(remaining),
+            jnp.asarray(stop_ids),
+            jnp.asarray(check_stop),
             self._next_key(),
             window=window,
             page_size=self.page,
