@@ -164,6 +164,19 @@ def _pool_f32(x):
         return fp8_place_bits(x) * 2.0 ** 120
     return x.astype(jnp.float32)
 
+
+def _pool_bf16(x):
+    """Pool rows -> bf16 MXU operands. f32 dot_generals run the MXU at
+    quarter rate (multi-pass decomposition); bf16 inputs with f32
+    accumulation are the native path and exactly cover both pool
+    encodings (bf16 identity; fp8-e4m3's 3-bit mantissa and 2^-6..448
+    range embed losslessly in bf16)."""
+    if x.dtype == jnp.int8:
+        from chitu_tpu.ops.kernel_common import fp8_place_bits
+
+        return (fp8_place_bits(x) * 2.0 ** 120).astype(jnp.bfloat16)
+    return x
+
 def _decode_kernel(
     block_tables_ref,  # [B, mp] int32 (SMEM, scalar prefetch)
     seq_lens_ref,  # [B] int32
@@ -224,14 +237,17 @@ def _decode_kernel(
     def _():
         fill_ring(0)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [H, C]
+    # bf16 MXU operands, f32 accumulation (native MXU rate; f32 inputs
+    # decompose into multi-pass emulation). scale folds into the f32
+    # product so q is not re-rounded.
+    q = q_ref[0].astype(jnp.bfloat16)  # [H, C]
 
     def body(i, carry):
         m, l, acc = carry  # [H, 1], [H, 1], [H, D]
         slot = jax.lax.rem(i, ring)
         dma(slot, i, b).wait()
 
-        rows = _pool_f32(buf[slot])  # [page, M]
+        rows = _pool_bf16(buf[slot])  # [page, M]
         pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         valid = pos < total
 
@@ -240,7 +256,7 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, rows, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [H, page]
+        ) * scale  # [H, page] f32
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
         if window > 0:
@@ -253,11 +269,13 @@ def _decode_kernel(
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         pv_full = jax.lax.dot_general(
-            p, rows, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), rows, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, M]
         pv = jax.lax.dot_general(
-            pv_full * mask_ref[...], fold_ref[...], (((1,), (0,)), ((), ())),
+            (pv_full * mask_ref[...]).astype(jnp.bfloat16),
+            fold_ref[...].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, D]
 
@@ -369,6 +387,8 @@ def _decode_fused_kernel(
     wbuf,  # [2, ALIGN, M] VMEM: aligned append blocks (double-buffered)
     rsem,  # scalar DMA semaphore for the append block read
     wsem,  # [2] DMA semaphores for the pipelined append write-back
+    nbuf,  # [2, page, M] VMEM: NEXT row's first page (cross-row prefetch)
+    nsems,  # [2] DMA semaphores for nbuf
     *,
     page: int,
     scale: float,
@@ -446,20 +466,53 @@ def _decode_fused_kernel(
             pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
         )
 
-    def fill_ring(row):
+    def prefetch_first(row):
+        """Row `row`'s FIRST page -> its nbuf half, issued a whole row
+        early (at the PREVIOUS row's start). Serving rows are 1-2 pages,
+        so the first-page DMA latency IS the row's critical path when it
+        only leads by the predecessor's epilogue — all rows' page-0 used
+        to share ring slot q0%ring, which serialized exactly that way.
+        Unconditional (clamped pid): a 0-page row's garbage masks out via
+        pos < total, and a conditional DMA would leave nsems unsignaled
+        for the unconditional wait."""
+        _, q0r, _ = row_geometry(row)
+        pid = jnp.maximum(
+            block_tables_ref[row, jnp.minimum(q0r, block_tables_ref.shape[1] - 1)],
+            0,
+        )
+        pltpu.make_async_copy(
+            pool_ref.at[layer, pid],
+            nbuf.at[jax.lax.rem(row, 2)],
+            nsems.at[jax.lax.rem(row, 2)],
+        ).start()
+
+    def fill_rest(row):
+        """Prime ring slots with row's pages q0+1..q0+ring (page q0 rides
+        nbuf via prefetch_first)."""
         _, q0, np_r = row_geometry(row)
-        for w in range(ring):
+        for w in range(1, ring + 1):
             @pl.when(q0 + w < np_r)
             def _():
                 dma(jax.lax.rem(q0 + w, ring), q0 + w, row).start()
 
     @pl.when(g == 0)
     def _():
-        fill_ring(0)
+        prefetch_first(0)
+        fill_rest(0)
 
     for r in range(RB):
         row = g * RB + r
         pid_new, off_new, blk0, can_write = slot_geom(row)
+
+        # issue the NEXT row's first page now: a full row of compute +
+        # RMW hides its DMA latency (the epilogue-only lead was ~1 us
+        # short per row — 40% of the kernel at 1-page serving contexts)
+        if r + 1 < RB:
+            prefetch_first(row + 1)
+        else:
+            @pl.when(row + 1 < B)
+            def _():
+                prefetch_first(row + 1)
 
         # retire row-2's write just before ITS wbuf half (row % 2) is
         # reused by this row's RMW read: retiring row-1 here would wait
@@ -482,14 +535,12 @@ def _decode_fused_kernel(
             ).start()
 
         tot_b, p0, n_pages = row_geometry(row)
-        q = q_ref[r].astype(jnp.float32) * scale  # [H, C]
+        # bf16 MXU operands, f32 accumulation (see _pool_bf16); scale
+        # folds into the f32 product so q is not re-rounded
+        q = q_ref[r].astype(jnp.bfloat16)  # [H, C]
 
-        def body(i, carry, row=row, tot_b=tot_b, n_pages=n_pages):
+        def attend_page(rows, i, carry, tot_b=tot_b):
             m, l, acc = carry
-            slot = jax.lax.rem(i, ring)
-            dma(slot, i, row).wait()
-
-            rows = _pool_f32(buf[slot])  # [page, M]
             pos = i * page + jax.lax.broadcasted_iota(
                 jnp.int32, (1, page), 1
             )
@@ -497,7 +548,7 @@ def _decode_fused_kernel(
             s = jax.lax.dot_general(
                 q, rows, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * scale
             if softcap > 0.0:
                 s = jnp.tanh(s / softcap) * softcap
             if window > 0:
@@ -509,33 +560,52 @@ def _decode_fused_kernel(
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv_full = jax.lax.dot_general(
-                p, rows, (((1,), (0,)), ((), ())),
+                p.astype(jnp.bfloat16), rows, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             pv = jax.lax.dot_general(
-                pv_full * mask_ref[...], fold_ref[...],
+                (pv_full * mask_ref[...]).astype(jnp.bfloat16),
+                fold_ref[...].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            return m_new, l_new, acc * alpha + pv
+
+        def body(i, carry, row=row, n_pages=n_pages):
+            slot = jax.lax.rem(i, ring)
+            dma(slot, i, row).wait()
+            out = attend_page(_pool_bf16(buf[slot]), i, carry)
 
             @pl.when(i + ring < n_pages)
             def _():
                 dma(slot, i + ring, row).start()
 
-            return m_new, l_new, acc * alpha + pv
+            return out
 
         m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((H, 1), jnp.float32)
         acc0 = jnp.zeros((H, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, acc0))
+        # peeled first page from the cross-row prefetch buffer; its
+        # unconditional garbage when the row has no pages masks out via
+        # pos < total
+        pltpu.make_async_copy(
+            pool_ref.at[layer, 0],
+            nbuf.at[jax.lax.rem(row, 2)],
+            nsems.at[jax.lax.rem(row, 2)],
+        ).wait()
+        m, l, acc = attend_page(
+            _pool_bf16(nbuf[jax.lax.rem(row, 2)]), p0, (m0, l0, acc0)
+        )
+        m, l, acc = jax.lax.fori_loop(p0 + 1, n_pages, body, (m, l, acc))
 
         # the new token's own column, straight from VMEM (never read back
-        # from HBM): one extra online-softmax block of width 1
-        newrow = _pool_f32(newkv_ref[r])  # [1, C]
-        s_new = jax.lax.dot_general(
-            q, newrow, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, 1]
+        # from HBM): one extra online-softmax block of width 1. VPU
+        # row-sum, not a dot — Mosaic cannot lower a width-1 bf16
+        # dot_general ('vector.broadcast' element-type verify failure)
+        newrow = _pool_f32(newkv_ref[r])  # [1, C] f32
+        s_new = jnp.sum(
+            q.astype(jnp.float32) * newrow, axis=-1, keepdims=True
+        ) * scale  # [H, 1]
         if softcap > 0.0:
             s_new = jnp.tanh(s_new / softcap) * softcap
         m_f = jnp.maximum(m, s_new)
@@ -543,19 +613,21 @@ def _decode_fused_kernel(
         alpha = jnp.exp(m - m_f)
         l_f = l * alpha + p_new
         pv_new = jax.lax.dot_general(
-            (p_new * newrow) * mask_ref[...], fold_ref[...],
+            ((p_new * newrow) * mask_ref[...]).astype(jnp.bfloat16),
+            fold_ref[...].astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, D]
         acc_f = acc * alpha + pv_new
 
-        # keep the DMA pipeline primed through the row/block boundary
+        # keep the ring primed through the row/block boundary (pages
+        # beyond the prefetched first one)
         if r + 1 < RB:
-            fill_ring(row + 1)
+            fill_rest(row + 1)
         else:
             @pl.when(g + 1 < G)
             def _():
-                fill_ring(row + 1)
+                fill_rest(row + 1)
 
         o_ref[r] = (acc_f / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
 
@@ -675,6 +747,8 @@ def attend_decode_fused(
             pltpu.SemaphoreType.DMA((ring,)),
             pltpu.VMEM((2, min(page, 8), M), pool.dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, page, M), pool.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
