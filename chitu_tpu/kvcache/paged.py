@@ -345,9 +345,10 @@ class PagedKVCache:
         )
 
         # merged (MLA latent) pages hold one padded C row per token;
-        # split-KV pages hold per-head interleaved [K_h || V_h] rows (one
-        # DMA per page fetches both, and the minor dim shards over 'tp'
-        # on whole KV-head boundaries)
+        # split-KV pages hold K-half-then-V-half rows (grouped per tp
+        # shard when the minor is sharded, ops/attention.pack_kv): one
+        # DMA per page fetches both halves, kernels dot only the half
+        # they need, and 'tp' shards land on whole KV heads
         self.minor = (
             pad_kv_minor(1, kv_dim)
             if self.merged

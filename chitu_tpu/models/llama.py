@@ -142,6 +142,10 @@ class LlamaForCausalLM:
             and kv_pool_minor(args.n_kv_heads, self.head_dim) == kvd2
             and (kvd2 // tp) % 128 == 0
         )
+        # pool minor layout group count (ops/attention.pack_kv grouped
+        # halves): tp shards each own a contiguous [K_local | V_local]
+        # chunk when the minor is actually sharded
+        self.kv_groups = tp if self.kv_tp_shard else 1
 
     # -- cache geometry -----------------------------------------------------
 
@@ -527,7 +531,8 @@ class LlamaForCausalLM:
 
         def append(pool, layer, k, v):
             return attn_ops.append_prefill(
-                pool, layer, k, v, block_table, pos, valid_len, page_size
+                pool, layer, k, v, block_table, pos, valid_len, page_size,
+                kv_groups=self.kv_groups,
             )
 
         def attend(q, pool, layer):
@@ -623,7 +628,8 @@ class LlamaForCausalLM:
 
         def append(pool, layer, k, v):
             return attn_ops.append_prefill_packed(
-                pool, layer, k, v, block_tables, seg_ids, pos, page_size
+                pool, layer, k, v, block_tables, seg_ids, pos, page_size,
+                kv_groups=self.kv_groups,
             )
 
         def attend(q, pool, layer):
@@ -700,11 +706,11 @@ class LlamaForCausalLM:
         def append(pool, layer, k, v):
             pool = attn_ops.append_decode(
                 pool, layer, k[:B], v[:B], dec_block_tables, dec_seq_lens,
-                dec_valid, page_size,
+                dec_valid, page_size, kv_groups=self.kv_groups,
             )
             return attn_ops.append_prefill_packed(
                 pool, layer, k[B:], v[B:], pf_block_tables, pf_seg_ids,
-                pf_pos, page_size,
+                pf_pos, page_size, kv_groups=self.kv_groups,
             )
 
         def attend(q, pool, layer):
@@ -780,7 +786,7 @@ class LlamaForCausalLM:
         def append(pool, layer, k, v):
             return attn_ops.append_prefill_packed(
                 pool, layer, k, v, block_tables, seg_ids, pos_flat,
-                page_size,
+                page_size, kv_groups=self.kv_groups,
             )
 
         def attend(q, pool, layer):
@@ -857,7 +863,8 @@ class LlamaForCausalLM:
 
         def append(pool, layer, k, v):
             return attn_ops.append_decode(
-                pool, layer, k, v, block_tables, seq_lens, valid, page_size
+                pool, layer, k, v, block_tables, seq_lens, valid, page_size,
+                kv_groups=self.kv_groups,
             )
 
         def attend(q, pool, layer):

@@ -41,21 +41,29 @@ from chitu_tpu.models.common import (
 )
 
 
-def pack_kv(k: jnp.ndarray, v: Optional[jnp.ndarray], minor: int) -> jnp.ndarray:
+def pack_kv(
+    k: jnp.ndarray, v: Optional[jnp.ndarray], minor: int, groups: int = 1
+) -> jnp.ndarray:
     """[N, KV, D] k (+v) -> [N, minor] page-row values.
 
-    GQA layout: per-head interleaved [K_0 V_0 K_1 V_1 ... | pad] — each KV
-    head's K and V are one contiguous 2*D block, so the minor dim shards
-    over 'tp' on whole-head boundaries (models.common.kv_pool_minor);
-    merged-MLA (v=None): [k_flat | pad]."""
+    GQA layout: K-half then V-half, [K_0..K_{KV-1} V_0..V_{KV-1} | pad] —
+    attention kernels dot q against the K lanes and p against the V lanes
+    only, HALF the MXU passes of an interleaved layout where zeros/dead
+    lanes still burn passes. `groups` > 1 (kv_tp_shard) nests the halves
+    per tp shard, [G_0 | .. | G_{g-1}] with G_r = [K_r-heads | V_r-heads],
+    so a contiguous 'tp' shard of the minor still holds whole heads AND a
+    local halves layout (the per-rank n_local_kv_heads cache sizing,
+    reference: backend.py:181-217). Merged-MLA (v=None): [k_flat | pad]."""
     N = k.shape[0]
     if v is None:
         kf = k.reshape(N, -1)
         if kf.shape[-1] < minor:
             kf = jnp.pad(kf, ((0, 0), (0, minor - kf.shape[-1])))
         return kf
-    kv = jnp.stack([k, v], axis=2)  # [N, KV, 2, D]
-    flat = kv.reshape(N, -1)
+    KV = k.shape[1]
+    kg = k.reshape(N, groups, -1)  # [N, g, KVl*D]
+    vg = v.reshape(N, groups, -1)
+    flat = jnp.concatenate([kg, vg], axis=-1).reshape(N, -1)
     if flat.shape[-1] < minor:
         flat = jnp.pad(flat, ((0, 0), (0, minor - flat.shape[-1])))
     return flat
@@ -66,17 +74,22 @@ def unpack_pool(
     kv_heads: int,
     head_dim: int,
     split_kv: bool,
+    groups: int = 1,
 ):
     """-> (k [B, S, KV, D], v [B, S, KV, D]). int8 pools hold fp8-e4m3
-    bits (infer.kv_dtype=fp8) and dequantize here."""
+    bits (infer.kv_dtype=fp8) and dequantize here. Inverse of pack_kv's
+    grouped-halves layout."""
     from chitu_tpu.models.common import kv_decode
 
     gathered = kv_decode(gathered)
     B, S, M = gathered.shape
     n = kv_heads * head_dim
     if split_kv:
-        kv = gathered[..., : 2 * n].reshape(B, S, kv_heads, 2, head_dim)
-        return kv[..., 0, :], kv[..., 1, :]
+        nl = n // groups
+        kv = gathered[..., : 2 * n].reshape(B, S, groups, 2, nl)
+        k = kv[..., 0, :].reshape(B, S, kv_heads, head_dim)
+        v = kv[..., 1, :].reshape(B, S, kv_heads, head_dim)
+        return k, v
     k = gathered[..., :n].reshape(B, S, kv_heads, head_dim)
     return k, k
 
@@ -89,6 +102,14 @@ def _gather(pool, layer, block_table):
     return out.reshape(B, MP * page, M)
 
 
+def _pool_groups(mesh, kv_tp_shard: bool) -> int:
+    """kv-shard group count of the pool's minor layout (pack_kv): tp when
+    the minor is actually 'tp'-sharded (model.kv_tp_shard), else 1."""
+    if mesh is None or not kv_tp_shard:
+        return 1
+    return mesh.shape.get("tp", 1)
+
+
 def append_prefill(
     pool: jnp.ndarray,  # [L, P, page, M] (whole stacked pool)
     layer: jnp.ndarray,  # scalar i32
@@ -98,13 +119,16 @@ def append_prefill(
     q_pos: jnp.ndarray,  # [T] absolute positions
     valid_len: jnp.ndarray,
     page_size: int,
+    kv_groups: int = 1,
 ) -> jnp.ndarray:
     T = k.shape[0]
     pos = jnp.where(jnp.arange(T) < valid_len, q_pos, -1)
     bt = jnp.broadcast_to(block_table, (T, block_table.shape[0]))
     flat = paged_flat_index(bt, jnp.maximum(pos, 0), page_size)
     flat = jnp.where(pos >= 0, flat, jnp.iinfo(jnp.int32).max)
-    return paged_append(pool, layer, pack_kv(k, v, pool.shape[-1]), flat)
+    return paged_append(
+        pool, layer, pack_kv(k, v, pool.shape[-1], kv_groups), flat
+    )
 
 
 def append_decode(
@@ -116,10 +140,13 @@ def append_decode(
     seq_lens: jnp.ndarray,  # [B]
     valid: jnp.ndarray,  # [B] bool
     page_size: int,
+    kv_groups: int = 1,
 ) -> jnp.ndarray:
     flat = paged_flat_index(block_tables, seq_lens, page_size)
     flat = jnp.where(valid, flat, jnp.iinfo(jnp.int32).max)
-    return paged_append(pool, layer, pack_kv(k, v, pool.shape[-1]), flat)
+    return paged_append(
+        pool, layer, pack_kv(k, v, pool.shape[-1], kv_groups), flat
+    )
 
 
 def attend_prefill(
@@ -157,7 +184,10 @@ def attend_prefill(
             interpret=jax.default_backend() != "tpu",
         )
     gathered = _gather(pool, layer, block_table[None])
-    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+    k, v = unpack_pool(
+        gathered, kv_heads, head_dim, split_kv,
+        _pool_groups(mesh, kv_tp_shard),
+    )
     S = k.shape[1]
     cols = jnp.arange(S)[None, :]
     mask = (cols <= q_pos[:, None]) & (cols < total_len)
@@ -177,23 +207,27 @@ def append_prefill_packed(
     seg_ids: jnp.ndarray,  # [T] int32 (-1 = padding token)
     pos: jnp.ndarray,  # [T] absolute position within its sequence
     page_size: int,
+    kv_groups: int = 1,
 ) -> jnp.ndarray:
     """Packed-varlen append: each token scatters into its own segment's
     pages (reference VarLens contract: chitu/utils.py:84-100)."""
     bt = jnp.take(block_tables, jnp.maximum(seg_ids, 0), axis=0)  # [T, mp]
     flat = paged_flat_index(bt, jnp.maximum(pos, 0), page_size)
     flat = jnp.where((seg_ids >= 0) & (pos >= 0), flat, jnp.iinfo(jnp.int32).max)
-    return paged_append(pool, layer, pack_kv(k, v, pool.shape[-1]), flat)
+    return paged_append(
+        pool, layer, pack_kv(k, v, pool.shape[-1], kv_groups), flat
+    )
 
 
 def _oracle_prefill_packed(
     q, pool, layer, block_tables, seg_ids, pos, total_lens,
     kv_heads, head_dim, split_kv, scale, window=0, softcap=0.0,
+    kv_groups=1,
 ):
     import math
 
     gathered = _gather(pool, layer, block_tables)  # [R, S, M]
-    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv, kv_groups)
     seg_safe = jnp.maximum(seg_ids, 0)
     kt = jnp.take(k, seg_safe, axis=0)  # [T, S, KV, D]
     vt = jnp.take(v, seg_safe, axis=0)
@@ -264,6 +298,7 @@ def attend_prefill_packed(
     return _oracle_prefill_packed(
         q, pool, layer, block_tables, seg_ids, pos, total_lens,
         kv_heads, head_dim, split_kv, scale, window, softcap,
+        kv_groups=_pool_groups(mesh, kv_tp_shard),
     )
 
 
@@ -301,7 +336,10 @@ def attend_decode(
             interpret=jax.default_backend() != "tpu",
         )
     gathered = _gather(pool, layer, block_tables)
-    k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+    k, v = unpack_pool(
+        gathered, kv_heads, head_dim, split_kv,
+        _pool_groups(mesh, kv_tp_shard),
+    )
     S = k.shape[1]
     cols = jnp.arange(S)[None, :]
     mask = cols <= seq_lens[:, None]
@@ -349,7 +387,10 @@ def _shmap_decode(
     if not _supports_shmap(mesh, H):
         # fall back to the oracle path under unsupported layouts
         gathered = _gather(pool, layer, block_tables)
-        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        k, v = unpack_pool(
+            gathered, kv_heads, head_dim, split_kv,
+            _pool_groups(mesh, kv_tp_shard),
+        )
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
         mask = cols <= seq_lens[:, None]
@@ -408,7 +449,10 @@ def _shmap_prefill(
     tp = mesh.shape["tp"]
     if not _supports_shmap(mesh, H):
         gathered = _gather(pool, layer, block_table[None])
-        k, v = unpack_pool(gathered, kv_heads, head_dim, split_kv)
+        k, v = unpack_pool(
+            gathered, kv_heads, head_dim, split_kv,
+            _pool_groups(mesh, kv_tp_shard),
+        )
         S = k.shape[1]
         cols = jnp.arange(S)[None, :]
         mask = (cols <= q_pos[:, None]) & (cols < total_len)

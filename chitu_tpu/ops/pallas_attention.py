@@ -13,20 +13,21 @@ triton split-KV decode, chitu/triton_decode_attention.py:20-291):
   reference: attn_backend.py:88-101).
 
 Layouts (see ops/attention.py): one pool per layer, [P, page, M].
-split_kv=True packs per-head interleaved [K_0 V_0 K_1 V_1 ...] page rows
-(one DMA fetches both, TP-shardable on head boundaries); split_kv=False is
-the merged-MLA latent cache where V rows are the K rows
-(reference: backend.py:181-217 MLA-absorb shapes).
+split_kv=True packs K-half-then-V-half page rows
+([K_0..K_{KV-1} V_0..V_{KV-1}], grouped per tp shard when the minor is
+sharded — pack_kv); split_kv=False is the merged-MLA latent cache where V
+rows are the K rows (reference: backend.py:181-217 MLA-absorb shapes).
 
 GQA is handled with an *expanded query*: head h's D query lanes are placed
-into its KV head's K block of the interleaved page row (zeros elsewhere,
-including every V block), so Q@K^T over the packed row computes every head
+into its KV head's K block (zeros elsewhere), so Q@K^T computes every head
 against its own KV head in one MXU matmul — no per-head slicing inside the
-kernel (64-wide head slices break Mosaic's 128-lane tiling). The PV
-product runs against the full row; a block mask selects each head's V
-block and a constant fold matrix sums it back to D lanes. The same
+kernel (64-wide head slices break Mosaic's 128-lane tiling). When the K
+half is 128-lane aligned the kernels dot q against ONLY the K half and p
+against ONLY the V half (half the MXU passes); otherwise the dots run
+full-row with dead lanes. The PV product's block mask selects each head's
+V block and a constant fold matrix sums it back to D lanes. The same
 expand/mask/fold machinery covers the merged-MLA latent row (split_kv=
-False), so ONE kernel body serves both layouts — and the interleaved rows
+False), so ONE kernel body serves both layouts — and the grouped rows
 shard over 'tp' on KV-head boundaries with plain NamedShardings.
 
 Both kernels match the jnp oracle in ops/attention.py
@@ -89,10 +90,12 @@ def _expand_q(
 ) -> jnp.ndarray:
     """[..., H, D] -> [..., H, M]: head h occupies its KV head's K block.
 
-    Interleaved (GQA) rows have 2*KV blocks of width D ([K_0 V_0 ...]);
-    head h's query goes to block 2*kv_h, zeros elsewhere — so Q @ row^T
-    reads only K lanes. Merged rows (MLA) have KV blocks and head h maps
-    to block kv_h (identity for the 1-"head" latent).
+    Split-KV (GQA) rows hold the K half then the V half
+    ([K_0..K_{KV-1} V_0..V_{KV-1} | pad], ops/attention.pack_kv); head
+    h's query goes to K block kv_h in the FIRST half, zeros elsewhere —
+    Q @ row^T reads only K lanes, and kernels may dot against just the
+    K half (half the MXU passes). Merged rows (MLA) have KV blocks and
+    head h maps to block kv_h (identity for the 1-"head" latent).
 
     `group` is the GLOBAL heads-per-KV-head ratio and `head_offset` the
     global index of local head 0 — under shard_map each tp shard holds a
@@ -102,7 +105,7 @@ def _expand_q(
     G = group or (H // kv_heads)
     h_idx = jnp.arange(H)
     kv_idx = (head_offset + h_idx) // G
-    blk = 2 * kv_idx if interleaved else kv_idx
+    blk = kv_idx  # K half leads in both layouts
     nblk = (2 if interleaved else 1) * kv_heads
     out = jnp.zeros((*lead, H, nblk, D), q.dtype)
     out = out.at[..., h_idx, blk, :].set(q)
@@ -122,11 +125,11 @@ def _head_block_mask(
     head_offset=0,
     interleaved: bool = True,
 ) -> jnp.ndarray:
-    """[H, M] 1.0 where column belongs to head h's V block (interleaved)
-    or its KV block (merged)."""
+    """[H, M] 1.0 where column belongs to head h's V block (split: in
+    the V half) or its KV block (merged)."""
     G = group or (H // kv_heads)
     kv_idx = (head_offset + jnp.arange(H)) // G  # [H]
-    target = 2 * kv_idx + 1 if interleaved else kv_idx
+    target = kv_heads + kv_idx if interleaved else kv_idx
     nblk = (2 if interleaved else 1) * kv_heads
     colblk = jnp.arange(M) // D
     return (
@@ -140,7 +143,7 @@ def _fold_matrix(
     """[M, D]: sums the V blocks of a masked [_, M] row into D columns."""
     f = np.zeros((M, D), np.float32)
     for k in range(kv_heads):
-        b = 2 * k + 1 if interleaved else k
+        b = kv_heads + k if interleaved else k
         if (b + 1) * D <= M:
             f[b * D : (b + 1) * D, :] = np.eye(D, dtype=np.float32)
     return f
@@ -195,6 +198,7 @@ def _decode_kernel(
     ring: int,
     window: int = 0,
     softcap: float = 0.0,
+    khalf: int = 0,
 ):
     b = pl.program_id(0)
     B = pl.num_programs(0)
@@ -247,14 +251,22 @@ def _decode_kernel(
         slot = jax.lax.rem(i, ring)
         dma(slot, i, b).wait()
 
-        rows = _pool_bf16(buf[slot])  # [page, M]
+        if khalf:
+            # K-half / V-half page layout (pack_kv): each dot contracts
+            # only the lanes it needs — HALF the MXU passes of full-row
+            # products with zero/dead lanes. Sliced at the REF (Mosaic
+            # rejects value-level lane slices feeding dots).
+            rows_k = _pool_bf16(buf[slot, :, :khalf])
+            rows_v = _pool_bf16(buf[slot, :, khalf:])
+        else:
+            rows_k = rows_v = _pool_bf16(buf[slot])  # [page, M]
         pos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         valid = pos < total
 
-        # q is zero outside each head's K block, so the full-row product
-        # reads only K lanes (V lanes contribute nothing)
+        # q is zero outside each head's K block, so the product reads
+        # only K lanes
         s = jax.lax.dot_general(
-            q, rows, (((1,), (1,)), ((), ())),
+            q, rows_k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [H, page] f32
         if softcap > 0.0:
@@ -269,9 +281,9 @@ def _decode_kernel(
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         pv_full = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), rows, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [H, M]
+        )  # [H, M or khalf]
         pv = jax.lax.dot_general(
             (pv_full * mask_ref[...]).astype(jnp.bfloat16),
             fold_ref[...].astype(jnp.bfloat16),
@@ -331,16 +343,24 @@ def attend_decode(
         max(block_tables.shape[-1], 2),
     )
 
-    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
-    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
+    # K|V-halves fast path: q / mask / fold shrink to one half and the
+    # kernel dots contract half the lanes (gated on 128-lane alignment)
+    khalf = kv_heads * D if split_kv and (kv_heads * D) % 128 == 0 else 0
+    Mq = khalf if khalf else M
+    q_exp = _expand_q(
+        q, kv_heads, Mq, group, head_offset, split_kv and not khalf
+    )
+    mask = _head_block_mask(
+        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+    )
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, H, M), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, H, Mq), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -356,7 +376,7 @@ def attend_decode(
     )
     kernel = functools.partial(
         _decode_kernel, page=page, scale=scale, split_kv=split_kv,
-        ring=ring, window=window, softcap=softcap,
+        ring=ring, window=window, softcap=softcap, khalf=khalf,
     )
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
     return pl.pallas_call(
@@ -397,6 +417,7 @@ def _decode_fused_kernel(
     rows_block: int,
     window: int = 0,
     softcap: float = 0.0,
+    khalf: int = 0,
 ):
     """Fused append+attend decode: the reference's
     `flash_attn_with_kvcache` contract (in-kernel KV append,
@@ -539,14 +560,14 @@ def _decode_fused_kernel(
         # folds into the f32 product so q is not re-rounded
         q = q_ref[r].astype(jnp.bfloat16)  # [H, C]
 
-        def attend_page(rows, i, carry, tot_b=tot_b):
+        def attend_page(rows_k, rows_v, i, carry, tot_b=tot_b):
             m, l, acc = carry
             pos = i * page + jax.lax.broadcasted_iota(
                 jnp.int32, (1, page), 1
             )
             valid = pos < tot_b
             s = jax.lax.dot_general(
-                q, rows, (((1,), (1,)), ((), ())),
+                q, rows_k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             if softcap > 0.0:
@@ -560,7 +581,7 @@ def _decode_fused_kernel(
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv_full = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), rows, (((1,), (0,)), ((), ())),
+                p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             pv = jax.lax.dot_general(
@@ -571,10 +592,18 @@ def _decode_fused_kernel(
             )
             return m_new, l_new, acc * alpha + pv
 
+        def load_halves(ref):
+            if khalf:
+                # ref-level lane slices (Mosaic rejects sliced values
+                # feeding dots): half the MXU passes per dot
+                return _pool_bf16(ref[:, :khalf]), _pool_bf16(ref[:, khalf:])
+            rows = _pool_bf16(ref[...])
+            return rows, rows
+
         def body(i, carry, row=row, n_pages=n_pages):
             slot = jax.lax.rem(i, ring)
             dma(slot, i, row).wait()
-            out = attend_page(_pool_bf16(buf[slot]), i, carry)
+            out = attend_page(*load_halves(buf.at[slot]), i, carry)
 
             @pl.when(i + ring < n_pages)
             def _():
@@ -594,7 +623,7 @@ def _decode_fused_kernel(
             nsems.at[jax.lax.rem(row, 2)],
         ).wait()
         m, l, acc = attend_page(
-            _pool_bf16(nbuf[jax.lax.rem(row, 2)]), p0, (m0, l0, acc0)
+            *load_halves(nbuf.at[jax.lax.rem(row, 2)]), p0, (m0, l0, acc0)
         )
         m, l, acc = jax.lax.fori_loop(p0 + 1, n_pages, body, (m, l, acc))
 
@@ -602,9 +631,13 @@ def _decode_fused_kernel(
         # from HBM): one extra online-softmax block of width 1. VPU
         # row-sum, not a dot — Mosaic cannot lower a width-1 bf16
         # dot_general ('vector.broadcast' element-type verify failure)
-        newrow = _pool_f32(newkv_ref[r])  # [1, C] f32
+        if khalf:
+            new_k = _pool_f32(newkv_ref[r, :, :khalf])
+            new_v = _pool_f32(newkv_ref[r, :, khalf:])
+        else:
+            new_k = new_v = _pool_f32(newkv_ref[r])  # [1, C] f32
         s_new = jnp.sum(
-            q.astype(jnp.float32) * newrow, axis=-1, keepdims=True
+            q.astype(jnp.float32) * new_k, axis=-1, keepdims=True
         ) * scale  # [H, 1]
         if softcap > 0.0:
             s_new = jnp.tanh(s_new / softcap) * softcap
@@ -613,7 +646,7 @@ def _decode_fused_kernel(
         alpha = jnp.exp(m - m_f)
         l_f = l * alpha + p_new
         pv_new = jax.lax.dot_general(
-            ((p_new * newrow) * mask_ref[...]).astype(jnp.bfloat16),
+            ((p_new * new_v) * mask_ref[...]).astype(jnp.bfloat16),
             fold_ref[...].astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -702,9 +735,16 @@ def attend_decode_fused(
     RB = min(8, B)
     B_pad = (B + RB - 1) // RB * RB
 
-    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
-    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
+    # K|V-halves fast path (see attend_decode): half-width q/mask/fold
+    khalf = kv_heads * D if split_kv and (kv_heads * D) % 128 == 0 else 0
+    Mq = khalf if khalf else M
+    q_exp = _expand_q(
+        q, kv_heads, Mq, group, head_offset, split_kv and not khalf
+    )
+    mask = _head_block_mask(
+        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+    )
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
     from chitu_tpu.models.common import kv_encode
 
     newkv = kv_encode(pack_kv(k, v, M), pool.dtype)[:, None, :]  # [B, 1, M]
@@ -724,7 +764,7 @@ def attend_decode_fused(
         grid=(B_pad // RB,),
         in_specs=[
             pl.BlockSpec(
-                (RB, H, M), lambda b, *_: (b, 0, 0),
+                (RB, H, Mq), lambda b, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -755,6 +795,7 @@ def attend_decode_fused(
     kernel = functools.partial(
         _decode_fused_kernel, page=page, scale=scale, split_kv=split_kv,
         ring=ring, rows_block=RB, window=window, softcap=softcap,
+        khalf=khalf,
     )
     out, pool = pl.pallas_call(
         kernel,
@@ -800,6 +841,7 @@ def _prefill_kernel(
     ring: int,
     window: int = 0,
     softcap: float = 0.0,
+    khalf: int = 0,
 ):
     qb = pl.program_id(0)
     total = info_ref[0]
@@ -830,7 +872,8 @@ def _prefill_kernel(
         def _():
             dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
 
-    q = q_ref[...].astype(jnp.float32).reshape(Tq * H, C) * scale
+    # bf16 MXU operands, f32 accumulation; scale folds into the product
+    q = q_ref[...].astype(jnp.bfloat16).reshape(Tq * H, C)
     row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
     q_pos = q_start + row_t  # [Tq*H, 1]
     mask_tc = jnp.broadcast_to(
@@ -842,14 +885,19 @@ def _prefill_kernel(
         slot = jax.lax.rem(i, ring)
         dma(slot, i).wait()
 
-        rows = _pool_f32(buf[slot])  # [page, M]
+        if khalf:
+            # K|V halves layout: each dot contracts only its half
+            rows_k = _pool_bf16(buf[slot, :, :khalf])
+            rows_v = _pool_bf16(buf[slot, :, khalf:])
+        else:
+            rows_k = rows_v = _pool_bf16(buf[slot])  # [page, M]
         kpos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
         keep = (kpos < total) & (kpos <= q_pos)  # [Tq*H, page]
 
         s = jax.lax.dot_general(
-            q, rows, (((1,), (1,)), ((), ())),
+            q, rows_k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
         if window > 0:
@@ -860,11 +908,13 @@ def _prefill_kernel(
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv_full = jax.lax.dot_general(
-            p, rows, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         pv = jax.lax.dot_general(
-            pv_full * mask_tc, fold_ref[...], (((1,), (0,)), ((), ())),
+            (pv_full * mask_tc).astype(jnp.bfloat16),
+            fold_ref[...].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -918,9 +968,15 @@ def attend_prefill(
         max(block_table.shape[-1], 2),
     )
 
-    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
-    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
+    khalf = kv_heads * D if split_kv and (kv_heads * D) % 128 == 0 else 0
+    Mq = khalf if khalf else M
+    q_exp = _expand_q(
+        q, kv_heads, Mq, group, head_offset, split_kv and not khalf
+    )
+    mask = _head_block_mask(
+        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+    )
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
     info = jnp.stack(
         [
             jnp.asarray(total_len, jnp.int32),
@@ -934,7 +990,7 @@ def attend_prefill(
         grid=(T // Tq,),
         in_specs=[
             pl.BlockSpec(
-                (Tq, H, M), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (Tq, H, Mq), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -957,6 +1013,7 @@ def attend_prefill(
         ring=ring,
         window=window,
         softcap=softcap,
+        khalf=khalf,
     )
     return pl.pallas_call(
         kernel,
@@ -1001,6 +1058,7 @@ def _prefill_packed_kernel(
     ring: int,
     window: int = 0,
     softcap: float = 0.0,
+    khalf: int = 0,
 ):
     b = pl.program_id(0)
     seg = seg_ref[b]
@@ -1039,7 +1097,8 @@ def _prefill_packed_kernel(
             def _():
                 dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
 
-        q = q_ref[...].astype(jnp.float32).reshape(Tq * H, M) * scale
+        # bf16 MXU operands, f32 accumulation; scale folds into the dot
+        q = q_ref[...].astype(jnp.bfloat16).reshape(Tq * H, M)
         row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
         q_pos = q_start + row_t
         mask_tc = jnp.broadcast_to(
@@ -1051,16 +1110,21 @@ def _prefill_packed_kernel(
             slot = jax.lax.rem(i, ring)
             dma(slot, i).wait()
 
-            rows = _pool_f32(buf[slot])
+            if khalf:
+                # K|V halves layout: each dot contracts only its half
+                rows_k = _pool_bf16(buf[slot, :, :khalf])
+                rows_v = _pool_bf16(buf[slot, :, khalf:])
+            else:
+                rows_k = rows_v = _pool_bf16(buf[slot])
             kpos = i * page + jax.lax.broadcasted_iota(
                 jnp.int32, (1, page), 1
             )
             keep = (kpos < total) & (kpos <= q_pos)
 
             sc = jax.lax.dot_general(
-                q, rows, (((1,), (1,)), ((), ())),
+                q, rows_k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) * scale
             if softcap > 0.0:
                 sc = jnp.tanh(sc / softcap) * softcap
             if window > 0:
@@ -1071,11 +1135,13 @@ def _prefill_packed_kernel(
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(pr, axis=-1, keepdims=True)
             pv_full = jax.lax.dot_general(
-                pr, rows, (((1,), (0,)), ((), ())),
+                pr.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             pv = jax.lax.dot_general(
-                pv_full * mask_tc, fold_ref[...], (((1,), (0,)), ((), ())),
+                (pv_full * mask_tc).astype(jnp.bfloat16),
+                fold_ref[...].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -1136,9 +1202,15 @@ def attend_prefill_packed(
         _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
         max(block_tables.shape[-1], 2),
     )
-    q_exp = _expand_q(q, kv_heads, M, group, head_offset, split_kv)
-    mask = _head_block_mask(H, kv_heads, D, M, group, head_offset, split_kv)
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, M, split_kv))
+    khalf = kv_heads * D if split_kv and (kv_heads * D) % 128 == 0 else 0
+    Mq = khalf if khalf else M
+    q_exp = _expand_q(
+        q, kv_heads, Mq, group, head_offset, split_kv and not khalf
+    )
+    mask = _head_block_mask(
+        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+    )
+    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1146,7 +1218,7 @@ def attend_prefill_packed(
         grid=(NB,),
         in_specs=[
             pl.BlockSpec(
-                (Tq, H, M), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (Tq, H, Mq), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1162,7 +1234,7 @@ def attend_prefill_packed(
     )
     kernel = functools.partial(
         _prefill_packed_kernel, page=page, heads=H, scale=scale, ring=ring,
-        window=window, softcap=softcap,
+        window=window, softcap=softcap, khalf=khalf,
     )
     return pl.pallas_call(
         kernel,
