@@ -74,12 +74,15 @@ def probe_pallas_stream(nbytes=2 << 30, steps=20, block=2048, lanes=512):
 
     def kernel(c_ref, x_ref, o_ref):
         # the carry flows THROUGH the kernel so the pallas_call is
-        # loop-variant (LICM cannot hoist it out of the scan)
+        # loop-variant (LICM cannot hoist it out of the scan). Lane-wide
+        # accumulator: Mosaic rejects scalar stores to VMEM.
         @pl.when(pl.program_id(0) == 0)
         def _():
-            o_ref[0, 0] = c_ref[0, 0]
+            o_ref[...] = jnp.broadcast_to(
+                c_ref[...], o_ref.shape
+            ).astype(jnp.float32)
 
-        o_ref[0, 0] += jnp.sum(x_ref[...], dtype=jnp.float32)
+        o_ref[...] += jnp.sum(x_ref[...], dtype=jnp.float32)
 
     grid = rows // block
     reduce_p = pl.pallas_call(
@@ -89,8 +92,8 @@ def probe_pallas_stream(nbytes=2 << 30, steps=20, block=2048, lanes=512):
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
             pl.BlockSpec((block, lanes), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, lanes), jnp.float32),
     )
 
     @jax.jit
