@@ -269,7 +269,6 @@ class Engine:
 
         self.pool = TaskPool()
         self.scheduler = Scheduler.build(self.pool, cfg)
-        self.executor = Executor(cfg, self.model, self.params, self.cache, mesh)
         # queue probe: non-resident prefill work waiting keeps decode
         # window chains short (executor._window_schedule). Capture the
         # POOL, not self: an engine-capturing closure stored on the
@@ -279,9 +278,12 @@ class Engine:
         from chitu_tpu.task import TaskType as _TT
 
         pool = self.pool
-        self.executor.has_waiting = lambda: any(
-            t.task_type == _TT.PREFILL and t.slot < 0
-            for t in pool.snapshot()
+        self.executor = Executor(
+            cfg, self.model, self.params, self.cache, mesh,
+            has_waiting=lambda: any(
+                t.task_type == _TT.PREFILL and t.slot < 0
+                for t in pool.snapshot()
+            ),
         )
 
     # -- request API --------------------------------------------------------

@@ -90,7 +90,10 @@ class Executor:
     """Single-program executor (TP/DP handled via GSPMD shardings on the
     same code path; see chitu_tpu/parallel)."""
 
-    def __init__(self, cfg, model, params, cache: PagedKVCache, mesh=None):
+    def __init__(
+        self, cfg, model, params, cache: PagedKVCache, mesh=None,
+        has_waiting=None,
+    ):
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -114,9 +117,10 @@ class Executor:
         self.counts = jnp.zeros((self.max_reqs, vocab), jnp.int32)
         self.slots = SlotAllocator(self.max_reqs)
         self.key = jax.random.PRNGKey(cfg.infer.seed)
-        # admission-queue probe (set by the engine): True when prefill
-        # work is waiting for a slot — decode chains stay short then
-        self.has_waiting = lambda: False
+        # admission-queue probe (engine passes one over its TaskPool):
+        # True when prefill work is waiting for a slot — decode chains
+        # stay short then
+        self.has_waiting = has_waiting or (lambda: False)
 
         self.prefill_buckets = _pow2_buckets(16, cfg.infer.max_seq_len)
         self.decode_buckets = tuple(
@@ -1276,6 +1280,7 @@ class Executor:
         stop_ids = np.full((S, Bg, 8), -2, np.int32)
         check_stop = np.zeros((S, Bg), bool)
         for s, g in enumerate(groups):
+            stop_ids[s, : len(g)] = np.asarray(self._stop_ids(g, len(g)))
             for j, t in enumerate(g):
                 tokens0[s, j] = (
                     t.response_tokens[-1] if t.response_tokens else t.tokens[-1]
@@ -1294,8 +1299,6 @@ class Executor:
                 remaining[s, j] = max(
                     1, t.max_new_tokens - len(t.response_tokens)
                 )
-                for q, tok in enumerate(sorted(t.stop_tokens)[:8]):
-                    stop_ids[s, j, q] = tok
                 check_stop[s, j] = t.stop_with_eos
 
         toks, self.cache.arrays, self.counts = decode_pipelined(

@@ -189,12 +189,113 @@ def _target_dtype(cfg, name: str):
     return jnp.bfloat16
 
 
+class _NotStreamable(Exception):
+    """Raised when a checkpoint needs the eager loader (packed/fp8 quant
+    tensors, Meta .pth, incomplete layer sets)."""
+
+
+def _load_llama_params_streaming(model, cfg, mesh) -> Any:
+    """Stream a plain HF-llama safetensors checkpoint straight to device
+    shards: every weight becomes a lazy mmap reader (transpose/cast/merge
+    applied at read time — loader_streaming.LazySlice/LazyStack/
+    lazy_rank_major) and `shard_params_streaming` materializes only each
+    device's shard. Sharded bring-up therefore needs NO preprocess pass
+    and never holds a full leaf on host — beyond the reference, whose
+    per-rank prod load requires preprocessed rank files
+    (backend.py:415-481)."""
+    import ml_dtypes
+
+    from chitu_tpu.loader_streaming import (
+        LazySlice,
+        LazyStack,
+        lazy_rank_major,
+        reader_index,
+    )
+    from chitu_tpu.parallel.sharding import shard_params_streaming
+
+    a = model.args
+    L = a.n_layers
+    index = reader_index(a.ckpt_dir)  # FileNotFoundError -> .pth fallback
+    for key in index:
+        if re.search(r"\.(qweight|qzeros|scales|g_idx)$", key) or (
+            "weight_scale" in key
+        ):
+            raise _NotStreamable(f"quantized checkpoint tensor {key}")
+    cast = np.dtype(ml_dtypes.bfloat16)
+
+    flat: Dict[str, Any] = {}
+    staged: Dict[str, List[Optional[Any]]] = {}
+    for key, path in index.items():
+        tpath, layer, transpose = _match_rules(_HF_LLAMA_RULES, key)
+        if tpath is None:
+            logger.debug("skipping checkpoint key %s", key)
+            continue
+        r = LazySlice(path, key, transpose=transpose, cast_floats_to=cast)
+        if layer is None:
+            flat[tpath[0]] = r
+        else:
+            staged.setdefault(tpath[1], [None] * L)[layer] = r
+
+    if "embed" not in flat or not staged:
+        raise _NotStreamable("missing llama-family tensors")
+    layers: Dict[str, Any] = {}
+    for name, pieces in staged.items():
+        missing = [i for i, p in enumerate(pieces) if p is None]
+        if missing:
+            raise ValueError(f"checkpoint missing {name} for layers {missing}")
+        layers[name] = LazyStack(pieces)
+    params: Dict[str, Any] = {k: v for k, v in flat.items() if k != "layers"}
+    params["layers"] = layers
+    if "lm_head" not in params and not a.tie_word_embeddings:
+        embed_key = next(
+            k for k in index if re.fullmatch(r"model\.embed_tokens\.weight", k)
+        )
+        params["lm_head"] = LazySlice(
+            index[embed_key], embed_key, transpose=True, cast_floats_to=cast
+        )
+
+    if getattr(model, "merged", False) and all(
+        k in layers for k in ("wq", "wk", "wv")
+    ):
+        mtp = getattr(model, "merge_tp", 1)
+        layers["wqkv"] = lazy_rank_major(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], mtp
+        )
+        if "bq" in layers:
+            layers["b_qkv"] = lazy_rank_major(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], mtp
+            )
+        layers["w_gate_up"] = lazy_rank_major(
+            [layers.pop("w_gate"), layers.pop("w_up")], mtp
+        )
+
+    specs = model.param_partition_specs(params)
+    t0 = time.time()
+    placed = shard_params_streaming(params, specs, mesh)
+    logger.info(
+        "streamed %d tensors to device shards in %.1fs",
+        len(index), time.time() - t0,
+    )
+    return placed
+
+
 def load_llama_params(model, cfg, mesh=None) -> Any:
     """Assemble the llama-family parameter tree from a checkpoint dir."""
     a = model.args
     ckpt_dir = a.ckpt_dir
     rules = _META_LLAMA_RULES if a.type == "llama" else _HF_LLAMA_RULES
     L = a.n_layers
+
+    if mesh is not None and a.type != "llama":
+        # sharded bring-up: stream file -> host slice -> device shard
+        # (per-device peak = shard bytes); quantized checkpoints and
+        # Meta .pth fall through to the eager stage-then-shard path
+        try:
+            return _load_llama_params_streaming(model, cfg, mesh)
+        except _NotStreamable as e:
+            logger.info("streaming load unavailable (%s); eager path", e)
+        except FileNotFoundError:
+            pass  # no safetensors: Meta .pth handled below
 
     # staging: name -> np array (per-layer pieces buffered then stacked)
     flat: Dict[str, np.ndarray] = {}
@@ -389,7 +490,12 @@ def load_checkpoint(model, cfg, mesh=None) -> Any:
 # ---------------------------------------------------------------------------
 
 
-def save_preprocessed(params: Any, out_dir: str, num_shards: int = 1):
+def save_preprocessed(
+    params: Any,
+    out_dir: str,
+    num_shards: int = 1,
+    layout: Optional[Dict[str, Any]] = None,
+):
     """Dump the fully transformed tree for fast startup. QTensor leaves
     keep their structure via `#qt.<field>` key suffixes + kind/block in
     the metadata.
@@ -399,7 +505,14 @@ def save_preprocessed(params: Any, out_dir: str, num_shards: int = 1):
     per-rank `model.rank{r}.safetensors` (script/preprocess_and_save.py):
     the streaming loader reads only the byte ranges of each host's
     addressable shards regardless of file layout, so splitting exists for
-    filesystem throughput, not correctness."""
+    filesystem throughput, not correctness.
+
+    `layout` records facts the raw bytes cannot express — today
+    `merge_tp` (the rank-major chunk count of merged qkv/gate_up
+    columns): a dump merged at one tp served at another would silently
+    scramble q/k/v, so the loader validates it. meta.json also records
+    the FILE LIST so a re-preprocess into a dir holding an older dump's
+    differently-named shards cannot mix generations."""
     from safetensors.numpy import save_file
 
     from chitu_tpu.ops.qtensor import QTensor
@@ -444,7 +557,9 @@ def save_preprocessed(params: Any, out_dir: str, num_shards: int = 1):
         put(key, tree)
 
     walk(params)
+    files: List[str] = []
     if num_shards <= 1:
+        files.append("model.safetensors")
         save_file(tensors, os.path.join(out_dir, "model.safetensors"))
     else:
         # greedy size-balanced key assignment
@@ -460,13 +575,11 @@ def save_preprocessed(params: Any, out_dir: str, num_shards: int = 1):
             sizes[r] += arr.nbytes
         for r, bucket in enumerate(buckets):
             if bucket:
-                save_file(
-                    bucket,
-                    os.path.join(
-                        out_dir,
-                        f"model.shard{r:03d}of{num_shards:03d}.safetensors",
-                    ),
-                )
+                fname = f"model.shard{r:03d}of{num_shards:03d}.safetensors"
+                files.append(fname)
+                save_file(bucket, os.path.join(out_dir, fname))
+    meta["files"] = files
+    meta["layout"] = layout or {}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -489,7 +602,25 @@ def load_preprocessed(out_dir: str, mesh=None, model=None) -> Any:
 
     from chitu_tpu.loader_streaming import LazySlice, reader_index
 
-    index = reader_index(out_dir)
+    # restrict to the files THIS dump wrote (old dumps without the list
+    # fall back to the directory sweep); stale shards from a previous
+    # generation in the same dir must not shadow fresh keys
+    index = reader_index(out_dir, files=meta.get("files"))
+
+    # layout facts the bytes cannot express: merged projections are
+    # rank-major chunked per merge_tp — reinterpreting a dump under a
+    # different tp would silently scramble q/k/v (code-review finding)
+    saved_mtp = int(meta.get("layout", {}).get("merge_tp", 1))
+    model_mtp = getattr(model, "merge_tp", None)
+    has_merged = any("wqkv" in k or "w_gate_up" in k for k in index)
+    if has_merged and model_mtp is not None and model_mtp != saved_mtp:
+        raise ValueError(
+            f"preprocessed dump stores merged projections with "
+            f"merge_tp={saved_mtp} but the engine expects "
+            f"merge_tp={model_mtp}: re-run preprocess_and_save with the "
+            f"serving infer.tp_size (the rank-major merged column layout "
+            f"is tp-specific)"
+        )
 
     qparts: Dict[str, Dict[str, Any]] = {}
     tree: Dict[str, Any] = {}

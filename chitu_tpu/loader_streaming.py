@@ -71,7 +71,6 @@ class LazySlice:
         transpose: bool = False,
         cast_floats_to: Optional[np.dtype] = None,
         logical_dtype: Optional[str] = None,
-        window: Optional[Tuple[slice, ...]] = None,
     ):
         self._path = path
         self._key = key
@@ -126,18 +125,24 @@ class LazySlice:
 
 
 # one mmap per file per process; safetensors handles are cheap but
-# repeated safe_open calls re-parse the header
-_OPEN_CACHE: Dict[str, Any] = {}
+# repeated safe_open calls re-parse the header. Keyed by (mtime, size)
+# so a rewritten dump (re-preprocess into the same dir) is re-opened
+# instead of served from a stale mmap whose offsets describe the old
+# file.
+_OPEN_CACHE: Dict[str, Tuple[Tuple[float, int], Any]] = {}
 
 
 def _open_cached(path: str):
-    f = _OPEN_CACHE.get(path)
-    if f is None:
-        from safetensors import safe_open
+    st = os.stat(path)
+    stamp = (st.st_mtime, st.st_size)
+    hit = _OPEN_CACHE.get(path)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    from safetensors import safe_open
 
-        # numpy framework reads raw lanes; bf16/fp8 restore via views
-        f = safe_open(path, framework="np")
-        _OPEN_CACHE[path] = f
+    # numpy framework reads raw lanes; bf16/fp8 restore via views
+    f = safe_open(path, framework="np")
+    _OPEN_CACHE[path] = (stamp, f)
     return f
 
 
@@ -230,6 +235,46 @@ class LazyConcat:
         return np.concatenate(pieces, axis=ax)
 
 
+class LazyWindow:
+    """A contiguous sub-range view of a reader along one axis. The
+    rank-major merged-column assembly slices each projection into per-tp
+    chunks without reading anything (models/llama.rank_major_merge done
+    lazily)."""
+
+    def __init__(self, base, axis: int, start: int, stop: int):
+        self._base = base
+        self._axis = axis % len(base.shape)
+        self._start = start
+        shape = list(base.shape)
+        shape[self._axis] = stop - start
+        self.shape = tuple(shape)
+        self.dtype = base.dtype
+
+    def __getitem__(self, idx) -> np.ndarray:
+        idx = list(_full_idx(idx, len(self.shape)))
+        s = idx[self._axis]
+        lo, hi, step = s.indices(self.shape[self._axis])
+        if step != 1:
+            raise NotImplementedError("strided window reads")
+        idx[self._axis] = slice(self._start + lo, self._start + hi)
+        return self._base[tuple(idx)]
+
+
+def lazy_rank_major(parts: Sequence[Any], tp: int):
+    """Lazy rank-major merge along the LAST axis: concat over ranks r of
+    (part0_chunk_r | part1_chunk_r | ...) — the reader-level twin of
+    models/llama.rank_major_merge, so merged projections assemble
+    per-shard at READ time and stream straight to their devices."""
+    if tp <= 1:
+        return LazyConcat(list(parts), axis=-1)
+    chunks = []
+    for r in range(tp):
+        for p in parts:
+            w = p.shape[-1] // tp
+            chunks.append(LazyWindow(p, -1, r * w, (r + 1) * w))
+    return LazyConcat(chunks, axis=-1)
+
+
 class HostArray:
     """Adapter making a plain numpy array satisfy the reader protocol
     (eagerly assembled small leaves ride the same placement path)."""
@@ -243,12 +288,17 @@ class HostArray:
         return self._arr[idx]
 
 
-def reader_index(ckpt_dir: str) -> Dict[str, str]:
-    """key -> file path over every .safetensors file in a directory."""
+def reader_index(
+    ckpt_dir: str, files: Optional[List[str]] = None
+) -> Dict[str, str]:
+    """key -> file path. `files` (meta.json's list) restricts the sweep
+    to the dump's own files so stale shards from an older generation in
+    the same directory cannot shadow fresh keys."""
     out: Dict[str, str] = {}
-    files = sorted(
-        f for f in os.listdir(ckpt_dir) if f.endswith(".safetensors")
-    )
+    if files is None:
+        files = sorted(
+            f for f in os.listdir(ckpt_dir) if f.endswith(".safetensors")
+        )
     if not files:
         raise FileNotFoundError(f"no .safetensors under {ckpt_dir}")
     for fname in files:

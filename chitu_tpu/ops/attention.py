@@ -13,10 +13,12 @@ implementations selected by `op_impl`:
   equivalents (reference: attn_backend.py:167-243,504-572,687-774).
 
 KV pool layout: ONE pool per layer, [num_pages, page, M].
-- GQA/MHA models: M = pad128(2*KV*D), per-head interleaved
-  [K_0 V_0 K_1 V_1 ...] rows — one DMA fetches both, and the minor dim
-  shards over 'tp' on whole-KV-head boundaries (split_kv=True; the
-  per-rank n_local_kv_heads sizing of reference backend.py:181-217).
+- GQA/MHA models: M = pad128(2*KV*D), K-half-then-V-half rows
+  [K_0..K_{KV-1} V_0..V_{KV-1}] (grouped per tp shard when the minor is
+  sharded — pack_kv) — one DMA fetches both halves, kernels dot only the
+  half they need, and the minor dim shards over 'tp' on whole-KV-head
+  boundaries (split_kv=True; the per-rank n_local_kv_heads sizing of
+  reference backend.py:181-217).
 - MLA models: M = pad128(kv_dim); K and V are the same latent rows
   (split_kv=False; reference merged cache: backend.py:181-217).
 
@@ -60,7 +62,6 @@ def pack_kv(
         if kf.shape[-1] < minor:
             kf = jnp.pad(kf, ((0, 0), (0, minor - kf.shape[-1])))
         return kf
-    KV = k.shape[1]
     kg = k.reshape(N, groups, -1)  # [N, g, KVl*D]
     vg = v.reshape(N, groups, -1)
     flat = jnp.concatenate([kg, vg], axis=-1).reshape(N, -1)

@@ -726,8 +726,14 @@ def attend_decode_fused(
     L, P, page, M = pool.shape
     assert page == page_size and D == head_dim
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    isz = pool.dtype.itemsize
+    # budget the ring AFTER the kernel's other page-sized scratch: the
+    # nbuf cross-row prefetch (2 pages) and the wbuf RMW blocks — a ring
+    # sized against the raw budget blew the 16 MB scoped VMEM for
+    # dense-cache geometries that previously compiled
+    extra = (2 * page + 2 * min(page, 8)) * M * isz
     ring = min(
-        _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
+        _fit_ring(page, M, isz, max(VMEM_BUDGET // 2 - extra, 0)),
         max(block_tables.shape[-1], 2),
     )
     # multi-row grid blocks: per-grid-step fixed cost dominates at

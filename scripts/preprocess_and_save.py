@@ -37,7 +37,10 @@ def main():
     out = os.path.join(
         cfg.models.ckpt_dir or ".", "chitu_tpu_preprocessed"
     )
-    save_preprocessed(engine.params, out)
+    save_preprocessed(
+        engine.params, out,
+        layout={"merge_tp": getattr(engine.model, "merge_tp", 1)},
+    )
     logger.info(
         "preprocessed checkpoint saved to %s in %.1fs "
         "(serve with skip_preprocess=true)",

@@ -11,6 +11,7 @@ import dataclasses
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -173,3 +174,96 @@ def test_streaming_quantized_tree(tmp_path):
     wq = loaded["layers"]["wq"]
     assert isinstance(wq, QTensor)
     assert wq.kind == base.params["layers"]["wq"].kind
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_raw_hf_checkpoint_streams_to_shards(tmp_path):
+    """A plain HF safetensors checkpoint under a mesh streams straight
+    to device shards (no preprocess pass, no full-leaf host buffers):
+    per-device placement peak = one shard, logits match the eager
+    single-device engine."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    transformers.LlamaForCausalLM(hf_cfg).eval().save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    margs = dict(
+        type="hf-llama", dim=128, inter_dim=256, n_layers=2, n_heads=8,
+        n_kv_heads=4, vocab_size=512, rotary_type="hf-llama",
+    )
+
+    def mk(tp):
+        cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
+        m = dataclasses.replace(cfg.models, ckpt_dir=str(tmp_path), **margs)
+        infer = dataclasses.replace(cfg.infer, do_load=True, tp_size=tp)
+        return dataclasses.replace(cfg, models=m, infer=infer)
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    want = Engine(mk(1)).generate("stream raw hf", p)
+
+    reset_placement_stats()
+    eng = Engine(mk(4))
+    st = placement_stats()
+    assert st["max_shard_bytes"] > 0, "raw-HF load did not stream"
+    wq = eng.params["layers"]["wq"]
+    assert wq.addressable_shards[0].data.nbytes == wq.nbytes // 4
+    assert eng.generate("stream raw hf", p) == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_preprocessed_merge_layout_mismatch_raises(tmp_path):
+    """A dump whose merged projections were laid out for one tp must be
+    REFUSED at another (reinterpreting the rank-major columns would
+    silently scramble q/k/v — code-review finding)."""
+    cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "on"})
+    m = dataclasses.replace(
+        cfg.models, n_layers=2, dim=256, n_heads=8, n_kv_heads=4,
+        inter_dim=512, vocab_size=512,
+    )
+    base = Engine(dataclasses.replace(cfg, models=m))
+    assert base.model.merge_tp == 1
+    ckpt = tmp_path / "ckpt"
+    save_preprocessed(
+        base.params, str(ckpt / "chitu_tpu_preprocessed"),
+        layout={"merge_tp": base.model.merge_tp},
+    )
+    cfg4 = dataclasses.replace(
+        cfg,
+        skip_preprocess=True,
+        models=dataclasses.replace(m, ckpt_dir=str(ckpt)),
+        infer=dataclasses.replace(
+            cfg.infer, do_load=True, tp_size=4, merge_qkv_gate_up="on"
+        ),
+    )
+    with pytest.raises(ValueError, match="merge_tp"):
+        Engine(cfg4)
+
+
+def test_preprocessed_regeneration_ignores_stale_shards(tmp_path):
+    """Re-preprocessing into a dir that still holds an older generation's
+    differently-named shard files must load ONLY the new dump's files
+    (meta.json file list — code-review finding: last-wins key shadowing
+    silently mixed generations)."""
+    base = Engine(_cfg())
+    out = str(tmp_path / "pre")
+    save_preprocessed(base.params, out, num_shards=3)
+    # regenerate with DIFFERENT values into the same dir, single file
+    p2 = jax.tree_util.tree_map(
+        lambda x: x + 1 if x.dtype == jnp.bfloat16 else x, base.params
+    )
+    save_preprocessed(p2, out)
+    loaded = load_preprocessed(out, model=base.model)
+    want = dict(_arrays(p2))
+    for path, arr in _arrays(loaded):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(arr)),
+            np.asarray(jax.device_get(want[path])),
+            err_msg=path,
+        )
