@@ -30,8 +30,13 @@ from chitu_tpu.ops.qtensor import QTensor, QuantKind
 from chitu_tpu.ops.quant_gemm import register
 
 BM_MAX = 256
-BN = 1024
+BN = 2048
 QBLK = 128  # quant block size along K
+# tile choice is measured IN-ENGINE, not in isolation: isolated
+# layer-scan microbenches prefer BK=512 by 20-40%, but inside the full
+# decode program (quant GEMMs interleaved with attention/sampling) the
+# same config loses 6% — engine A/B picked BK=1024 x BN=2048 with
+# _pick_bn trimming N-padding per shape
 BK = 1024  # GEMM K-tile (= GROUPS quant blocks)
 GROUPS = BK // QBLK
 
@@ -44,6 +49,15 @@ def _pad_to(x: jnp.ndarray, m: int, axis: int) -> jnp.ndarray:
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _pick_bn(N: int) -> int:
+    """N-tile: the largest candidate <= BN that minimizes N padding —
+    bn=BN blindly pads e.g. N=2560 -> 4096 (60% dead DMA + MXU), erasing
+    the wide-tile win. Ties prefer the wider tile."""
+    cands = [c for c in (BN, BN // 2, BN // 4, BN // 8) if c >= 128]
+    best = min(cands, key=lambda c: (-(-N // c) * c, -c))
+    return min(best, N) if N >= 128 else N
 
 
 def _gemm_kernel(
@@ -147,7 +161,7 @@ def _quant_gemm(
         bn = PACK_TILE
         assert N % PACK_TILE == 0
     else:
-        bn = min(BN, N)
+        bn = _pick_bn(N)
 
     xp = _pad_to(_pad_to(x, bm, 0), BK, 1)
     dp = _pad_to(_pad_to(data, BK, 0), bn // 2 if int4_packed else bn, 1)
@@ -245,7 +259,7 @@ def _quant_gemm_stacked(
         bn = PACK_TILE
         assert N % PACK_TILE == 0
     else:
-        bn = min(BN, N)
+        bn = _pick_bn(N)
         while N % bn:
             bn //= 2
         assert bn >= 128, f"stacked gemm needs a 128-multiple tile for {N}"
@@ -478,7 +492,7 @@ def _w8a8_matmul_pre(
     N = q.data.shape[-1]
 
     bm = min(BM_MAX, max(32, (T + 31) // 32 * 32))  # int8 sublane tile = 32
-    bn = min(BN, N)
+    bn = _pick_bn(N)
     xp = _pad_to(_pad_to(xq, bm, 0), BK, 1)
     dp = _pad_to(_pad_to(q.data, BK, 0), bn, 1)
     Tp, Kp = xp.shape
@@ -581,7 +595,7 @@ def dense_matmul_stacked(
     T, K = x.shape
     L, _, N = w.shape
     bm = min(BM_MAX, max(8, (T + 7) // 8 * 8))
-    bn = min(BN, N)
+    bn = _pick_bn(N)
     while N % bn:
         bn //= 2
     bk = BK
