@@ -135,6 +135,15 @@ class Executor:
         # speculative decode: [tokens emitted, verify rounds] — mean
         # tokens/round is the acceptance-driven speedup over plain decode
         self._spec_stats = [0, 0]
+        # adaptive-window dispatch-cost model: wall(chain) = a + steps*b,
+        # fit online from clean (no fresh compile) decode chains; kappa =
+        # a/b is the host-round cost in step-equivalents fed to
+        # _pick_window (VERDICT r3 weak 1: the hardcoded kappa=1 was ~15x
+        # off this link's reality and made adaptive windows LOSE their
+        # serving A/B). calibrate_dispatch() seeds it explicitly.
+        self._lat_pairs: List[Tuple[int, float]] = []
+        self._kappa: float = 1.0
+        self._kappa_src = "default"
         # warmup toggles this off so the windowed decode programs compile
         # even when every warmup burst would take the speculative path
         self.spec_enabled = True
@@ -1047,10 +1056,99 @@ class Executor:
             cand = [1]
         if not self.cfg.infer.adaptive_window:
             return cand[0]
-        kappa = 1.0
+        kappa = self._kappa
         return max(
             cand,
             key=lambda w: (sum(min(w, r) for r in r_eff) / (w + kappa), w),
+        )
+
+    def _record_chain(self, steps: int, wall: float):
+        """Feed one clean decode-chain timing into the dispatch-cost fit
+        (wall = a + steps*b least squares; kappa = a/b)."""
+        self._lat_pairs.append((steps, wall))
+        if len(self._lat_pairs) > 256:
+            del self._lat_pairs[:128]
+        pts = self._lat_pairs[-64:]
+        ss = [p[0] for p in pts]
+        if len(pts) < 4 or max(ss) - min(ss) < 2:
+            return
+        n = float(len(pts))
+        sx = sum(ss)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(s * s for s in ss)
+        sxy = sum(s * w for s, w in pts)
+        denom = n * sxx - sx * sx
+        if denom <= 0:
+            return
+        b = (n * sxy - sx * sy) / denom
+        if b <= 0:
+            return
+        a = max(0.0, (sy - b * sx) / n)
+        self._kappa = float(np.clip(a / b, 0.25, 64.0))
+        self._kappa_src = "online"
+
+    def calibrate_dispatch(self, reps: int = 3):
+        """Measure the host dispatch/sync overhead per decode chain in
+        step-equivalents and seed the adaptive-window kappa: time the
+        compiled window programs at the shortest and longest bucket on a
+        fully-masked dummy batch (valid=False rows — appends/counts are
+        masked in-program, so no engine state changes; the weight reads,
+        the real per-step cost, still run). Called from serving warmup;
+        the online fit (_record_chain) keeps refining it under traffic."""
+        wins = self._window_buckets()
+        if len(wins) < 2:
+            return
+        w_hi, w_lo = wins[0], wins[-1]
+        B = self.decode_buckets[0]
+        zeros_i = jnp.zeros((B,), jnp.int32)
+        args = dict(
+            tokens=zeros_i,
+            seq_lens=zeros_i,
+            bts=jnp.zeros((B, self.mp_full), jnp.int32),
+            valid=jnp.zeros((B,), bool),
+            done0=jnp.ones((B,), bool),
+            slots=jnp.full((B,), np.iinfo(np.int32).max, jnp.int32),
+            temps=jnp.ones((B,), jnp.float32),
+            tks=jnp.ones((B,), jnp.int32),
+            tps=jnp.ones((B,), jnp.float32),
+            pens=jnp.zeros((B,), jnp.float32),
+            rem=jnp.ones((B,), jnp.int32),
+            stop=jnp.full((B, 8), -2, jnp.int32),
+            chk=jnp.zeros((B,), bool),
+        )
+
+        def run(w):
+            fn = self._decode_fn(B, self.mp_full, w, True, True)
+            toks, self.cache.arrays, self.counts, _ = fn(
+                self.params, self.cache.arrays, self.counts,
+                args["tokens"], args["seq_lens"], args["bts"],
+                args["valid"], args["done0"], args["slots"],
+                args["temps"], args["tks"], args["tps"], args["pens"],
+                args["rem"], args["stop"], args["chk"], self._next_key(),
+            )
+            # fetch-timed, like the real chain (block_until_ready can
+            # return early through a dispatch relay and report
+            # impossible speeds — see bench.py envelope notes)
+            np.asarray(toks)
+
+        times = {}
+        for w in (w_lo, w_hi):
+            run(w)  # compile + warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run(w)
+                best = min(best, time.perf_counter() - t0)
+            times[w] = best
+        b = (times[w_hi] - times[w_lo]) / (w_hi - w_lo)
+        if b <= 0:
+            return
+        a = max(0.0, times[w_lo] - w_lo * b)
+        self._kappa = float(np.clip(a / b, 0.25, 64.0))
+        self._kappa_src = "calibrated"
+        logger.info(
+            "dispatch calibration: overhead %.1fms, step %.2fms, kappa %.1f",
+            a * 1e3, b * 1e3, self._kappa,
         )
 
     def _window_schedule(
@@ -1192,7 +1290,12 @@ class Executor:
         dev_done = jnp.zeros((B,), bool)
         outs = []
         steps_issued = 0
+        fresh_compile = False
+        t_chain0 = time.perf_counter()
         for wi, win_w in enumerate(schedule):
+            fresh_compile |= (
+                B, self.mp_full, win_w, greedy, nopen
+            ) not in self._jit_decode
             fn = self._decode_fn(B, self.mp_full, win_w, greedy, nopen)
             steps_issued += win_w
             ok = True
@@ -1234,6 +1337,10 @@ class Executor:
         # tunnel round-trip EACH (~15 ms; the 54 ms inter-round stall the
         # decode-window profile attributed, STATUS.md perf ledger)
         toks_host = np.concatenate(jax.device_get(outs), axis=0)
+        if not fresh_compile and steps_issued > 0:
+            self._record_chain(
+                steps_issued, time.perf_counter() - t_chain0
+            )
         for i, t in enumerate(live):
             for k in range(toks_host.shape[0]):
                 tok = int(toks_host[k, i])

@@ -38,16 +38,24 @@ from chitu_tpu.ops.linear import linear
 
 
 def split_scan_leaves(layers):
-    """(xs_leaves, static_leaves): dense arrays ride the scan xs (windowed
-    slicing, efficient); stacked QTensors — per-layer weights (data ndim 3)
-    AND per-layer expert stacks (ndim 4) — stay out of the scan whole:
-    `linear(layer=l)` / the grouped MoE GEMM index them inside the kernel
-    (a sliced pallas operand must be materialized = copied every layer)."""
+    """(xs_leaves, static_leaves): per-layer dense matrices ride the scan
+    xs (XLA fuses the layer slice into their consumer dots); leaves whose
+    consumer is a Pallas kernel stay out of the scan whole and are
+    layer-indexed INSIDE the kernel via scalar prefetch — a sliced pallas
+    operand must be materialized, i.e. copied, every layer. That covers
+    stacked QTensors (data ndim >= 3: `linear(layer=l)` / the grouped MoE
+    GEMM dequant in-kernel) and DENSE expert stacks (ndim 4, the grouped
+    MoE GEMM): scan-slicing a bf16 [L, E, K, N] expert stack tripled its
+    HBM traffic (slice read + slice write + kernel read) and was measured
+    costing the bf16 MoE decode ~2.4x over fp8's whole-stack path at the
+    deepseek-mini-bench geometry (r4 ledger)."""
     from chitu_tpu.ops.qtensor import QTensor
 
     xs, static = {}, {}
     for k, v in layers.items():
         if isinstance(v, QTensor) and v.data.ndim >= 3:
+            static[k] = v
+        elif not isinstance(v, QTensor) and v.ndim == 4:
             static[k] = v
         else:
             xs[k] = v

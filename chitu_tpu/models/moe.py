@@ -309,13 +309,15 @@ def moe_ffn_auto(
     _warn_capacity_fallback(x.shape[0], E, cap)
 
     def slice_layer(w):
-        # stacked QTensor leaves stay whole for the kernel paths; the
-        # capacity einsums need this layer's [E, ...] stack
+        # stacked leaves (QTensor or dense) stay whole for the kernel
+        # paths; the capacity einsums need this layer's [E, ...] stack
         from chitu_tpu.ops.qtensor import QTensor
 
-        if isinstance(w, QTensor) and w.data.ndim == 4 and layer is not None:
-            return w[layer]
-        return w
+        if layer is None:
+            return w
+        if isinstance(w, QTensor):
+            return w[layer] if w.data.ndim == 4 else w
+        return w[layer] if w.ndim == 4 else w
 
     if w_up is None:
         # merged stacks on the capacity fallback: split the halves

@@ -196,6 +196,11 @@ def _quantized_matmul(x, w: QTensor, layer=None) -> jnp.ndarray:
                 w.kind != QuantKind.W4A16
                 or w.block == pallas_quant_gemm.QBLK
             )
+            # the stacked kernel tiles N in 128-lane multiples; odd
+            # output widths (MLA's wkv_a: kv_lora_rank+rope = 576) take
+            # the XLA dequant fallback below (tiny leaves — wkv_a is
+            # <0.5% of per-step bytes at DeepSeek geometry)
+            and w.scale.shape[-1] % 128 == 0
         ):
             return pallas_quant_gemm.matmul_stacked(x, w, layer)
         fn = quant_gemm.PALLAS_GEMMS.get(w.kind)

@@ -172,6 +172,12 @@ def warmup_engine(engine: Engine, full: bool = True):
                         engine.run_until_complete()
         finally:
             ex.spec_enabled = True
+        if cfg.infer.adaptive_window:
+            # the decode programs the sweep above just compiled are
+            # exactly what calibration times; seeding kappa here means
+            # the first real window pick already uses this link's
+            # measured dispatch cost instead of the default
+            ex.calibrate_dispatch()
         if cfg.infer.spec_decode == "ngram":
             for _ in range(n):
                 engine.submit(
@@ -332,6 +338,11 @@ def build_app(ctx: ServerContext) -> web.Application:
             "model": ctx.cfg.models.name,
             "live_tasks": len(eng.pool) if eng else 0,
         }
+        if eng is not None and ctx.cfg.infer.adaptive_window:
+            body["adaptive_window"] = {
+                "kappa": round(eng.executor._kappa, 3),
+                "kappa_src": eng.executor._kappa_src,
+            }
         alloc = eng.cache.allocator if eng else None
         if alloc is not None and hasattr(alloc, "hits"):
             body["prefix_cache"] = {

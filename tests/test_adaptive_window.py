@@ -111,6 +111,68 @@ def test_mixed_budget_batch_exact_lengths(engine):
         assert r.finish_reason == "length"
 
 
+def test_record_chain_fits_kappa(engine):
+    """The online dispatch-cost fit recovers kappa = a/b from synthetic
+    (steps, wall) chains obeying wall = a + steps*b."""
+    ex = engine.executor
+    ex._lat_pairs = []
+    a, b = 0.012, 0.002  # 12 ms dispatch overhead, 2 ms/step -> kappa 6
+    try:
+        for steps in (1, 4, 16, 1, 4, 16, 16, 4):
+            ex._record_chain(steps, a + steps * b)
+        assert ex._kappa_src == "online"
+        assert ex._kappa == pytest.approx(6.0, rel=0.05)
+    finally:
+        ex._lat_pairs, ex._kappa, ex._kappa_src = [], 1.0, "default"
+
+
+def test_record_chain_needs_spread(engine):
+    """Chains all at one window length cannot identify a/b — the fit
+    must not move kappa off its seed."""
+    ex = engine.executor
+    ex._lat_pairs = []
+    ex._kappa, ex._kappa_src = 1.0, "default"
+    for _ in range(10):
+        ex._record_chain(16, 0.05)
+    assert ex._kappa == 1.0
+    assert ex._kappa_src == "default"
+
+
+def test_high_kappa_prefers_long_windows(engine):
+    """With dispatch cost ~ many step-equivalents, shrinking the window
+    for a tail batch no longer pays: the pick must grow with kappa."""
+    ex = engine.executor
+    saved = ex._kappa
+    try:
+        ex._kappa = 0.25
+        assert ex._pick_window([2, 2, 1, 2], min_headroom=100) == 1
+        ex._kappa = 48.0
+        assert ex._pick_window([2, 2, 1, 2], min_headroom=100) == 4
+    finally:
+        ex._kappa = saved
+
+
+def test_calibrate_dispatch_seeds_kappa():
+    """calibrate_dispatch times the compiled window programs and seeds a
+    positive, clamped kappa without touching engine results."""
+    eng = Engine(
+        tiny_cfg(
+            **{"infer.stop_with_eos": False, "infer.decode_window": 16}
+        )
+    )
+    ex = eng.executor
+    # compile the (B, full-window) greedy/nopen programs calibration uses
+    eng.generate("warm", SampleParams(temperature=0.0, max_new_tokens=17))
+    ex.calibrate_dispatch(reps=2)
+    assert ex._kappa_src == "calibrated"
+    assert 0.25 <= ex._kappa <= 64.0
+    # engine still generates correctly after the masked dummy batches
+    out = eng.generate(
+        "post calibration", SampleParams(temperature=0.0, max_new_tokens=5)
+    )
+    assert len(out) > 0
+
+
 def test_tokens_match_non_adaptive():
     """Greedy output must be identical with and without window
     adaptation (it changes scheduling granularity, not math)."""
