@@ -236,7 +236,12 @@ class Engine:
 
             pspec = self.model.kv_cache_partition_spec(self.mesh.shape["tp"])
             if ring_kv:
-                pspec = P(pspec[0], "dp", *pspec[2:])
+                ring_of = lambda s: P(s[0], "dp", *s[2:])
+                pspec = (
+                    {k: ring_of(s) for k, s in pspec.items()}
+                    if isinstance(pspec, dict)
+                    else ring_of(pspec)
+                )
             cache_sharding = (self.mesh, pspec)
         self.cache = PagedKVCache(
             spec["n_layers"],

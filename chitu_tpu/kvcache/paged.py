@@ -362,13 +362,18 @@ class PagedKVCache:
             for name, n in groups.items()
         }
         if sharding is not None:
-            # sharding = (mesh, PartitionSpec); divisibility checked per
-            # array (layer groups differ in size)
+            # sharding = (mesh, PartitionSpec | {group: PartitionSpec});
+            # divisibility checked per array (layer groups differ in size)
             from chitu_tpu.parallel import safe_named_sharding
 
             mesh, spec = sharding
+            spec_of = (
+                spec.get if isinstance(spec, dict) else (lambda k: spec)
+            )
             self.arrays = {
-                k: jax.device_put(v, safe_named_sharding(mesh, spec, v.shape))
+                k: jax.device_put(
+                    v, safe_named_sharding(mesh, spec_of(k), v.shape)
+                )
                 for k, v in self.arrays.items()
             }
 
