@@ -26,6 +26,7 @@ reference's native-fp8 LinearDeepSeekV3 (:109-226).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict
 
 import jax
@@ -115,10 +116,18 @@ class DeepSeekV3ForCausalLM:
             },
         )
 
-    def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
+    def kv_cache_partition_spec(self, tp_size: int = 1):
         # latent cache is head-shared: replicated over tp (TP shards heads
-        # via wq_b); layer dim follows the PP stage layout
-        return P("pp", None, None, None)
+        # via wq_b). The MoE stack's cache follows the PP stage layout;
+        # the dense-first stack's cache REPLICATES over pp — the few
+        # dense layers (3/61 on the flagship) run entirely on stage 0 in
+        # the pipelined decode (parallel/pipeline.py), and n_dense rarely
+        # divides pp anyway. Memory cost: n_dense/n_layers of KV per
+        # extra stage (~5% flagship).
+        return {
+            "kv_dense": P(None, None, None, None),
+            "kv_moe": P("pp", None, None, None),
+        }
 
     def _ring_layer_axis(self) -> str:
         """pp composition for the ring-sharded latent pool (see
@@ -126,7 +135,7 @@ class DeepSeekV3ForCausalLM:
         return "pp" if self.cfg.infer.pp_size > 1 else ""
 
     def quantizable_keys(self):
-        return {
+        keys = {
             "wq",
             "wq_a",
             "wq_b",
@@ -143,6 +152,16 @@ class DeepSeekV3ForCausalLM:
             "exp_up",
             "exp_down",
         }
+        if self.absorb:
+            # the absorb einsums DEQUANTIZE wkv_b per layer per call
+            # (reference also re-dequants, model_deepseek_v3.py:516-532):
+            # quantizing it turns one 2-byte read into an fp8 read + a
+            # bf16 dequant write + read (~2.5x the traffic) — measured
+            # 0.3 ms/step at the deepseek-mini-bench geometry. It is
+            # ~2% of weights; keep it bf16 on the quant-on-load path.
+            # (Native-fp8 CHECKPOINTS still load it quantized.)
+            keys = keys - {"wkv_b"}
+        return keys
 
     # -- parameters ---------------------------------------------------------
 
@@ -305,8 +324,16 @@ class DeepSeekV3ForCausalLM:
             wkv_b_d = wkv_b.astype(x.dtype)  # already scan-sliced
         return q_nope, q_pe, c_kv, k_pe, wkv_b_d, g
 
-    def _mla(self, x, layers, kv_pool, layer, cos, sin, append, attend):
+    def _mla(
+        self, x, layers, kv_pool, layer, cos, sin, append, attend,
+        fused=None,
+    ):
         """MLA absorb forward for a [T, D] slab.
+
+        `fused` (fn(q, pool, layer, new_kv) -> (o, pool)) replaces the
+        separate append+attend with the in-kernel RMW append
+        (pallas_attention.attend_decode_fused) — kills the per-layer XLA
+        scatter on the single-chip decode path.
 
         (reference absorb paths: model_deepseek_v3.py:475-536 decode,
         :564-602 prefill-as-MQA)"""
@@ -338,14 +365,17 @@ class DeepSeekV3ForCausalLM:
 
         # merged cache row: [c_kv || k_pe], one shared "kv head"
         new_kv = jnp.concatenate([c_kv, k_pe], axis=-1)[:, None, :]  # [T,1,576]
-        kv_pool = append(kv_pool, layer, new_kv)
 
         # MQA over the merged cache with padded head dim
         q_full = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, H, 576]
         pad = self.kv_minor - self.kv_dim
         if pad:
             q_full = jnp.pad(q_full, ((0, 0), (0, 0), (0, pad)))
-        o = attend(q_full, kv_pool, layer)  # [T, H, kv_minor]
+        if fused is not None:
+            o, kv_pool = fused(q_full, kv_pool, layer, new_kv)
+        else:
+            kv_pool = append(kv_pool, layer, new_kv)
+            o = attend(q_full, kv_pool, layer)  # [T, H, kv_minor]
         out_c = o[..., :dc]  # latent-weighted sum
 
         v_out = jnp.einsum(
@@ -357,7 +387,10 @@ class DeepSeekV3ForCausalLM:
             kv_pool,
         )
 
-    def _mla_dense(self, x, layers, kv_pool, layer, cos, sin, append, attend):
+    def _mla_dense(
+        self, x, layers, kv_pool, layer, cos, sin, append, attend,
+        fused=None,
+    ):
         """mla_absorb=none: materialize per-head K/V and run standard MHA
         (reference dense paths: model_deepseek_v3.py:612-670). The cache
         holds [k_nope | k_pe] (192) and V padded to 192 per head."""
@@ -383,8 +416,11 @@ class DeepSeekV3ForCausalLM:
         v = kv[..., dn:]  # [T, H, 128]
         v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, self.qk_head_dim - dv)))
 
-        kv_pool = append(kv_pool, layer, (k, v_pad))
-        o = attend(q, kv_pool, layer)  # [T, H, 192]
+        if fused is not None:
+            o, kv_pool = fused(q, kv_pool, layer, (k, v_pad))
+        else:
+            kv_pool = append(kv_pool, layer, (k, v_pad))
+            o = attend(q, kv_pool, layer)  # [T, H, 192]
         o = o[..., :dv]
         return (
             linear(o.reshape(T, H * dv), g("wo"), layer=layer),
@@ -427,7 +463,7 @@ class DeepSeekV3ForCausalLM:
 
     # -- stacks -------------------------------------------------------------
 
-    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn, mesh=None):
+    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn, mesh=None, fused=None):
         from chitu_tpu.models.llama import split_scan_leaves
 
         a = self.args
@@ -440,7 +476,7 @@ class DeepSeekV3ForCausalLM:
             x = rms_norm(h, view["attn_norm"], a.norm_eps)
             mla = self._mla if self.absorb else self._mla_dense
             attn_out, pool = mla(
-                x, view, pool, layer, cos, sin, append, attend
+                x, view, pool, layer, cos, sin, append, attend, fused
             )
             h = h + attn_out
             x = rms_norm(h, view["ffn_norm"], a.norm_eps)
@@ -454,7 +490,7 @@ class DeepSeekV3ForCausalLM:
         )
         return h, kv_pool
 
-    def _forward(self, params, cache, h, cos, sin, append, attend, mesh=None):
+    def _forward(self, params, cache, h, cos, sin, append, attend, mesh=None, fused=None):
         h, kv_dense = self._run_stack(
             params["dense_layers"],
             cache["kv_dense"],
@@ -466,6 +502,7 @@ class DeepSeekV3ForCausalLM:
             attend,
             self._dense_ffn,
             mesh,
+            fused,
         )
         h, kv_moe = self._run_stack(
             params["moe_layers"],
@@ -478,6 +515,7 @@ class DeepSeekV3ForCausalLM:
             attend,
             self._moe_ffn,
             mesh,
+            fused,
         )
         return h, {"kv_dense": kv_dense, "kv_moe": kv_moe}
 
@@ -760,8 +798,31 @@ class DeepSeekV3ForCausalLM:
                     mesh=mesh,
                 )
 
+        # fused in-kernel append+attend (the flash_attn_with_kvcache /
+        # FlashMLA contract, reference: attn_backend.py:167-243): the MLA
+        # latent row lands via the kernel's aligned RMW and contributes
+        # one extra online-softmax column — no per-layer XLA scatter
+        fused = None
+        if (
+            attn_impl == "pallas"
+            and mesh is None
+            and not ring_kv_axis
+            and os.environ.get("CHITU_TPU_FUSED_DECODE", "1") != "0"
+        ):
+            from chitu_tpu.ops import pallas_attention
+
+            interp = jax.default_backend() != "tpu"
+
+            def fused(q, pool, layer, new_kv):
+                k, v = new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+                return pallas_attention.attend_decode_fused(
+                    q, pool, layer, k, v, block_tables, seq_lens, valid,
+                    page_size, kvh, kvd, split_kv=not self.absorb,
+                    scale=self.attn_scale, interpret=interp,
+                )
+
         h, cache = self._forward(
-            params, cache, h, cos, sin, append, attend, mesh
+            params, cache, h, cos, sin, append, attend, mesh, fused
         )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         return self._logits(params, h), cache

@@ -199,6 +199,7 @@ def _decode_kernel(
     window: int = 0,
     softcap: float = 0.0,
     khalf: int = 0,
+    nofold: bool = False,
 ):
     b = pl.program_id(0)
     B = pl.num_programs(0)
@@ -217,7 +218,7 @@ def _decode_kernel(
 
     total, p0, n_pages = row_geometry(b)
     H = q_ref.shape[1]
-    D = fold_ref.shape[1]
+    D = o_ref.shape[2]
     layer = layer_ref[0]
 
     def dma(slot, i, row):
@@ -284,12 +285,18 @@ def _decode_kernel(
             p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [H, M or khalf]
-        pv = jax.lax.dot_general(
-            (pv_full * mask_ref[...]).astype(jnp.bfloat16),
-            fold_ref[...].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, D]
+        if nofold:
+            # merged 1-"head" MLA latent: mask is all-ones, fold is the
+            # identity — pv_full IS the [H, D] result (skipping the
+            # [H, M] x [M, D] fold matmul per page)
+            pv = pv_full
+        else:
+            pv = jax.lax.dot_general(
+                (pv_full * mask_ref[...]).astype(jnp.bfloat16),
+                fold_ref[...].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, D]
 
         # refill the ring slot we just freed
         @pl.when(i + ring < n_pages)
@@ -350,10 +357,19 @@ def attend_decode(
     q_exp = _expand_q(
         q, kv_heads, Mq, group, head_offset, split_kv and not khalf
     )
-    mask = _head_block_mask(
-        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
-    )
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
+    # merged 1-"head" latent rows (MLA absorb): mask = all-ones, fold =
+    # identity — skip both in-kernel (and their VMEM residency)
+    nofold = (not split_kv) and kv_heads == 1 and M == D
+    if nofold:
+        mask = jnp.ones((1, 1), jnp.float32)
+        fold = jnp.ones((1, 1), jnp.float32)
+    else:
+        mask = _head_block_mask(
+            H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+        )
+        fold = jnp.asarray(
+            _fold_matrix(kv_heads, D, Mq, split_kv and not khalf)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -377,6 +393,7 @@ def attend_decode(
     kernel = functools.partial(
         _decode_kernel, page=page, scale=scale, split_kv=split_kv,
         ring=ring, window=window, softcap=softcap, khalf=khalf,
+        nofold=nofold,
     )
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
     return pl.pallas_call(
@@ -418,6 +435,7 @@ def _decode_fused_kernel(
     window: int = 0,
     softcap: float = 0.0,
     khalf: int = 0,
+    nofold: bool = False,
 ):
     """Fused append+attend decode: the reference's
     `flash_attn_with_kvcache` contract (in-kernel KV append,
@@ -446,7 +464,7 @@ def _decode_fused_kernel(
     layer = layer_ref[0]
     align = wbuf.shape[1]
     H = q_ref.shape[1]
-    D = fold_ref.shape[1]
+    D = o_ref.shape[2]
 
     def slot_geom(row):
         tot = seq_lens_ref[row]
@@ -584,12 +602,16 @@ def _decode_fused_kernel(
                 p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            pv = jax.lax.dot_general(
-                (pv_full * mask_ref[...]).astype(jnp.bfloat16),
-                fold_ref[...].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if nofold:
+                # merged 1-"head" latent (MLA): identity fold, skip it
+                pv = pv_full
+            else:
+                pv = jax.lax.dot_general(
+                    (pv_full * mask_ref[...]).astype(jnp.bfloat16),
+                    fold_ref[...].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             return m_new, l_new, acc * alpha + pv
 
         def load_halves(ref):
@@ -645,12 +667,15 @@ def _decode_fused_kernel(
         p_new = jnp.exp(s_new - m_f)  # [H, 1]
         alpha = jnp.exp(m - m_f)
         l_f = l * alpha + p_new
-        pv_new = jax.lax.dot_general(
-            ((p_new * new_v) * mask_ref[...]).astype(jnp.bfloat16),
-            fold_ref[...].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H, D]
+        if nofold:
+            pv_new = p_new * new_v  # [H, D] (identity fold)
+        else:
+            pv_new = jax.lax.dot_general(
+                ((p_new * new_v) * mask_ref[...]).astype(jnp.bfloat16),
+                fold_ref[...].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, D]
         acc_f = acc * alpha + pv_new
 
         # keep the ring primed through the row/block boundary (pages
@@ -747,10 +772,17 @@ def attend_decode_fused(
     q_exp = _expand_q(
         q, kv_heads, Mq, group, head_offset, split_kv and not khalf
     )
-    mask = _head_block_mask(
-        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
-    )
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
+    nofold = (not split_kv) and kv_heads == 1 and M == D
+    if nofold:
+        mask = jnp.ones((1, 1), jnp.float32)
+        fold = jnp.ones((1, 1), jnp.float32)
+    else:
+        mask = _head_block_mask(
+            H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+        )
+        fold = jnp.asarray(
+            _fold_matrix(kv_heads, D, Mq, split_kv and not khalf)
+        )
     from chitu_tpu.models.common import kv_encode
 
     newkv = kv_encode(pack_kv(k, v, M), pool.dtype)[:, None, :]  # [B, 1, M]
@@ -801,7 +833,7 @@ def attend_decode_fused(
     kernel = functools.partial(
         _decode_fused_kernel, page=page, scale=scale, split_kv=split_kv,
         ring=ring, rows_block=RB, window=window, softcap=softcap,
-        khalf=khalf,
+        khalf=khalf, nofold=nofold,
     )
     out, pool = pl.pallas_call(
         kernel,
@@ -848,6 +880,7 @@ def _prefill_kernel(
     window: int = 0,
     softcap: float = 0.0,
     khalf: int = 0,
+    nofold: bool = False,
 ):
     qb = pl.program_id(0)
     total = info_ref[0]
@@ -855,7 +888,7 @@ def _prefill_kernel(
     q_start = info_ref[1] + qb * Tq
     layer = info_ref[2]
     H = heads
-    D = fold_ref.shape[1]
+    D = o_ref.shape[2]
     C = q_ref.shape[2]
 
     # causal: this q block only needs pages up to its last row's position
@@ -882,7 +915,7 @@ def _prefill_kernel(
     q = q_ref[...].astype(jnp.bfloat16).reshape(Tq * H, C)
     row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
     q_pos = q_start + row_t  # [Tq*H, 1]
-    mask_tc = jnp.broadcast_to(
+    mask_tc = None if nofold else jnp.broadcast_to(
         mask_ref[...][None, :, :], (Tq, H, C)
     ).reshape(Tq * H, C)
 
@@ -917,12 +950,16 @@ def _prefill_kernel(
             p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        pv = jax.lax.dot_general(
-            (pv_full * mask_tc).astype(jnp.bfloat16),
-            fold_ref[...].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if nofold:
+            # merged 1-"head" latent (MLA): identity fold, skip it
+            pv = pv_full
+        else:
+            pv = jax.lax.dot_general(
+                (pv_full * mask_tc).astype(jnp.bfloat16),
+                fold_ref[...].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(i + ring < n_pages)
         def _():
@@ -979,10 +1016,17 @@ def attend_prefill(
     q_exp = _expand_q(
         q, kv_heads, Mq, group, head_offset, split_kv and not khalf
     )
-    mask = _head_block_mask(
-        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
-    )
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
+    nofold = (not split_kv) and kv_heads == 1 and M == D
+    if nofold:
+        mask = jnp.ones((1, 1), jnp.float32)
+        fold = jnp.ones((1, 1), jnp.float32)
+    else:
+        mask = _head_block_mask(
+            H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+        )
+        fold = jnp.asarray(
+            _fold_matrix(kv_heads, D, Mq, split_kv and not khalf)
+        )
     info = jnp.stack(
         [
             jnp.asarray(total_len, jnp.int32),
@@ -1020,6 +1064,7 @@ def attend_prefill(
         window=window,
         softcap=softcap,
         khalf=khalf,
+        nofold=nofold,
     )
     return pl.pallas_call(
         kernel,
@@ -1065,6 +1110,7 @@ def _prefill_packed_kernel(
     window: int = 0,
     softcap: float = 0.0,
     khalf: int = 0,
+    nofold: bool = False,
 ):
     b = pl.program_id(0)
     seg = seg_ref[b]
@@ -1082,7 +1128,7 @@ def _prefill_packed_kernel(
         layer = layer_ref[0]
         Tq = q_ref.shape[0]
         H = heads
-        D = fold_ref.shape[1]
+        D = o_ref.shape[2]
         M = q_ref.shape[2]
 
         last_pos = jnp.minimum(q_start + Tq, total)
@@ -1107,7 +1153,7 @@ def _prefill_packed_kernel(
         q = q_ref[...].astype(jnp.bfloat16).reshape(Tq * H, M)
         row_t = jax.lax.broadcasted_iota(jnp.int32, (Tq * H, 1), 0) // H
         q_pos = q_start + row_t
-        mask_tc = jnp.broadcast_to(
+        mask_tc = None if nofold else jnp.broadcast_to(
             mask_ref[...][None, :, :], (Tq, H, M)
         ).reshape(Tq * H, M)
 
@@ -1144,12 +1190,16 @@ def _prefill_packed_kernel(
                 pr.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            pv = jax.lax.dot_general(
-                (pv_full * mask_tc).astype(jnp.bfloat16),
-                fold_ref[...].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if nofold:
+                # merged 1-"head" latent (MLA): identity fold, skip it
+                pv = pv_full
+            else:
+                pv = jax.lax.dot_general(
+                    (pv_full * mask_tc).astype(jnp.bfloat16),
+                    fold_ref[...].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
             @pl.when(i + ring < n_pages)
             def _():
@@ -1213,10 +1263,17 @@ def attend_prefill_packed(
     q_exp = _expand_q(
         q, kv_heads, Mq, group, head_offset, split_kv and not khalf
     )
-    mask = _head_block_mask(
-        H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
-    )
-    fold = jnp.asarray(_fold_matrix(kv_heads, D, Mq, split_kv and not khalf))
+    nofold = (not split_kv) and kv_heads == 1 and M == D
+    if nofold:
+        mask = jnp.ones((1, 1), jnp.float32)
+        fold = jnp.ones((1, 1), jnp.float32)
+    else:
+        mask = _head_block_mask(
+            H, kv_heads, D, Mq, group, head_offset, split_kv and not khalf
+        )
+        fold = jnp.asarray(
+            _fold_matrix(kv_heads, D, Mq, split_kv and not khalf)
+        )
     layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1240,7 +1297,7 @@ def attend_prefill_packed(
     )
     kernel = functools.partial(
         _prefill_packed_kernel, page=page, heads=H, scale=scale, ring=ring,
-        window=window, softcap=softcap, khalf=khalf,
+        window=window, softcap=softcap, khalf=khalf, nofold=nofold,
     )
     return pl.pallas_call(
         kernel,

@@ -115,7 +115,12 @@ def test_deepseek_soft_fp8_engine():
 
     ml = eng.params["moe_layers"]
     assert isinstance(ml.get("exp_gu", ml.get("exp_gate")), QTensor)
-    assert isinstance(eng.params["moe_layers"]["wkv_b"], QTensor)
+    # wkv_b stays bf16 under absorb: the absorb einsums dequantize it per
+    # call, so quant-on-load would only ADD traffic (~2.5x for that leaf)
+    import jax.numpy as jnp
+
+    assert ml["wkv_b"].dtype == jnp.bfloat16
+    assert isinstance(ml["wo"], QTensor)
     t = eng.generate("fp8 deepseek", SampleParams(temperature=0.0, max_new_tokens=4))
     assert len(t) == 4
 
