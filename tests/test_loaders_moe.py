@@ -241,3 +241,132 @@ def test_deepseek_checkpoint_fp8_loads_as_qtensors(tmp_path):
     p = SampleParams(temperature=0.0, max_new_tokens=5)
     got = eng.generate("ds fp8 ckpt", p)
     assert len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# Raw-checkpoint STREAMING for the MoE families (VERDICT r3 next-2): a raw
+# DeepSeek fp8 / Mixtral HF checkpoint under a mesh must stream file ->
+# host slice -> device shard with no full-tensor host staging, and match
+# the eager loader's engine token-for-token.
+# ---------------------------------------------------------------------------
+
+
+def _placement():
+    from chitu_tpu.parallel.sharding import (
+        placement_stats,
+        reset_placement_stats,
+    )
+
+    return placement_stats, reset_placement_stats
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_raw_deepseek_fp8_checkpoint_streams_to_shards(tmp_path):
+    cfg = _ds_cfg()
+    model = build_model(cfg.models, cfg)
+    base = Engine(cfg)
+    _write_deepseek_ckpt(cfg, base.params, model, tmp_path, fp8=True)
+
+    margs = dataclasses.replace(cfg.models, ckpt_dir=str(tmp_path))
+    cfg1 = dataclasses.replace(
+        cfg, models=margs, infer=dataclasses.replace(cfg.infer, do_load=True)
+    )
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    want = Engine(cfg1).generate("stream raw deepseek", p)
+
+    placement_stats, reset = _placement()
+    reset()
+    cfg4 = dataclasses.replace(
+        cfg1, infer=dataclasses.replace(cfg1.infer, tp_size=4)
+    )
+    eng = Engine(cfg4)
+    st = placement_stats()
+    assert st["max_shard_bytes"] > 0, "raw deepseek load did not stream"
+
+    # fp8 leaves arrive as QTensors; expert stacks shard over tp on the
+    # expert dim — per-device bytes = 1/4 of the stack
+    ml = eng.params["moe_layers"]
+    eg = ml.get("exp_gu", ml.get("exp_gate"))
+    assert isinstance(eg, QTensor)
+    assert eg.data.addressable_shards[0].data.nbytes == eg.data.nbytes // 4
+    # no placed buffer exceeded the largest single shard on any device
+    worst = max(
+        int(np.prod(leaf.sharding.shard_shape(leaf.shape)))
+        * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(eng.params)
+    )
+    assert st["max_shard_bytes"] <= worst
+
+    assert eng.generate("stream raw deepseek", p) == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_raw_mixtral_checkpoint_streams_to_shards(tmp_path):
+    cfg = load_config(
+        overrides=[
+            "models=tiny-mixtral-debug",
+            "infer.merge_qkv_gate_up=off",
+            "infer.max_seq_len=128",
+            "infer.page_size=16",
+            "infer.stop_with_eos=false",
+        ]
+    )
+    cfg = dataclasses.replace(
+        cfg, models=dataclasses.replace(cfg.models, n_layers=2)
+    )
+    base = Engine(cfg)
+    params = base.params
+    tensors = {
+        "model.embed_tokens.weight": _f32(params["embed"]),
+        "model.norm.weight": _f32(params["norm"]),
+        "lm_head.weight": _f32(params["lm_head"]).T.copy(),
+    }
+    a = cfg.models
+    for li in range(a.n_layers):
+        lp = {k: v[li] for k, v in params["layers"].items()}
+        pre = f"model.layers.{li}"
+        tensors[f"{pre}.input_layernorm.weight"] = _f32(lp["attn_norm"])
+        tensors[f"{pre}.post_attention_layernorm.weight"] = _f32(
+            lp["ffn_norm"]
+        )
+        for ours, hf in (
+            ("wq", "q_proj"), ("wk", "k_proj"), ("wv", "v_proj"),
+            ("wo", "o_proj"),
+        ):
+            tensors[f"{pre}.self_attn.{hf}.weight"] = (
+                _f32(lp[ours]).T.copy()
+            )
+        tensors[f"{pre}.block_sparse_moe.gate.weight"] = (
+            _f32(lp["moe_gate"]).T.copy()
+        )
+        eg_l, eu_l = _split_gu(lp, "w_gate", "w_up", "w_gu")
+        for e in range(a.moe.n_routed_experts):
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w1.weight"] = (
+                _f32(eg_l[e]).T.copy()
+            )
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w3.weight"] = (
+                _f32(eu_l[e]).T.copy()
+            )
+            tensors[f"{pre}.block_sparse_moe.experts.{e}.w2.weight"] = (
+                _f32(lp["w_down"][e]).T.copy()
+            )
+    _save(tensors, tmp_path)
+
+    margs = dataclasses.replace(cfg.models, ckpt_dir=str(tmp_path))
+    cfg1 = dataclasses.replace(
+        cfg, models=margs, infer=dataclasses.replace(cfg.infer, do_load=True)
+    )
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    want = Engine(cfg1).generate("stream raw mixtral", p)
+
+    placement_stats, reset = _placement()
+    reset()
+    cfg4 = dataclasses.replace(
+        cfg1, infer=dataclasses.replace(cfg1.infer, tp_size=4)
+    )
+    eng = Engine(cfg4)
+    st = placement_stats()
+    assert st["max_shard_bytes"] > 0, "raw mixtral load did not stream"
+    wg = eng.params["layers"]["w_gate"]
+    assert wg.addressable_shards[0].data.nbytes == wg.nbytes // 4
+    assert eng.generate("stream raw mixtral", p) == want
