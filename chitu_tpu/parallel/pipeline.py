@@ -25,6 +25,23 @@ frequency penalties gather/scatter the [max_reqs, vocab] counts at the
 LAST stage (zeroed on other stages, psum'd back out), and per-row done
 flags (stop-token hit or budget exhausted) latch in-program so finished
 rows stop appending KV and emit -1 for the rest of the window.
+
+DeepSeek's dual stack (VERDICT r3 next-3; the reference's PP relay is
+model-agnostic, executor.py:179-299): the heterogeneous dense-first /
+MLA / MoE layer mix pipelines too —
+
+- the few dense-first layers (3 of 61 on the flagship) run entirely on
+  STAGE 0 (a `lax.cond` keeps them off the other stages); their small
+  parameter stack and latent KV pool replicate, and the pool
+  reconciles with one where+psum per WINDOW (~n_dense/n_layers of one
+  step's KV bytes per step — ~5% on the flagship);
+- the MoE stack shards P('pp') on the layer dim (n_moe % pp == 0, true
+  for the flagship's 58), each stage scanning its local chunk with the
+  token-sorted grouped-GEMM MoE (models/moe.moe_ffn_sorted) on LOCAL
+  expert stacks — quantized experts never dequantize;
+- tp inside the pipelined dual stack is not yet composed (the grouped
+  Pallas kernel cannot be GSPMD-partitioned under a manual-'pp'
+  shard_map) — pp x tp DeepSeek keeps the sequential GSPMD path.
 """
 
 from __future__ import annotations
@@ -40,19 +57,26 @@ from chitu_tpu.models.common import rms_norm
 from chitu_tpu.ops import attention as attn_ops
 
 
+def _is_dual(model) -> bool:
+    """DeepSeek-style dual stack (dense-first + MoE)."""
+    return hasattr(model, "n_dense") and hasattr(model, "_run_stack")
+
+
 def supports_pipeline(model, mesh) -> bool:
     if mesh is None:
         return False
     pp = mesh.shape.get("pp", 1)
     if pp <= 1 or mesh.shape.get("dp", 1) > 1:
         return False
-    # llama-family single-stack models only (deepseek's dual stack falls
-    # back to the GSPMD-sequential path, whose EP shard_map keeps the
-    # quantized grouped-MoE kernel on pp meshes — models/moe.py)
-    return (
-        hasattr(model, "_run_layers")
-        and model.args.n_layers % pp == 0
-    )
+    if hasattr(model, "_run_layers"):
+        # llama-family single stack; tp composes GSPMD-auto inside
+        return model.args.n_layers % pp == 0
+    if _is_dual(model):
+        # dual stack: MoE chunk must split evenly; tp stays sequential
+        # (grouped Pallas kernel is not GSPMD-partitionable inside a
+        # manual-'pp' shard_map)
+        return model.n_moe % pp == 0 and mesh.shape.get("tp", 1) == 1
+    return False
 
 
 @functools.partial(
@@ -63,7 +87,7 @@ def supports_pipeline(model, mesh) -> bool:
 def decode_pipelined(
     model,
     params,
-    cache_arrays,  # {"kv": [L, P, page, M]} 'pp'-sharded on layer dim
+    cache_arrays,  # llama: {"kv"}; deepseek: {"kv_dense", "kv_moe"}
     tokens0: jnp.ndarray,  # [S, Bg] first fed token per group
     seq0: jnp.ndarray,  # [S, Bg] context length BEFORE the fed token
     bts: jnp.ndarray,  # [S, Bg, mp] block tables
@@ -89,18 +113,43 @@ def decode_pipelined(
     assert S == pp, "one microbatch group per stage"
     a = model.args
     n_phases = pp * window + pp - 1
+    dual = _is_dual(model)
 
-    layer_leaves = params["layers"]
     embed = params["embed"]
     norm_w = params["norm"]
     head = (
         embed.T if a.tie_word_embeddings else params["lm_head"]
     )
-    pool = cache_arrays["kv"]
 
+    def subtree_specs(tree, spec):
+        return jax.tree_util.tree_map(
+            lambda _: spec, tree,
+            is_leaf=lambda x: hasattr(x, "data") or hasattr(x, "shape"),
+        )
+
+    if dual:
+        layers_main = params["moe_layers"]  # 'pp' on the layer dim
+        layers_aux = params["dense_layers"]  # replicated, stage-0 only
+        main_specs = subtree_specs(layers_main, P("pp"))
+        aux_specs = subtree_specs(layers_aux, P(None))
+        pools = {
+            "kv_moe": cache_arrays["kv_moe"],
+            "kv_dense": cache_arrays["kv_dense"],
+        }
+        pool_specs = {"kv_moe": P("pp"), "kv_dense": P(None)}
+        kvh = 1 if model.absorb else a.n_heads
+        kvd_dim = model.kv_minor if model.absorb else model.qk_head_dim
+        Lm_local = model.n_moe // pp
+    else:
+        layers_main = params["layers"]
+        layers_aux = {}
+        main_specs = subtree_specs(layers_main, P("pp"))
+        aux_specs = {}
+        pools = {"kv": cache_arrays["kv"]}
+        pool_specs = {"kv": P("pp")}
 
     def stage_fn(
-        layers_l, pool_l, embed_r, norm_r, head_r,
+        layers_l, aux_l, pools_l, embed_r, norm_r, head_r,
         tokens0_r, seq0_r, bts_r, valid_r, temps_r, tks_r, tps_r,
         counts_r, slots_r, pens_r, remaining_r, stop_ids_r, check_stop_r,
         rng_r,
@@ -113,8 +162,66 @@ def decode_pipelined(
         # stage's updated table
         counts_l = jnp.where(stage == last, counts_r, 0)
 
+        def run_layers(h_in, pools_c, btm, seqm, validm, cos, sin):
+            if not dual:
+                def append(pool, layer, kk, vv):
+                    return attn_ops.append_decode(
+                        pool, layer, kk, vv, btm, seqm, validm, page_size
+                    )
+
+                def attend(q, pool, layer):
+                    return attn_ops.attend_decode(
+                        q, pool, layer, btm, seqm, page_size,
+                        a.n_kv_heads, model.head_dim, split_kv=True,
+                        scale=model.attn_scale, impl="xla", mesh=None,
+                        window=a.sliding_window, softcap=a.attn_softcap,
+                    )
+
+                h_out, kv = model._run_layers(
+                    {"layers": layers_l}, pools_c["kv"], h_in, cos, sin,
+                    attend, append,
+                )
+                return h_out, {"kv": kv}
+
+            def append(pool, layer, new_kv):
+                kk, vv = (
+                    new_kv if isinstance(new_kv, tuple) else (new_kv, None)
+                )
+                return attn_ops.append_decode(
+                    pool, layer, kk, vv, btm, seqm, validm, page_size
+                )
+
+            def attend(q, pool, layer):
+                return attn_ops.attend_decode(
+                    q, pool, layer, btm, seqm, page_size,
+                    kvh, kvd_dim, split_kv=not model.absorb,
+                    scale=model.attn_scale, impl="xla", mesh=None,
+                )
+
+            kvd, kvm = pools_c["kv_dense"], pools_c["kv_moe"]
+
+            def dense_all(args):
+                h, kvd = args
+                return model._run_stack(
+                    layers_aux, kvd, model.n_dense, h, cos, sin,
+                    append, attend, model._dense_ffn,
+                )
+
+            # dense-first layers live on stage 0 only
+            h, kvd = jax.lax.cond(
+                stage == 0, dense_all, lambda x: x, (h_in, kvd)
+            )
+            # local MoE chunk: layer ids are local (pool slice is local);
+            # mesh=None -> the exact token-sorted grouped-GEMM path on
+            # the LOCAL expert stacks (quantized stacks stay packed)
+            h, kvm = model._run_stack(
+                layers_l, kvm, Lm_local, h, cos, sin,
+                append, attend, model._moe_ffn,
+            )
+            return h, {"kv_dense": kvd, "kv_moe": kvm}
+
         def one_phase(p, carry):
-            h_cur, tok_cur, done_cur, pool_l, counts_l, outs = carry
+            h_cur, tok_cur, done_cur, pools_c, counts_l, outs = carry
             rel = p - stage
             m = jnp.where(rel >= 0, rel % pp, 0)
             k = jnp.where(rel >= 0, rel // pp, 0)
@@ -146,24 +253,8 @@ def decode_pipelined(
             cos = jnp.take(model.cos, idx, 0)
             sin = jnp.take(model.sin, idx, 0)
 
-            # global layer index for rope-free layers is irrelevant; the
-            # pool slice is local so layer ids are local too
-            def append(pool, layer, kk, vv):
-                return attn_ops.append_decode(
-                    pool, layer, kk, vv, btm, seqm, validm, page_size
-                )
-
-            def attend(q, pool, layer):
-                return attn_ops.attend_decode(
-                    q, pool, layer, btm, seqm, page_size,
-                    a.n_kv_heads, model.head_dim, split_kv=True,
-                    scale=model.attn_scale, impl="xla", mesh=None,
-                    window=a.sliding_window, softcap=a.attn_softcap,
-                )
-
-            h_out, pool_l = model._run_layers(
-                {"layers": layers_l}, pool_l, h_in, cos, sin,
-                attend, append,
+            h_out, pools_c = run_layers(
+                h_in, pools_c, btm, seqm, validm, cos, sin
             )
 
             # last stage only: head + penalty + sampling + done latch for
@@ -228,7 +319,7 @@ def decode_pipelined(
             h_next = jax.lax.ppermute(h_out, "pp", perm)
             tok_next = jax.lax.ppermute(new_tok, "pp", perm)
             done_next = jax.lax.ppermute(new_done, "pp", perm)
-            return h_next, tok_next, done_next, pool_l, counts_l, outs
+            return h_next, tok_next, done_next, pools_c, counts_l, outs
 
         h0 = jnp.zeros((Bg, D), embed_r.dtype)
         t0 = jnp.zeros((Bg,), jnp.int32)
@@ -240,36 +331,44 @@ def decode_pipelined(
             jnp.full((window, S, Bg), -1, jnp.int32),
             jnp.zeros((window, S, Bg), jnp.int32),
         )
-        _, _, _, pool_l, counts_l, outs = jax.lax.fori_loop(
-            0, n_phases, one_phase, (h0, t0, d0, pool_l, counts_l, outs0)
+        _, _, _, pools_l, counts_l, outs = jax.lax.fori_loop(
+            0, n_phases, one_phase, (h0, t0, d0, pools_l, counts_l, outs0)
         )
+        if dual:
+            # reconcile the stage-0-only dense pool back to replicated:
+            # one psum per WINDOW of the (small) dense-stack KV bytes.
+            # f32 lanes: XLA CPU's AllReducePromotion pass crashes cloning
+            # a bf16 all-reduce here ("Invalid binary instruction opcode
+            # copy"); an f32 all-reduce needs no promotion and is exact
+            # for bf16 and int8 (fp8-KV) pool encodings alike
+            kvd = pools_l["kv_dense"]
+            pools_l = dict(
+                pools_l,
+                kv_dense=jax.lax.psum(
+                    jnp.where(stage == 0, kvd, 0).astype(jnp.float32), "pp"
+                ).astype(kvd.dtype),
+            )
         return (
             jax.lax.psum(outs, "pp"),
-            pool_l,
+            pools_l,
             jax.lax.psum(counts_l, "pp"),
         )
 
-    # layer leaves: 'pp' on the stacked layer dim (dim 0); QTensor leaves
-    # share the same prefix spec
-    layer_specs = jax.tree_util.tree_map(
-        lambda _: P("pp"), layer_leaves,
-        is_leaf=lambda x: hasattr(x, "data") or hasattr(x, "shape"),
-    )
-
-    outs, pool, counts = jax.shard_map(
+    outs, pools, counts = jax.shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(
-            layer_specs,
-            P("pp"),
+            main_specs,
+            aux_specs,
+            pool_specs,
             *([P(None)] * 17),
         ),
-        out_specs=(P(None), P("pp"), P(None)),
+        out_specs=(P(None), pool_specs, P(None)),
         check_vma=False,
         axis_names={"pp"},  # tp/dp stay GSPMD-auto inside
     )(
-        layer_leaves, pool, embed, norm_w, head,
+        layers_main, layers_aux, pools, embed, norm_w, head,
         tokens0, seq0, bts, valid, temps, top_ks, top_ps,
         counts, slots, pens, remaining, stop_ids, check_stop, rng,
     )
-    return outs, {"kv": pool}, counts
+    return outs, pools, counts
