@@ -84,10 +84,20 @@ class Engine:
         self.model = build_model(margs, cfg)
 
         t0 = time.time()
+        self._load_streamed = None  # None = no checkpoint load happened
         if cfg.infer.do_load and margs.ckpt_dir:
             from chitu_tpu.loader import load_checkpoint
+            from chitu_tpu.parallel.sharding import (
+                placement_stats,
+                reset_placement_stats,
+            )
 
+            reset_placement_stats()
             self.params = load_checkpoint(self.model, cfg, mesh=mesh)
+            if mesh is not None:
+                self._load_streamed = (
+                    placement_stats()["max_shard_bytes"] > 0
+                )
         else:
             # arch-only debug: random weights (reference: infer.do_load=False,
             # config/serve_config.yaml:9). On accelerators this runs as ONE
@@ -290,6 +300,69 @@ class Engine:
                 for t in pool.snapshot()
             ),
         )
+        # known-degraded layouts get ONE loud warning at bring-up (and
+        # surface in /status) instead of silently serving slow
+        # (VERDICT r3 next-9)
+        self.degraded = self.degraded_paths()
+        for msg in self.degraded:
+            logger.warning("degraded path: %s", msg)
+
+    def degraded_paths(self):
+        """Conditions where this config lands on a known structurally
+        slow path. Each entry is one human-readable sentence."""
+        out = []
+        mesh, cfg = self.mesh, self.cfg
+        pp = mesh.shape.get("pp", 1) if mesh is not None else 1
+        if pp > 1:
+            from chitu_tpu.parallel.pipeline import supports_pipeline
+
+            if not supports_pipeline(self.model, mesh):
+                out.append(
+                    f"pp={pp} decode runs SEQUENTIAL GSPMD (no microbatch "
+                    f"overlap): stages compute serially within a step, "
+                    f"idling ~{pp - 1}/{pp} of aggregate HBM bandwidth. "
+                    "Pipelined decode needs n_layers (llama) or n_moe "
+                    "(deepseek, tp=1) divisible by pp and dp=1."
+                )
+        moe = getattr(self.model.args, "moe", None)
+        if moe is not None:
+            from chitu_tpu.models.moe import _pp_composable, _sorted_eligible
+
+            group = (
+                "moe_layers"
+                if "moe_layers" in self.params
+                else "layers"
+            )
+            ly = self.params.get(group, {})
+            ws = tuple(
+                ly.get(k)
+                for k in ("exp_gu", "exp_gate", "exp_up", "exp_down",
+                          "w_gu", "w_gate", "w_up", "w_down")
+                if ly.get(k) is not None
+            )
+            tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+            capacity = not ws or not _sorted_eligible(ws) or (
+                mesh is not None
+                and (
+                    moe.n_routed_experts % tp != 0
+                    or (pp > 1 and not _pp_composable(ws, pp))
+                )
+            )
+            if capacity:
+                out.append(
+                    "MoE runs the capacity-einsum fallback (experts not "
+                    "kernel-eligible, or n_routed_experts % tp != 0): "
+                    "quantized experts DEQUANTIZE per step and tokens "
+                    "beyond capacity drop under skewed routing."
+                )
+        if self._load_streamed is False:
+            out.append(
+                "checkpoint staged EAGERLY on host (streaming "
+                "unavailable for this format): host RAM must hold whole "
+                "tensors; preprocess with scripts/preprocess_and_save.py "
+                "to restore streaming."
+            )
+        return out
 
     # -- request API --------------------------------------------------------
 

@@ -96,3 +96,73 @@ def perplexity_from_tokens(
 def perplexity_from_text(engine, text: str, window: int = 512) -> float:
     tokens = engine.tokenizer.encode(text, bos=True)
     return perplexity_from_tokens(engine, tokens, window=window)
+
+
+def _cli(argv: List[str]) -> int:
+    """One-command PPL gate (docs/Development.md "Real-checkpoint
+    gates"): `python -m chitu_tpu.evals models=<card>
+    models.ckpt_dir=... infer.do_load=true eval.text=<file>` — or
+    `--hf <ckpt_dir> eval.text=<file>` for the transformers ground
+    truth of the same file (CPU)."""
+    import json
+
+    text_path = None
+    overrides = []
+    hf_dir = None
+    window = 512
+    it = iter(argv)
+    for a in it:
+        if a == "--hf":
+            hf_dir = next(it)
+        elif a.startswith("eval.text="):
+            text_path = a.split("=", 1)[1]
+        elif a.startswith("eval.window="):
+            window = int(a.split("=", 1)[1])
+        elif "=" in a:
+            overrides.append(a)
+        else:
+            raise SystemExit(f"unknown arg {a!r}")
+    if text_path is None:
+        raise SystemExit("eval.text=<file> is required")
+    with open(text_path) as f:
+        text = f.read()
+
+    if hf_dir is not None:
+        # ground truth: teacher-forced PPL through transformers on CPU
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(hf_dir)
+        model = AutoModelForCausalLM.from_pretrained(hf_dir).eval()
+        ids = tok(text, return_tensors="pt").input_ids[0]
+        nll, count = 0.0, 0
+        with torch.no_grad():
+            for s in range(0, max(len(ids) - 1, 1), window):
+                chunk = ids[s : s + window + 1]
+                if len(chunk) < 2:
+                    break
+                out = model(chunk[None, :-1]).logits[0].float()
+                lp = torch.log_softmax(out, -1)
+                nll -= lp[range(len(chunk) - 1), chunk[1:]].sum().item()
+                count += len(chunk) - 1
+        ppl = math.exp(nll / max(count, 1))
+        print(json.dumps({"hf_ppl": round(ppl, 4), "tokens": count}))
+        return 0
+
+    from chitu_tpu.config import load_config
+    from chitu_tpu.engine import Engine
+
+    eng = Engine(load_config(overrides=overrides))
+    ppl = perplexity_from_text(eng, text, window=window)
+    print(json.dumps({
+        "engine_ppl": round(ppl, 4),
+        "model": eng.cfg.models.name,
+        "quant": eng.cfg.quant.method,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_cli(sys.argv[1:]))

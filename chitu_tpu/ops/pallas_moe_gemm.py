@@ -36,8 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from chitu_tpu.ops.qtensor import QTensor, QuantKind
 
+import os
+
 QBLK = 128  # quant block size along K (scale row granularity)
-W_BUDGET = 6 * 1024 * 1024  # double-buffered weight chunk VMEM budget
+# double-buffered weight chunk VMEM budget (env-tunable for tile A/Bs)
+W_BUDGET = int(
+    os.environ.get("CHITU_TPU_MOE_WBUDGET", str(6 * 1024 * 1024))
+)
 
 
 def _pick_bk(K: int, N: int, itemsize: int) -> int:

@@ -337,6 +337,11 @@ def build_app(ctx: ServerContext) -> web.Application:
             "engine": eng.state.name if eng else "absent",
             "model": ctx.cfg.models.name,
             "live_tasks": len(eng.pool) if eng else 0,
+            # known structurally-slow layouts (engine.degraded_paths):
+            # operators should see these without reading bring-up logs
+            "degraded_paths": list(getattr(eng, "degraded", []) or [])
+            if eng
+            else [],
         }
         if eng is not None and ctx.cfg.infer.adaptive_window:
             body["adaptive_window"] = {

@@ -371,3 +371,36 @@ def test_cancel_stops_generation_and_frees_residency(engine):
     assert r.finish_reason == "cancelled"
     assert 0 < len(r.async_stream.tokens) < 100
     assert engine.cache.allocator.num_free() == free0
+
+
+import jax
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_degraded_path_reporting():
+    """Known structurally-slow layouts warn at bring-up and surface via
+    engine.degraded (VERDICT r3 next-9): DeepSeek pp>1 x tp>1 decode is
+    sequential GSPMD (no microbatch overlap); the pipelined pp>1 x tp=1
+    layout is NOT degraded."""
+    import dataclasses as dc
+
+    from chitu_tpu.config import load_config
+
+    def cfg_of(tp, pp):
+        return load_config(
+            overrides=[
+                "models=tiny-deepseek-debug",
+                "models.n_layers=5",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=4",
+                "infer.page_size=16",
+                f"infer.tp_size={tp}",
+                f"infer.pp_size={pp}",
+            ]
+        )
+
+    seq = Engine(cfg_of(2, 2))
+    assert any("SEQUENTIAL" in d for d in seq.degraded), seq.degraded
+
+    piped = Engine(cfg_of(1, 2))
+    assert not any("SEQUENTIAL" in d for d in piped.degraded), piped.degraded
