@@ -16,6 +16,7 @@ frequency penalty) runs inside the same program
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -654,6 +655,118 @@ class Executor:
             self._jit_decode[key] = fn
         return fn
 
+    def _spec_window_fn(self, B: int, K1: int, R: int, mp: int, Lbuf: int):
+        """ONE jitted program running R speculative rounds: in-program
+        n-gram drafting over the on-device context buffer, fused verify
+        forward, longest-prefix acceptance, stop/budget latching, and
+        context append — the per-round host sync (the whole measured loss
+        of the old loop, ~10-15 ms/round on a high-latency dispatch link)
+        disappears; the host uploads contexts once per window and fetches
+        one [R, B, K1] token block (VERDICT r3 next-5)."""
+        key = ("specw", B, K1, R, mp, Lbuf)
+        fn = self._jit_decode.get(key)
+        if fn is not None:
+            return fn
+        model, page, impl = self.model, self.page, self.attn_impl
+        mesh = self.mesh
+        K = K1 - 1
+        # forced-miss drafts (draft = -1 never matches greedy >= 0): the
+        # self-consistency A/B — same program, 1 token/round — proves the
+        # acceptance logic lossless on the target hardware
+        draft_off = os.environ.get("CHITU_TPU_SPEC_DRAFT_OFF", "") == "1"
+
+        def run(
+            params, cache, ctx_buf, ctx_len, bts, valid, ensured,
+            remaining, stop_ids, check_stop,
+        ):
+            out0 = jnp.full((R, B, K1), -1, jnp.int32)
+            jcol = jnp.arange(K1, dtype=jnp.int32)[None, :]
+            rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+            def round_body(r, carry):
+                cache, buf, clen, done, rem, out = carry
+                live = valid & ~done
+                last = jnp.take_along_axis(
+                    buf, jnp.maximum(clen - 1, 0)[:, None], 1
+                )[:, 0]
+                prev = jnp.take_along_axis(
+                    buf, jnp.maximum(clen - 2, 0)[:, None], 1
+                )[:, 0]
+                # most recent earlier (prev, last) bigram -> continuation
+                # (the _ngram_propose contract, vectorized over the buffer)
+                ii = jnp.arange(Lbuf - 1, dtype=jnp.int32)
+                m = (
+                    (buf[:, :-1] == prev[:, None])
+                    & (buf[:, 1:] == last[:, None])
+                    & (ii[None, :] <= (clen - 3)[:, None])
+                )
+                best = jnp.max(jnp.where(m, ii[None, :], -1), axis=1)
+                src = jnp.where(best >= 0, best + 2, jnp.maximum(clen - 1, 0))
+                dpos = src[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+                dtok = jnp.take_along_axis(
+                    buf, jnp.minimum(dpos, Lbuf - 1), 1
+                )
+                draft = jnp.where(dpos < clen[:, None], dtok, last[:, None])
+                if draft_off:
+                    draft_fed = draft  # the verify inputs stay real tokens
+                    draft = jnp.full_like(draft, -1)
+                else:
+                    draft_fed = draft
+                tokens = jnp.concatenate([last[:, None], draft_fed], axis=1)
+                seqs = jnp.maximum(clen - 1, 0)
+                greedy, cache = model.verify_draft(
+                    params, cache, tokens, seqs, bts, live,
+                    page_size=page, attn_impl=impl, mesh=mesh,
+                )
+                eq = (draft == greedy[:, :K]).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)  # [B] 0..K
+                bonus = jnp.take_along_axis(greedy, acc[:, None], 1)
+                draft_p = jnp.concatenate(
+                    [draft_fed, draft_fed[:, -1:]], axis=1
+                )
+                emit = jnp.where(
+                    jcol < acc[:, None],
+                    draft_p,
+                    jnp.where(jcol == acc[:, None], bonus, -1),
+                )
+                n = acc + 1
+                # stop-token truncation (greedy rows; per-row stop sets)
+                is_stop = (
+                    check_stop[:, None]
+                    & jnp.any(emit[:, :, None] == stop_ids[:, None, :], -1)
+                )
+                stop_idx = jnp.min(
+                    jnp.where(is_stop, jcol, K1), axis=1
+                )
+                n = jnp.minimum(n, stop_idx + 1)
+                n = jnp.minimum(n, rem)
+                n = jnp.where(live, n, 0)
+                emit = jnp.where(jcol < n[:, None], emit, -1)
+                out = jax.lax.dynamic_update_index_in_dim(out, emit, r, 0)
+                pos = jnp.where(jcol < n[:, None], clen[:, None] + jcol, Lbuf)
+                buf = buf.at[rows, pos].set(emit, mode="drop")
+                clen = clen + n
+                rem = rem - n
+                stop_hit = jnp.any(is_stop & (jcol < n[:, None]), axis=1)
+                done = done | (
+                    live
+                    & (stop_hit | (rem <= 0) | (clen + K > ensured))
+                )
+                return cache, buf, clen, done, rem, out
+
+            cache, buf, clen, done, rem, out = jax.lax.fori_loop(
+                0, R, round_body,
+                (
+                    cache, ctx_buf, ctx_len,
+                    jnp.zeros((B,), bool), remaining, out0,
+                ),
+            )
+            return out, cache
+
+        fn = _timed_first_call(key, jax.jit(run, donate_argnums=(1,)))
+        self._jit_decode[key] = fn
+        return fn
+
     def _spec_ok(self, tasks: List[Task]) -> bool:
         """Speculative decode covers greedy, penalty-free batches (the
         standard restriction: stochastic acceptance needs rejection
@@ -676,62 +789,91 @@ class Executor:
         )
 
     def _decode_speculative(self, live: List[Task], window: int):
-        """N-gram speculative decode rounds: each round verifies K drafts
-        per row in ONE fused forward and advances 1..K+1 tokens per row.
-        Host-synced per round (drafting is data-dependent)."""
+        """Device-resident speculative window: R rounds of in-program
+        draft + fused verify + acceptance run in ONE dispatch — contexts
+        upload once, one [R, B, K1] token block comes back. Each round
+        advances 1..K+1 tokens per row (VERDICT r3 next-5: the old
+        host-synced loop paid ~10-15 ms of dispatch latency per round)."""
         K = max(1, self.cfg.infer.spec_k)
         K1 = K + 1
-        B = _bucket(len(live), self.decode_buckets)
         rounds = max(1, window // K1)
-        fn = self._verify_fn(B, K1, self.mp_full)
-        for _ in range(rounds):
-            live = [t for t in live if not t.need_remove()]
-            rows = [
-                t
-                for t in live
-                if t.seq_len + K1 <= t.max_seq_len
-                and self.cache.allocator.ensure(t.task_id, t.seq_len + K1)
-            ][:B]
-            if not rows:
-                break
-            tokens = np.zeros((B, K1), np.int32)
-            seqs = np.zeros((B,), np.int32)
-            valid = np.zeros((B,), bool)
-            drafts: List[List[int]] = []
-            for i, t in enumerate(rows):
-                ctx = list(t.tokens) + list(t.response_tokens)
-                d = _ngram_propose(ctx, K)
-                drafts.append(d)
-                tokens[i, 0] = ctx[-1]
-                tokens[i, 1:] = d
-                seqs[i] = t.seq_len - 1
-                valid[i] = True
-            bts = np.full((B, self.mp_full), -1, np.int32)
-            bts[: len(rows)] = self.cache.allocator.block_table(
-                [t.task_id for t in rows], self.mp_full
+        Lbuf = self.cfg.infer.max_seq_len
+        rows = []
+        ensured = []
+        for t in live:
+            if t.need_remove() or t.seq_len + K1 > t.max_seq_len:
+                continue
+            # pre-reserve the window's worst-case growth (plus the K
+            # garbage verify rows past the last accepted token); fall
+            # back to one round's worth under pool pressure
+            budget = min(
+                rounds * K1, t.max_new_tokens - len(t.response_tokens)
             )
-            greedy, self.cache.arrays = fn(
-                self.params,
-                self.cache.arrays,
-                jnp.asarray(tokens),
-                jnp.asarray(seqs),
-                jnp.asarray(bts),
-                jnp.asarray(valid),
-            )
-            gh = np.asarray(greedy)
-            for i, t in enumerate(rows):
-                accepted = 0
-                while accepted < K and drafts[i][accepted] == int(
-                    gh[i, accepted]
-                ):
-                    accepted += 1
-                emitted = drafts[i][:accepted] + [int(gh[i, accepted])]
-                self._spec_stats[0] += len(emitted)
+            want = min(t.seq_len + budget + K, t.max_seq_len)
+            while want > t.seq_len + K1 and not self.cache.allocator.ensure(
+                t.task_id, want
+            ):
+                want = t.seq_len + K1
+            if want == t.seq_len + K1 and not self.cache.allocator.ensure(
+                t.task_id, want
+            ):
+                continue
+            rows.append(t)
+            ensured.append(want)
+        if not rows:
+            return
+        B = _bucket(len(rows), self.decode_buckets)
+        rows = rows[:B]
+        ensured = ensured[:B]
+
+        ctx_buf = np.zeros((B, Lbuf), np.int32)
+        ctx_len = np.zeros((B,), np.int32)
+        ens = np.zeros((B,), np.int32)
+        remaining = np.zeros((B,), np.int32)
+        valid = np.zeros((B,), bool)
+        bts = np.full((B, self.mp_full), -1, np.int32)
+        check_stop = np.zeros((B,), bool)
+        stop_ids = np.asarray(self._stop_ids(rows, B))
+        for i, t in enumerate(rows):
+            ctx = list(t.tokens) + list(t.response_tokens)
+            ctx_buf[i, : len(ctx)] = ctx
+            ctx_len[i] = len(ctx)
+            ens[i] = ensured[i]
+            remaining[i] = t.max_new_tokens - len(t.response_tokens)
+            valid[i] = True
+            check_stop[i] = t.stop_with_eos
+        bts[: len(rows)] = self.cache.allocator.block_table(
+            [t.task_id for t in rows], self.mp_full
+        )
+
+        fn = self._spec_window_fn(B, K1, rounds, self.mp_full, Lbuf)
+        out, self.cache.arrays = fn(
+            self.params,
+            self.cache.arrays,
+            jnp.asarray(ctx_buf),
+            jnp.asarray(ctx_len),
+            jnp.asarray(bts),
+            jnp.asarray(valid),
+            jnp.asarray(ens),
+            jnp.asarray(remaining),
+            jnp.asarray(stop_ids),
+            jnp.asarray(check_stop),
+        )
+        oh = np.asarray(out)  # [R, B, K1]
+        for i, t in enumerate(rows):
+            for r in range(oh.shape[0]):
+                emitted = oh[r, i]
+                emitted = emitted[emitted >= 0]
+                if emitted.size == 0:
+                    continue
+                self._spec_stats[0] += int(emitted.size)
                 self._spec_stats[1] += 1
                 for tok in emitted:
-                    t.append_token(tok)
+                    t.append_token(int(tok))
                     if t.need_remove():
                         break
+                if t.need_remove():
+                    break
 
     # -- batch assembly -----------------------------------------------------
 

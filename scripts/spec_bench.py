@@ -78,11 +78,24 @@ def main():
     spec = build(True, extra)
     spec_tps, spec_toks = run(spec)
     emitted, rounds = spec.executor._spec_stats
-    # tokens_match is expected True when both paths run the same attention
-    # impl; on TPU the verify step uses the fp32 oracle while plain decode
-    # uses the Pallas kernel, and RANDOM-weight logits have razor-thin
-    # argmax margins, so cross-kernel ties can flip (real checkpoints have
-    # clear margins). Spec-vs-spec determinism is asserted inside run().
+    del spec
+    # self-consistency gate: the SAME spec-window program with drafting
+    # forced to miss (1 token/round = pure verify-greedy) must emit the
+    # same tokens — proves the acceptance logic lossless on the target
+    # hardware with identical program shapes (no cross-kernel ties)
+    os.environ["CHITU_TPU_SPEC_DRAFT_OFF"] = "1"
+    try:
+        nodraft = build(True, extra)
+        _, nodraft_toks = run(nodraft)
+        del nodraft
+    finally:
+        os.environ.pop("CHITU_TPU_SPEC_DRAFT_OFF", None)
+    # tokens_match vs PLAIN decode is expected True when both paths run
+    # the same attention impl; on TPU verify runs the oracle while plain
+    # decode runs the Pallas kernel, and RANDOM-weight logits have
+    # razor-thin argmax margins, so cross-kernel ties can flip (real
+    # checkpoints have clear margins). tokens_match_self is the
+    # hardware-valid gate: same program, drafting on vs off.
     out = {
         "metric": "spec_decode_ngram_tinyllama_bs8",
         "base_tok_per_s": round(base_tps, 1),
@@ -90,6 +103,7 @@ def main():
         "speedup": round(spec_tps / base_tps, 3),
         "tokens_per_round": round(emitted / max(rounds, 1), 2),
         "tokens_match": spec_toks == base_toks,
+        "tokens_match_self": spec_toks == nodraft_toks,
     }
     line = json.dumps(out)
     print(line)
