@@ -61,6 +61,41 @@ def one_request(url: str, prompt: str, max_tokens: int, stream: bool):
     return dict(ttft=ttft or total, total=total, output_tokens=ntok)
 
 
+def build_workload(
+    num_requests: int,
+    max_tokens: int,
+    prompt: str,
+    ragged: int = 0,
+    shared_prefix: int = 0,
+) -> List[tuple]:
+    """[(prompt, max_tokens)] per request. `ragged` (a seed, 0 = off)
+    samples per-request prompt lengths and output budgets — the mixed
+    workload serving actually sees; `shared_prefix` prepends that many
+    copies of a fixed system-prompt-style block (the prefix-cache-on
+    regime: only each request's tail should prefill on a warm cache)."""
+    import random
+
+    base = (prompt + " ") * 12
+    words = base.split()
+    out = []
+    rng = random.Random(ragged or 1)
+    prefix = (
+        "You are a meticulous assistant. Answer carefully and cite "
+        "sources. " * shared_prefix
+        if shared_prefix
+        else ""
+    )
+    for i in range(num_requests):
+        if ragged:
+            plen = rng.randint(8, max(len(words), 9))
+            mt = rng.randint(max(max_tokens // 8, 4), max_tokens)
+        else:
+            plen = len(words) // 2
+            mt = max_tokens
+        out.append((prefix + " ".join(words[:plen]), mt))
+    return out
+
+
 def run_benchmark(
     host: str,
     port: int,
@@ -70,28 +105,46 @@ def run_benchmark(
     stream: bool,
     prompt: str,
     warmup: int = 2,
+    ragged: int = 0,
+    rate: float = 0.0,
+    shared_prefix: int = 0,
 ):
     url = f"http://{host}:{port}/v1/chat/completions"
+    work = build_workload(
+        num_requests, max_tokens, prompt, ragged, shared_prefix
+    )
     # warmup at FULL concurrency so every batch-shape variant the
     # measured phase will hit (packed-prefill / hybrid R x T buckets,
     # decode buckets) is compiled before t0 — a cold server otherwise
-    # spends the first wave jit-compiling mid-traffic
+    # spends the first wave jit-compiling mid-traffic. Warmup draws from
+    # the same workload so ragged shape variants compile too.
+    wu = (work * ((concurrency // len(work)) + 1))[:concurrency]
     for _ in range(max(warmup, 1)):
         with futures.ThreadPoolExecutor(max_workers=concurrency) as ex:
             list(
                 ex.map(
-                    lambda _: one_request(url, prompt, max_tokens, stream),
-                    range(concurrency),
+                    lambda w: one_request(url, w[0], w[1], stream), wu
                 )
             )
+
+    import random
+
+    gaps = None
+    if rate > 0:
+        # open-loop arrivals: exponential inter-arrival gaps at `rate`
+        # req/s (closed-loop concurrency hides queueing delay — the
+        # saturation knee only shows under open-loop load)
+        g = random.Random(17)
+        gaps = [g.expovariate(rate) for _ in range(num_requests)]
 
     t0 = time.perf_counter()
     results: List[dict] = []
     with futures.ThreadPoolExecutor(max_workers=concurrency) as ex:
-        futs = [
-            ex.submit(one_request, url, prompt, max_tokens, stream)
-            for _ in range(num_requests)
-        ]
+        futs = []
+        for i, (p, mt) in enumerate(work):
+            if gaps is not None and i > 0:
+                time.sleep(gaps[i])
+            futs.append(ex.submit(one_request, url, p, mt, stream))
         for f in futures.as_completed(futs):
             results.append(f.result())
     wall = time.perf_counter() - t0
@@ -110,6 +163,9 @@ def run_benchmark(
     summary = {
         "num_requests": num_requests,
         "concurrency": concurrency,
+        "ragged": ragged,
+        "rate_req_per_s": rate or None,
+        "shared_prefix": shared_prefix,
         "wall_s": round(wall, 3),
         "output_tokens": out_tokens,
         "output_tok_per_s": round(out_tokens / wall, 2),
@@ -131,6 +187,19 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=64)
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--prompt", default="Tell me about high performance computing.")
+    ap.add_argument(
+        "--ragged", type=int, default=0,
+        help="seed for mixed prompt lengths + output budgets (0 = uniform)",
+    )
+    ap.add_argument(
+        "--rate", type=float, default=0.0,
+        help="open-loop arrival rate in req/s (0 = closed-loop)",
+    )
+    ap.add_argument(
+        "--shared-prefix", type=int, default=0,
+        help="prepend N copies of a fixed system block (prefix-cache hit "
+        "workload)",
+    )
     args = ap.parse_args()
     summary = run_benchmark(
         args.host,
@@ -140,6 +209,9 @@ def main():
         args.max_tokens,
         args.stream,
         args.prompt,
+        ragged=args.ragged,
+        rate=args.rate,
+        shared_prefix=args.shared_prefix,
     )
     print(json.dumps(summary))
 

@@ -754,11 +754,25 @@ class Executor:
                 )
                 return cache, buf, clen, done, rem, out
 
-            cache, buf, clen, done, rem, out = jax.lax.fori_loop(
-                0, R, round_body,
+            # while_loop (not fori): once every live row latches done,
+            # remaining rounds would stream the full weight set per dead
+            # round — exit instead (the 4x-window R is a CAP, not a count)
+            def cond(state):
+                r, (cache, buf, clen, done, rem, out) = state
+                return (r < R) & jnp.any(valid & ~done)
+
+            def body(state):
+                r, carry = state
+                return r + 1, round_body(r, carry)
+
+            _, (cache, buf, clen, done, rem, out) = jax.lax.while_loop(
+                cond, body,
                 (
-                    cache, ctx_buf, ctx_len,
-                    jnp.zeros((B,), bool), remaining, out0,
+                    jnp.asarray(0, jnp.int32),
+                    (
+                        cache, ctx_buf, ctx_len,
+                        jnp.zeros((B,), bool), remaining, out0,
+                    ),
                 ),
             )
             return out, cache
@@ -796,7 +810,12 @@ class Executor:
         host-synced loop paid ~10-15 ms of dispatch latency per round)."""
         K = max(1, self.cfg.infer.spec_k)
         K1 = K + 1
-        rounds = max(1, window // K1)
+        # 4 x window like the plain path's window schedules: the whole
+        # chain is ONE dispatch, and each host round costs ~15 decode
+        # steps of link latency on this environment's dispatch relay —
+        # rounds past a row's done latch verify dead rows (cheap) but
+        # cancellation latency keeps the legacy 4-window bound
+        rounds = max(1, (4 * window) // K1)
         Lbuf = self.cfg.infer.max_seq_len
         rows = []
         ensured = []

@@ -797,17 +797,36 @@ class LlamaForCausalLM:
                 page_size, kv_groups=self.kv_groups,
             )
 
-        def attend(q, pool, layer):
-            # oracle path: per-token absolute positions (the pallas packed
-            # kernel assumes segments start at position 0)
-            from chitu_tpu.ops.attention import _oracle_prefill_packed
-
-            return _oracle_prefill_packed(
-                q, pool, layer, block_tables, seg_ids, pos_flat,
-                total_lens, a.n_kv_heads, self.head_dim, True,
-                self.attn_scale, window=a.sliding_window,
-                softcap=a.attn_softcap,
+        if attn_impl == "pallas" and mesh is None:
+            # paged pallas kernel, one block per row (Tq = K1 query
+            # tokens at absolute start seq_lens[b]): the XLA-gather
+            # oracle cost ~0.8 ms/round of pool copies at serving
+            # geometry (profiled; VERDICT r3 next-5)
+            block_seg = jnp.where(
+                valid, jnp.arange(B, dtype=jnp.int32), -1
             )
+
+            def attend(q, pool, layer):
+                return attn_ops.attend_prefill_packed(
+                    q, pool, layer, block_tables, seg_ids,
+                    jnp.maximum(pos_flat, 0), total_lens, block_seg,
+                    seq_lens, page_size, a.n_kv_heads, self.head_dim,
+                    split_kv=True, scale=self.attn_scale, impl=attn_impl,
+                    mesh=mesh, kv_tp_shard=self.kv_tp_shard,
+                    window=a.sliding_window, softcap=a.attn_softcap,
+                )
+
+        else:
+            def attend(q, pool, layer):
+                # oracle path: per-token absolute positions
+                from chitu_tpu.ops.attention import _oracle_prefill_packed
+
+                return _oracle_prefill_packed(
+                    q, pool, layer, block_tables, seg_ids, pos_flat,
+                    total_lens, a.n_kv_heads, self.head_dim, True,
+                    self.attn_scale, window=a.sliding_window,
+                    softcap=a.attn_softcap, kv_groups=self.kv_groups,
+                )
 
         h, pool = self._run_layers(
             params, cache["kv"], h, cos, sin, attend, append, mesh
