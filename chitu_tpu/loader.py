@@ -279,12 +279,137 @@ def _load_llama_params_streaming(model, cfg, mesh) -> Any:
     return placed
 
 
+class _TorchLazy:
+    """Reader-protocol adapter over a torch mmap-backed tensor (Meta
+    .pth checkpoints load with torch.load(mmap=True), so slices read
+    only their byte ranges): presents [in, out] bf16 like LazySlice."""
+
+    def __init__(self, t, transpose: bool = False):
+        import ml_dtypes
+
+        self._t = t
+        self._transpose = transpose and t.dim() == 2
+        shape = tuple(t.shape)
+        self.shape = shape[::-1] if self._transpose else shape
+        self.dtype = np.dtype(ml_dtypes.bfloat16)
+
+    def __getitem__(self, idx) -> np.ndarray:
+        import ml_dtypes
+        import torch
+
+        from chitu_tpu.loader_streaming import _full_idx
+
+        idx = _full_idx(idx, len(self.shape))
+        if self._transpose:
+            idx = idx[::-1]
+        piece = self._t[idx]
+        if self._transpose:
+            piece = piece.transpose(0, 1)
+        return (
+            piece.to(torch.float32).numpy().astype(ml_dtypes.bfloat16)
+        )
+
+
+def _load_meta_params_streaming(model, cfg, mesh) -> Any:
+    """Stream Meta-Llama consolidated .pth checkpoints to device shards:
+    torch mmap tensors become lazy readers; MP-sharded files become lazy
+    concats along each family's parallel dim — host transient stays one
+    shard (the per-rank production load, reference backend.py:415-481)."""
+    import torch
+
+    from chitu_tpu.loader_streaming import LazyConcat, LazyStack
+    from chitu_tpu.parallel.sharding import shard_params_streaming
+
+    a = model.args
+    L = a.n_layers
+    files = sorted(
+        f for f in os.listdir(a.ckpt_dir) if re.match(r"consolidated.*\.pth", f)
+    )
+    if not files:
+        raise _NotStreamable("no consolidated*.pth")
+    shards = [
+        torch.load(os.path.join(a.ckpt_dir, f), map_location="cpu", mmap=True)
+        for f in files
+    ]
+
+    flat: Dict[str, Any] = {}
+    staged: Dict[str, List[Optional[Any]]] = {}
+    for key in shards[0]:
+        tpath, layer, transpose = _match_rules(_META_LLAMA_RULES, key)
+        if tpath is None:
+            logger.debug("skipping checkpoint key %s", key)
+            continue
+        if len(shards) == 1:
+            r = _TorchLazy(shards[0][key], transpose)
+        else:
+            dim = _meta_mp_dim(key)
+            if dim is None:
+                r = _TorchLazy(shards[0][key], transpose)
+            else:
+                parts = [_TorchLazy(sd[key], transpose) for sd in shards]
+                ndim = shards[0][key].dim()
+                # presented axes: 2-D weights transpose, so the torch cat
+                # dim flips; 1-D / embeddings keep theirs
+                axis = (1 - dim) if (transpose and ndim == 2) else dim
+                r = LazyConcat(parts, axis=axis)
+        if layer is None:
+            flat[tpath[0]] = r
+        else:
+            staged.setdefault(tpath[1], [None] * L)[layer] = r
+
+    if "embed" not in flat or not staged:
+        raise _NotStreamable("missing Meta-llama tensors")
+    layers: Dict[str, Any] = {}
+    for name, pieces in staged.items():
+        missing = [i for i, p in enumerate(pieces) if p is None]
+        if missing:
+            raise ValueError(f"checkpoint missing {name} for layers {missing}")
+        layers[name] = LazyStack(pieces)
+    params: Dict[str, Any] = {k: v for k, v in flat.items()}
+    params["layers"] = layers
+    if "lm_head" not in params and not a.tie_word_embeddings:
+        raise _NotStreamable("tied Meta checkpoint without output.weight")
+
+    if getattr(model, "merged", False) and all(
+        k in layers for k in ("wq", "wk", "wv")
+    ):
+        from chitu_tpu.loader_streaming import lazy_rank_major
+
+        mtp = getattr(model, "merge_tp", 1)
+        layers["wqkv"] = lazy_rank_major(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], mtp
+        )
+        layers["w_gate_up"] = lazy_rank_major(
+            [layers.pop("w_gate"), layers.pop("w_up")], mtp
+        )
+
+    specs = model.param_partition_specs(params)
+    t0 = time.time()
+    placed = shard_params_streaming(params, specs, mesh)
+    logger.info(
+        "streamed Meta .pth checkpoint to device shards in %.1fs",
+        time.time() - t0,
+    )
+    return placed
+
+
 def load_llama_params(model, cfg, mesh=None) -> Any:
     """Assemble the llama-family parameter tree from a checkpoint dir."""
     a = model.args
     ckpt_dir = a.ckpt_dir
     rules = _META_LLAMA_RULES if a.type == "llama" else _HF_LLAMA_RULES
     L = a.n_layers
+
+    if mesh is not None and a.type == "llama":
+        try:
+            return _load_meta_params_streaming(model, cfg, mesh)
+        except _NotStreamable as e:
+            logger.warning(
+                "Meta .pth checkpoint cannot stream (%s) — falling back "
+                "to EAGER load (whole tensors stage in host RAM)", e,
+            )
+        except FileNotFoundError:
+            pass
 
     if mesh is not None and a.type != "llama":
         # sharded bring-up: stream file -> host slice -> device shard

@@ -361,6 +361,84 @@ def load_mixtral_params_streaming(model, cfg, mesh) -> Any:
     return placed
 
 
+def load_glm4_params_streaming(model, cfg, mesh) -> Any:
+    """Stream a raw THUDM GLM-4 checkpoint to device shards: the fused
+    query_key_value / dense_h_to_4h tensors split into q/k/v and gate/up
+    as lazy WINDOWS over the transposed reader — no fused tensor is ever
+    materialized whole on host."""
+    from chitu_tpu.loader_streaming import LazyWindow, LazyStack
+    from chitu_tpu.parallel.sharding import shard_params_streaming
+
+    a = model.args
+    H, KV, Dh = a.n_heads, a.n_kv_heads, model.head_dim
+    index, rd, rq, stack = _streaming_readers(a.ckpt_dir)
+    layers = list(range(a.n_layers))
+
+    cols: Dict[str, List[Any]] = {}
+    for i in layers:
+        pre = f"transformer.encoder.layers.{i}"
+        cols.setdefault("attn_norm", []).append(
+            rd(f"{pre}.input_layernorm", transpose=False)
+        )
+        cols.setdefault("ffn_norm", []).append(
+            rd(f"{pre}.post_attention_layernorm", transpose=False)
+        )
+        qkv = rd(f"{pre}.self_attention.query_key_value")  # [D, (H+2KV)Dh]
+        cols.setdefault("wq", []).append(LazyWindow(qkv, -1, 0, H * Dh))
+        cols.setdefault("wk", []).append(
+            LazyWindow(qkv, -1, H * Dh, (H + KV) * Dh)
+        )
+        cols.setdefault("wv", []).append(
+            LazyWindow(qkv, -1, (H + KV) * Dh, (H + 2 * KV) * Dh)
+        )
+        bkey = f"{pre}.self_attention.query_key_value.bias"
+        if bkey in index:
+            b = rd(bkey, transpose=False)
+            cols.setdefault("bq", []).append(LazyWindow(b, 0, 0, H * Dh))
+            cols.setdefault("bk", []).append(
+                LazyWindow(b, 0, H * Dh, (H + KV) * Dh)
+            )
+            cols.setdefault("bv", []).append(
+                LazyWindow(b, 0, (H + KV) * Dh, (H + 2 * KV) * Dh)
+            )
+        cols.setdefault("wo", []).append(rd(f"{pre}.self_attention.dense"))
+        gu = rd(f"{pre}.mlp.dense_h_to_4h")  # [D, 2F]
+        F = gu.shape[-1] // 2
+        cols.setdefault("w_gate", []).append(LazyWindow(gu, -1, 0, F))
+        cols.setdefault("w_up", []).append(LazyWindow(gu, -1, F, 2 * F))
+        cols.setdefault("w_down", []).append(rd(f"{pre}.mlp.dense_4h_to_h"))
+
+    ly: Dict[str, Any] = {n: LazyStack(v) for n, v in cols.items()}
+    if getattr(model, "merged", False):
+        from chitu_tpu.loader_streaming import lazy_rank_major
+
+        mtp = getattr(model, "merge_tp", 1)
+        ly["wqkv"] = lazy_rank_major(
+            [ly.pop("wq"), ly.pop("wk"), ly.pop("wv")], mtp
+        )
+        if "bq" in ly:
+            ly["b_qkv"] = lazy_rank_major(
+                [ly.pop("bq"), ly.pop("bk"), ly.pop("bv")], mtp
+            )
+        ly["w_gate_up"] = lazy_rank_major(
+            [ly.pop("w_gate"), ly.pop("w_up")], mtp
+        )
+    params = {
+        "embed": rd("transformer.embedding.word_embeddings", transpose=False),
+        "norm": rd("transformer.encoder.final_layernorm", transpose=False),
+        "lm_head": rd("transformer.output_layer"),
+        "layers": ly,
+    }
+    specs = model.param_partition_specs(params)
+    t0 = time.time()
+    placed = shard_params_streaming(params, specs, mesh)
+    logger.info(
+        "streamed raw glm4 checkpoint to device shards in %.1fs",
+        time.time() - t0,
+    )
+    return placed
+
+
 # ---------------------------------------------------------------------------
 # Mixtral
 # ---------------------------------------------------------------------------
@@ -442,6 +520,11 @@ def load_mixtral_params(model, cfg, mesh=None) -> Any:
 
 def load_glm4_params(model, cfg, mesh=None) -> Any:
     a = model.args
+    if mesh is not None:
+        try:
+            return load_glm4_params_streaming(model, cfg, mesh)
+        except (_NotStreamableMoE, FileNotFoundError) as e:
+            _warn_eager_fallback("glm4", e)
     H, KV, Dh = a.n_heads, a.n_kv_heads, model.head_dim
     st = _Staging()
     for key, t in iter_checkpoint(a.ckpt_dir):

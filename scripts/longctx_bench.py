@@ -16,6 +16,10 @@ import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 # overridable for smoke runs: longctx_bench.py [BS PROMPT NEW MAX_SEQ]
 BS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 PROMPT = int(sys.argv[2]) if len(sys.argv) > 2 else 1792

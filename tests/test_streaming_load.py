@@ -267,3 +267,139 @@ def test_preprocessed_regeneration_ignores_stale_shards(tmp_path):
             np.asarray(jax.device_get(want[path])),
             err_msg=path,
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_raw_meta_pth_checkpoint_streams_to_shards(tmp_path):
+    """Meta consolidated .pth (including MP-sharded pairs) streams to
+    device shards through torch-mmap lazy readers + lazy concat along
+    each family's parallel dim; tokens match the eager engine."""
+    torch = pytest.importorskip("torch")
+
+    cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
+    m = dataclasses.replace(
+        cfg.models, type="llama", rotary_type="llama", n_layers=2, dim=256,
+        n_heads=8, n_kv_heads=4, inter_dim=512, vocab_size=512,
+    )
+    base = Engine(dataclasses.replace(cfg, models=m))
+    p = base.params
+
+    def t2(x):  # presented [in, out] -> torch [out, in]
+        return torch.tensor(np.asarray(x, np.float32)).T.contiguous()
+
+    def t1(x):
+        return torch.tensor(np.asarray(x, np.float32))
+
+    sd = {
+        "tok_embeddings.weight": t1(p["embed"]),
+        "norm.weight": t1(p["norm"]),
+        "output.weight": t2(p["lm_head"]),
+    }
+    for i in range(2):
+        ly = {k: v[i] for k, v in p["layers"].items()}
+        sd[f"layers.{i}.attention_norm.weight"] = t1(ly["attn_norm"])
+        sd[f"layers.{i}.ffn_norm.weight"] = t1(ly["ffn_norm"])
+        for ours, meta in (
+            ("wq", "attention.wq"), ("wk", "attention.wk"),
+            ("wv", "attention.wv"), ("wo", "attention.wo"),
+            ("w_gate", "feed_forward.w1"), ("w_up", "feed_forward.w3"),
+            ("w_down", "feed_forward.w2"),
+        ):
+            sd[f"layers.{i}.{meta}.weight"] = t2(ly[ours])
+
+    # write as TWO MP shards split along each family's parallel dim
+    from chitu_tpu.loader import _meta_mp_dim
+
+    sh0, sh1 = {}, {}
+    for k, v in sd.items():
+        d = _meta_mp_dim(k)
+        if d is None:
+            sh0[k] = v
+            sh1[k] = v.clone()
+        else:
+            halves = torch.chunk(v, 2, dim=d)
+            sh0[k], sh1[k] = halves[0].contiguous(), halves[1].contiguous()
+    torch.save(sh0, str(tmp_path / "consolidated.00.pth"))
+    torch.save(sh1, str(tmp_path / "consolidated.01.pth"))
+
+    margs = dataclasses.replace(m, ckpt_dir=str(tmp_path))
+
+    def mk(tp):
+        infer = dataclasses.replace(
+            cfg.infer, do_load=True, tp_size=tp, merge_qkv_gate_up="off"
+        )
+        return dataclasses.replace(cfg, models=margs, infer=infer)
+
+    sp = SampleParams(temperature=0.0, max_new_tokens=6)
+    want = Engine(mk(1)).generate("meta pth stream", sp)
+
+    reset_placement_stats()
+    eng = Engine(mk(4))
+    st = placement_stats()
+    assert st["max_shard_bytes"] > 0, "meta .pth load did not stream"
+    wq = eng.params["layers"]["wq"]
+    assert wq.addressable_shards[0].data.nbytes == wq.nbytes // 4
+    assert eng.generate("meta pth stream", sp) == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_raw_glm4_checkpoint_streams_to_shards(tmp_path):
+    """GLM-4's fused qkv / gate-up tensors stream as lazy WINDOWS over
+    the transposed readers; tokens match the eager engine."""
+    from safetensors.numpy import save_file
+
+    cfg = tiny_cfg(**{"infer.merge_qkv_gate_up": "off"})
+    m = dataclasses.replace(
+        cfg.models, type="hf-llama", rotary_type="glm4", n_layers=2, dim=256,
+        n_heads=8, n_kv_heads=4, inter_dim=512, vocab_size=512,
+        attn_bias=True, partial_rotary_factor=0.5,
+    )
+    base = Engine(dataclasses.replace(cfg, models=m))
+    p = base.params
+
+    f32 = lambda x: np.ascontiguousarray(np.asarray(x, np.float32))
+    tensors = {
+        "transformer.embedding.word_embeddings.weight": f32(p["embed"]),
+        "transformer.encoder.final_layernorm.weight": f32(p["norm"]),
+        "transformer.output_layer.weight": f32(p["lm_head"]).T.copy(),
+    }
+    for i in range(2):
+        ly = {k: v[i] for k, v in p["layers"].items()}
+        pre = f"transformer.encoder.layers.{i}"
+        tensors[f"{pre}.input_layernorm.weight"] = f32(ly["attn_norm"])
+        tensors[f"{pre}.post_attention_layernorm.weight"] = f32(
+            ly["ffn_norm"]
+        )
+        qkv = np.concatenate(
+            [f32(ly["wq"]), f32(ly["wk"]), f32(ly["wv"])], axis=1
+        )
+        tensors[f"{pre}.self_attention.query_key_value.weight"] = (
+            qkv.T.copy()
+        )
+        tensors[f"{pre}.self_attention.query_key_value.bias"] = (
+            np.concatenate([f32(ly["bq"]), f32(ly["bk"]), f32(ly["bv"])])
+        )
+        tensors[f"{pre}.self_attention.dense.weight"] = f32(ly["wo"]).T.copy()
+        gu = np.concatenate([f32(ly["w_gate"]), f32(ly["w_up"])], axis=1)
+        tensors[f"{pre}.mlp.dense_h_to_4h.weight"] = gu.T.copy()
+        tensors[f"{pre}.mlp.dense_4h_to_h.weight"] = f32(ly["w_down"]).T.copy()
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    margs = dataclasses.replace(m, ckpt_dir=str(tmp_path))
+
+    def mk(tp):
+        infer = dataclasses.replace(
+            cfg.infer, do_load=True, tp_size=tp, merge_qkv_gate_up="off"
+        )
+        return dataclasses.replace(cfg, models=margs, infer=infer)
+
+    sp = SampleParams(temperature=0.0, max_new_tokens=6)
+    want = Engine(mk(1)).generate("glm4 stream", sp)
+
+    reset_placement_stats()
+    eng = Engine(mk(4))
+    st = placement_stats()
+    assert st["max_shard_bytes"] > 0, "glm4 load did not stream"
+    wq = eng.params["layers"]["wq"]
+    assert wq.addressable_shards[0].data.nbytes == wq.nbytes // 4
+    assert eng.generate("glm4 stream", sp) == want
