@@ -458,7 +458,13 @@ class Executor:
         in-flight decode batch rides the same jitted call (hybrid step) and
         its rows follow the prefill rows in the sampled output."""
         Tq = self._packed_q_block()
-        lens = [len(t.tokens) for t in tasks_g]
+        # prefix-cache hits prefill only their TAIL (prefilled_len pages
+        # already hold valid KV): segments carry absolute positions, which
+        # the packed kernels support end-to-end (block_qstart / pos) —
+        # ejecting hit rows to the chunked per-request path measured 22x
+        # slower at the shared-prefix serving workload
+        starts = [t.prefilled_len for t in tasks_g]
+        lens = [len(t.tokens) - s for t, s in zip(tasks_g, starts)]
         padded = [(n + Tq - 1) // Tq * Tq for n in lens]
         # FIXED slab geometry: T and R never vary with the arrival pattern
         # (see _pack_slab) — prefill_step splits oversized groups
@@ -467,7 +473,7 @@ class Executor:
         NB = T_bucket // Tq
         R = self.max_reqs
         pages_needed = max(
-            (n + self.page - 1) // self.page for n in lens
+            (len(t.tokens) + self.page - 1) // self.page for t in tasks_g
         )
         mp = min(
             _bucket(pages_needed, _pow2_buckets(1, self.mp_full)),
@@ -484,17 +490,17 @@ class Executor:
         last_idx = np.zeros((R,), np.int32)
         off = 0
         for r, t in enumerate(tasks_g):
-            n = lens[r]
-            tokens[off : off + n] = t.tokens
+            s, n = starts[r], lens[r]
+            tokens[off : off + n] = t.tokens[s:]
             seg_ids[off : off + n] = r
-            pos[off : off + n] = np.arange(n)
-            total_lens[r] = n
+            pos[off : off + n] = np.arange(s, s + n)
+            total_lens[r] = len(t.tokens)
             last_idx[r] = off + n - 1
             bts[r] = self.cache.allocator.block_table([t.task_id], mp)[0]
             nb_r = padded[r] // Tq
             b0 = off // Tq
             block_seg[b0 : b0 + nb_r] = r
-            block_qstart[b0 : b0 + nb_r] = np.arange(nb_r) * Tq
+            block_qstart[b0 : b0 + nb_r] = s + np.arange(nb_r) * Tq
             off += padded[r]
 
         if piggyback:
@@ -1037,7 +1043,12 @@ class Executor:
             slab = self._pack_slab()
         for t in admitted:
             n_tok = len(t.tokens) - t.prefilled_len
-            if t.prefilled_len == 0 and n_tok <= chunk_cap:
+            if n_tok <= chunk_cap and (
+                t.prefilled_len == 0 or has_packed
+            ):
+                # prefix-cache hits (prefilled_len > 0) pack their TAIL
+                # as a mid-context segment (absolute positions) — the
+                # chunked fallback cost 22x at shared-prefix serving
                 if has_packed and (n_tok + Tq - 1) // Tq * Tq <= slab:
                     packable.append(t)
                     continue

@@ -213,3 +213,40 @@ def test_deferred_request_still_hits_cache_on_retry():
     a.free("twin")
     # retry: the full-page prefix now attaches
     assert a.lookup("cold", prompt) == 8
+
+
+def test_prefix_hits_stay_on_packed_prefill(engines, monkeypatch):
+    """Prefix-cache hits must prefill their TAIL through the PACKED slab
+    (mid-context segments, absolute positions) — the chunked per-request
+    fallback measured 22x slower at the shared-prefix serving workload
+    (round-4 finding). Tokens still match the uncached engine."""
+    base, eng = engines
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    shared = _prompt_tokens(3, 32)  # two full pages of shared prefix
+
+    def burst(e):
+        reqs = [
+            e.submit("", p, prompt_tokens=shared + _prompt_tokens(9 + i, 7))
+            for i in range(3)
+        ]
+        e.run_until_complete()
+        return [list(r.async_stream.tokens) for r in reqs]
+
+    want = burst(base)
+    burst(eng)  # cold for THIS prompt: publishes the shared pages
+    hits0 = eng.cache.allocator.hits  # fixture is module-scoped
+
+    calls = []
+    orig = type(eng.executor)._prefill_one
+
+    def spy(self, t, tokens=None):
+        calls.append(t.task_id)
+        return orig(self, t, tokens)
+
+    monkeypatch.setattr(type(eng.executor), "_prefill_one", spy)
+    got = burst(eng)  # warm: every row hits the shared prefix
+    assert eng.cache.allocator.hits > hits0
+    assert not calls, (
+        f"prefix-hit rows left the packed prefill path: {calls}"
+    )
+    assert got == want
