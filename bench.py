@@ -89,7 +89,17 @@ def _measure_engine(overrides):
             m = dataclasses.replace(
                 m,
                 moe=dataclasses.replace(
-                    cfg.models.moe, n_routed_experts=4, moe_inter_dim=128
+                    cfg.models.moe, n_routed_experts=4, moe_inter_dim=128,
+                    # keep dense-first < n_layers at smoke depth (a
+                    # 0-layer MoE stack gives a 0-page pool group), and
+                    # group-limited routing consistent with 4 experts
+                    n_dense_layers=min(
+                        cfg.models.moe.n_dense_layers, m.n_layers - 1
+                    ),
+                    n_expert_groups=min(cfg.models.moe.n_expert_groups, 2),
+                    n_limited_groups=min(
+                        cfg.models.moe.n_limited_groups, 1
+                    ),
                 ),
             )
         cfg = dataclasses.replace(
@@ -166,6 +176,66 @@ def _measure_3b():
     finally:
         NEW = saved
     return bf16, fp8
+
+
+def _measure_mla():
+    """Flagship-geometry MLA decode (VERDICT r3 next-1): the real
+    DeepSeek-V3/R1 MLA dims (kv_lora 512 + rope 64 latent cache, q-lora,
+    32 heads, 1 shared + 32 routed fp8 experts behind a sigmoid
+    group-limited router) at mini depth/width so bf16 fits one chip.
+    This is the regime the reference's entire published baseline lives
+    in (reference README.md:31-54). Returns (bf16, fp8, roof) where roof
+    is the analytic bytes-per-step roofline at the measured platform
+    streaming rate."""
+    new = 4 if SMOKE else 64
+    base = ["models=deepseek-mini-bench", f"infer.decode_window={new}"]
+    global NEW
+    saved = NEW
+    NEW = new
+    try:
+        bf16, *_ = _measure_engine(base)
+        fp8, *_ = _measure_engine(
+            base + ["quant.method=soft_fp8", "quant.quant_on_load=true"]
+        )
+    finally:
+        NEW = saved
+    return bf16, fp8
+
+
+def _mla_roofline(cfg_overrides=None, hbm_bw=510e9, fp8=False):
+    """Analytic MLA decode roofline: bytes one step must stream (attn
+    stacks + dense FFN + shared + LIVE routed experts + head) at the
+    MEASURED platform read rate (hbm_probe: 510 GB/s on this chip; the
+    819 GB/s spec is not reachable, BENCH_LOCAL_r03). Live experts per
+    MoE layer = E(1-(1-1/E)^(bs*k)) under near-uniform routing."""
+    from chitu_tpu.config import load_config
+
+    cfg = load_config(overrides=["models=deepseek-mini-bench"])
+    m = cfg.models
+    mo, ml = m.moe, m.mla
+    D, H = m.dim, m.n_heads
+    Ld, Lm = mo.n_dense_layers, m.n_layers - mo.n_dense_layers
+    qk = ml.qk_nope_head_dim + ml.qk_rope_head_dim
+    # per-layer attention params (wkv_b stays bf16 under absorb)
+    attn_q = (
+        D * ml.q_lora_rank + ml.q_lora_rank * H * qk  # wq_a, wq_b
+        + D * (ml.kv_lora_rank + ml.qk_rope_head_dim)  # wkv_a
+        + H * ml.v_head_dim * D  # wo
+    )
+    attn_bf16 = ml.kv_lora_rank * H * (ml.qk_nope_head_dim + ml.v_head_dim)
+    shared = 3 * D * mo.moe_inter_dim * max(mo.n_shared_experts, 1)
+    expert = 3 * D * mo.moe_inter_dim
+    dense_ffn = 3 * D * m.inter_dim
+    E, k = mo.n_routed_experts, mo.n_activated_experts
+    live = E * (1.0 - (1.0 - 1.0 / E) ** (BS * k))
+    wq = 1 if fp8 else 2  # quantized-leaf bytes/param
+    per_step = (
+        (m.n_layers * attn_q + Ld * dense_ffn + Lm * (shared + live * expert))
+        * wq
+        + m.n_layers * attn_bf16 * 2
+        + D * m.vocab_size * 2  # lm_head (never quantized)
+    )
+    return hbm_bw / per_step * BS
 
 
 def _measure_moe():
@@ -265,6 +335,9 @@ def main():
     )
     moe_bf16, moe_fp8 = _measure_moe()
     d3b_bf16, d3b_fp8 = _measure_3b()
+    mla_bf16, mla_fp8 = _measure_mla()
+    mla_roof_bf16 = _mla_roofline()
+    mla_roof_fp8 = _mla_roofline(fp8=True)
 
     # roofline: per decode step reads all weights once + the live KV prefix
     backend = jax.default_backend()
@@ -307,6 +380,16 @@ def main():
                     "dense3b_bf16_tok_per_s": round(d3b_bf16, 2),
                     "dense3b_fp8_tok_per_s": round(d3b_fp8, 2),
                     "dense3b_fp8_vs_bf16": round(d3b_fp8 / d3b_bf16, 3),
+                    # flagship MLA geometry (deepseek-mini-bench card):
+                    # vs_envelope = measured / analytic-bytes roofline at
+                    # the MEASURED platform streaming rate (510 GB/s)
+                    "mla_bf16_tok_per_s": round(mla_bf16, 2),
+                    "mla_fp8_tok_per_s": round(mla_fp8, 2),
+                    "mla_fp8_vs_bf16": round(mla_fp8 / mla_bf16, 3),
+                    "mla_bf16_vs_envelope": round(
+                        mla_bf16 / mla_roof_bf16, 4
+                    ),
+                    "mla_fp8_vs_envelope": round(mla_fp8 / mla_roof_fp8, 4),
                 },
             }
         )
