@@ -210,7 +210,9 @@ def _mla_roofline(cfg_overrides=None, hbm_bw=510e9, fp8=False):
     MoE layer = E(1-(1-1/E)^(bs*k)) under near-uniform routing."""
     from chitu_tpu.config import load_config
 
-    cfg = load_config(overrides=["models=deepseek-mini-bench"])
+    cfg = load_config(
+        overrides=["models=deepseek-mini-bench"] + (cfg_overrides or [])
+    )
     m = cfg.models
     mo, ml = m.moe, m.mla
     D, H = m.dim, m.n_heads

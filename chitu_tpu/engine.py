@@ -143,6 +143,13 @@ class Engine:
         else:
             # one grouped GEMM per MoE layer for gate+up
             self.params = merge_moe_gate_up(self.params)
+            if self.mesh is not None:
+                # match the TPU scale layout (rowwise, see
+                # requantize_fp8_storage) so manual-tp shard_map
+                # eligibility is identical on the virtual CPU mesh
+                from chitu_tpu.quantize import expand_fp8_scales_rowwise
+
+                self.params = expand_fp8_scales_rowwise(self.params)
         if self.mesh is not None:
             from chitu_tpu.parallel import shard_params
 
@@ -316,13 +323,14 @@ class Engine:
         if pp > 1:
             from chitu_tpu.parallel.pipeline import supports_pipeline
 
-            if not supports_pipeline(self.model, mesh):
+            if not supports_pipeline(self.model, mesh, self.params):
                 out.append(
                     f"pp={pp} decode runs SEQUENTIAL GSPMD (no microbatch "
                     f"overlap): stages compute serially within a step, "
                     f"idling ~{pp - 1}/{pp} of aggregate HBM bandwidth. "
                     "Pipelined decode needs n_layers (llama) or n_moe "
-                    "(deepseek, tp=1) divisible by pp and dp=1."
+                    "(deepseek) divisible by pp, dp=1, and (for tp>1) "
+                    "tp-dividing head/expert/FFN dims."
                 )
         moe = getattr(self.model.args, "moe", None)
         if moe is not None:

@@ -669,17 +669,19 @@ class Executor:
         of the old loop, ~10-15 ms/round on a high-latency dispatch link)
         disappears; the host uploads contexts once per window and fetches
         one [R, B, K1] token block (VERDICT r3 next-5)."""
-        key = ("specw", B, K1, R, mp, Lbuf)
+        # forced-miss drafts (draft = -1 never matches greedy >= 0): the
+        # self-consistency A/B — same program, 1 token/round — proves the
+        # acceptance logic lossless on the target hardware. Part of the
+        # cache key: toggling the env var mid-process must not serve the
+        # stale program (ADVICE r4).
+        draft_off = os.environ.get("CHITU_TPU_SPEC_DRAFT_OFF", "") == "1"
+        key = ("specw", B, K1, R, mp, Lbuf, draft_off)
         fn = self._jit_decode.get(key)
         if fn is not None:
             return fn
         model, page, impl = self.model, self.page, self.attn_impl
         mesh = self.mesh
         K = K1 - 1
-        # forced-miss drafts (draft = -1 never matches greedy >= 0): the
-        # self-consistency A/B — same program, 1 token/round — proves the
-        # acceptance logic lossless on the target hardware
-        draft_off = os.environ.get("CHITU_TPU_SPEC_DRAFT_OFF", "") == "1"
 
         def run(
             params, cache, ctx_buf, ctx_len, bts, valid, ensured,
@@ -1412,7 +1414,10 @@ class Executor:
         live.sort(key=lambda t: order[id(t)])
         from chitu_tpu.parallel.pipeline import supports_pipeline
 
-        if supports_pipeline(self.model, self.mesh) and len(live) >= 2:
+        if (
+            supports_pipeline(self.model, self.mesh, self.params)
+            and len(live) >= 2
+        ):
             # the pipelined program appends KV every step: hard-clamp to
             # the batch's page headroom, BUCKETED so the (static-window)
             # pipelined program count stays bounded near max_seq_len
@@ -1601,6 +1606,7 @@ class Executor:
             window=window,
             page_size=self.page,
             mesh=self.mesh,
+            impl=self.attn_impl,
         )
         toks_host = np.asarray(toks)  # [W, S, Bg]
         for s, g in enumerate(groups):

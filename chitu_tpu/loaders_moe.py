@@ -221,6 +221,14 @@ def load_deepseek_params_streaming(model, cfg, mesh) -> Any:
 
     dense_layers = list(range(n_dense))
     moe_layers = list(range(n_dense, a.n_layers))
+    if not dense_layers or not moe_layers:
+        # the streaming stacker indexes [0] of each group; geometries
+        # with no dense-first (or no MoE) layers take the eager fallback
+        # instead of crashing mid-stream (ADVICE r4)
+        raise _NotStreamableMoE(
+            f"dual-stack streaming needs both groups non-empty "
+            f"(n_dense={n_dense}, n_moe={len(moe_layers)})"
+        )
 
     dense = _stream_attn_mla(rd, rq, stack, ml, dense_layers)
     for hf, ours in (

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def psum_f32(x: jnp.ndarray, axis) -> jnp.ndarray:
+    """bf16-safe psum for the manual-tp layer collectives: XLA CPU's
+    AllReducePromotion pass crashes cloning a bf16 all-reduce ("Invalid
+    binary instruction opcode copy"), and an f32 all-reduce needs no
+    promotion and is exact for bf16 partial sums. No-op when `axis` is
+    empty."""
+    if not axis:
+        return x
+    if x.dtype == jnp.float32:
+        return jax.lax.psum(x, axis)
+    return jax.lax.psum(x.astype(jnp.float32), axis).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Norms
 # ---------------------------------------------------------------------------

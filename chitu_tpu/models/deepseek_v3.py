@@ -37,6 +37,7 @@ from chitu_tpu.models import register_model
 from chitu_tpu.models.common import (
     apply_rope,
     pad_kv_minor,
+    psum_f32,
     rms_norm,
     rope_tables,
 )
@@ -306,7 +307,10 @@ class DeepSeekV3ForCausalLM:
             )
         else:
             q = linear(x, g("wq"), layer=layer)
-        q = q.reshape(T, H, self.qk_head_dim)
+        # head count from the projection width, not args: under a manual
+        # 'tp' shard_map (pipelined pp x tp) wq_b is a LOCAL column shard
+        # holding H/tp heads (parallel/pipeline.py)
+        q = q.reshape(T, -1, self.qk_head_dim)
         q_nope, q_pe = q[..., :dn], q[..., dn:]
         q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
 
@@ -326,7 +330,7 @@ class DeepSeekV3ForCausalLM:
 
     def _mla(
         self, x, layers, kv_pool, layer, cos, sin, append, attend,
-        fused=None,
+        fused=None, tp_axis: str = "",
     ):
         """MLA absorb forward for a [T, D] slab.
 
@@ -352,7 +356,9 @@ class DeepSeekV3ForCausalLM:
             x, layers, layer, cos, sin
         )
         k_pe = k_pe[:, 0]  # [T, dr]
-        w_b = wkv_b_d.reshape(dc, H, dn + dv)
+        # -1: under manual tp the wkv_b column shard holds H/tp heads,
+        # aligned with wq_b's local heads and wo's local rows
+        w_b = wkv_b_d.reshape(dc, -1, dn + dv)
         w_uk = w_b[..., :dn]  # [512, H, 128]
         w_uv = w_b[..., dn:]  # [512, H, 128]
         # bf16 operands with f32 accumulation: an f32xf32 MXU matmul on
@@ -381,16 +387,23 @@ class DeepSeekV3ForCausalLM:
         v_out = jnp.einsum(
             "thc,chd->thd", out_c, w_uv,
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # [T, H, 128]
-        return (
-            linear(v_out.reshape(T, H * dv), g("wo"), layer=layer),
-            kv_pool,
-        )
+        ).astype(x.dtype)  # [T, H(/tp), 128]
+        o = linear(v_out.reshape(T, -1), g("wo"), layer=layer)
+        if tp_axis:
+            # wo is row-parallel (in-dim = heads sharded over tp): local
+            # products are partial sums (reference RowParallelLinear
+            # all-reduce, chitu/tensor_parallel.py:157-169)
+            o = psum_f32(o, tp_axis)
+        return o, kv_pool
 
     def _mla_dense(
         self, x, layers, kv_pool, layer, cos, sin, append, attend,
-        fused=None,
+        fused=None, tp_axis: str = "",
     ):
+        assert not tp_axis, (
+            "manual-tp needs mla_absorb (per-head K/V cannot shard the "
+            "replicated dense pool); supports_pipeline gates on absorb"
+        )
         """mla_absorb=none: materialize per-head K/V and run standard MHA
         (reference dense paths: model_deepseek_v3.py:612-670). The cache
         holds [k_nope | k_pe] (192) and V padded to 192 per head."""
@@ -429,41 +442,55 @@ class DeepSeekV3ForCausalLM:
 
     # -- FFNs ---------------------------------------------------------------
 
-    def _dense_ffn(self, x, layers, layer, mesh=None):
+    def _dense_ffn(self, x, layers, layer, mesh=None, tp_axis: str = ""):
         from chitu_tpu.models.llama import _layer_leaf
 
         g = lambda name: _layer_leaf(layers, name, layer)
         gate = linear(x, g("w_gate"), layer=layer)
         up = linear(x, g("w_up"), layer=layer)
-        return linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
+        y = linear(jax.nn.silu(gate) * up, g("w_down"), layer=layer)
+        return psum_f32(y, tp_axis) if tp_axis else y
 
-    def _moe_ffn(self, x, layers, layer, mesh=None):
+    def _moe_ffn(self, x, layers, layer, mesh=None, tp_axis: str = ""):
         from chitu_tpu.models.llama import _layer_leaf
 
         g = lambda name: _layer_leaf(layers, name, layer)
         y = jnp.zeros_like(x)
         if "shared_gate" in layers:
+            # shared expert: column/row-parallel like the dense FFN, so
+            # under manual tp its output is a PARTIAL sum folded into the
+            # same psum as the routed combine below
             gg = linear(x, g("shared_gate"), layer=layer)
             u = linear(x, g("shared_up"), layer=layer)
             y = linear(jax.nn.silu(gg) * u, g("shared_down"), layer=layer)
         weights, sel = route(
             x, g("moe_gate"), self.moe, gate_bias=g("gate_bias")
         )
-        if "exp_gu" in layers:
-            y = y + moe_ffn_auto(
-                x, g("exp_gu"), None, g("exp_down"), weights, sel,
-                self.moe, layer=layer, mesh=mesh,
+        gate_w, up_w = (
+            (g("exp_gu"), None)
+            if "exp_gu" in layers
+            else (g("exp_gate"), g("exp_up"))
+        )
+        if tp_axis:
+            # inside a manual ('pp','tp') shard_map (pipelined dual
+            # stack): stacks are local (layer-chunk x expert-chunk)
+            # slices — dispatch local experts, ONE psum for shared +
+            # routed together (VERDICT r4 next-2)
+            from chitu_tpu.models.moe import moe_ffn_manual_ep
+
+            y = y + moe_ffn_manual_ep(
+                x, gate_w, up_w, g("exp_down"), weights, sel, tp_axis,
+                layer=layer,
             )
-        else:
-            y = y + moe_ffn_auto(
-                x, g("exp_gate"), g("exp_up"), g("exp_down"), weights, sel,
-                self.moe, layer=layer, mesh=mesh,
-            )
-        return y
+            return psum_f32(y, tp_axis)
+        return y + moe_ffn_auto(
+            x, gate_w, up_w, g("exp_down"), weights, sel,
+            self.moe, layer=layer, mesh=mesh,
+        )
 
     # -- stacks -------------------------------------------------------------
 
-    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn, mesh=None, fused=None):
+    def _run_stack(self, stack_params, kv_pool, n_layers, h, cos, sin, append, attend, ffn, mesh=None, fused=None, tp_axis: str = ""):
         from chitu_tpu.models.llama import split_scan_leaves
 
         a = self.args
@@ -476,11 +503,12 @@ class DeepSeekV3ForCausalLM:
             x = rms_norm(h, view["attn_norm"], a.norm_eps)
             mla = self._mla if self.absorb else self._mla_dense
             attn_out, pool = mla(
-                x, view, pool, layer, cos, sin, append, attend, fused
+                x, view, pool, layer, cos, sin, append, attend, fused,
+                tp_axis=tp_axis,
             )
             h = h + attn_out
             x = rms_norm(h, view["ffn_norm"], a.norm_eps)
-            h = h + ffn(x, view, layer, mesh)
+            h = h + ffn(x, view, layer, mesh, tp_axis)
             return (h, pool), None
 
         (h, kv_pool), _ = jax.lax.scan(
@@ -491,6 +519,15 @@ class DeepSeekV3ForCausalLM:
         return h, kv_pool
 
     def _forward(self, params, cache, h, cos, sin, append, attend, mesh=None, fused=None):
+        # per-stack pool layer axis for the shmap pallas wrappers
+        # (ops/attention.py): the dense-first pool replicates over 'pp'
+        # (kv_cache_partition_spec), the MoE pool shards its layer dim
+        ax = self._ring_layer_axis()
+        attend_moe = (
+            (lambda q, pool, layer: attend(q, pool, layer, layer_axis=ax))
+            if ax
+            else attend
+        )
         h, kv_dense = self._run_stack(
             params["dense_layers"],
             cache["kv_dense"],
@@ -512,7 +549,7 @@ class DeepSeekV3ForCausalLM:
             cos,
             sin,
             append,
-            attend,
+            attend_moe,
             self._moe_ffn,
             mesh,
             fused,
@@ -563,7 +600,7 @@ class DeepSeekV3ForCausalLM:
                     layer_axis=self._ring_layer_axis(),
                 )
 
-            def attend(q, pool, layer):
+            def attend(q, pool, layer, layer_axis=""):
                 return ring_ops.attend_prefill_ring(
                     q, pool, layer, block_table,
                     jnp.where(jnp.arange(T) < valid_len, pos, 0),
@@ -580,7 +617,7 @@ class DeepSeekV3ForCausalLM:
                     pool, layer, k, v, block_table, pos, valid_len, page_size
                 )
 
-            def attend(q, pool, layer):
+            def attend(q, pool, layer, layer_axis=""):
                 return attn_ops.attend_prefill(
                     q,
                     pool,
@@ -595,6 +632,7 @@ class DeepSeekV3ForCausalLM:
                     scale=self.attn_scale,
                     impl=attn_impl,
                     mesh=mesh,
+                    layer_axis=layer_axis,
                 )
 
         h, cache = self._forward(
@@ -639,7 +677,7 @@ class DeepSeekV3ForCausalLM:
                 pool, layer, k, v, block_tables, seg_ids, pos, page_size
             )
 
-        def attend(q, pool, layer):
+        def attend(q, pool, layer, layer_axis=""):
             return attn_ops.attend_prefill_packed(
                 q,
                 pool,
@@ -657,6 +695,7 @@ class DeepSeekV3ForCausalLM:
                 scale=self.attn_scale,
                 impl=attn_impl,
                 mesh=mesh,
+                layer_axis=layer_axis,
             )
 
         h, cache = self._forward(
@@ -713,17 +752,19 @@ class DeepSeekV3ForCausalLM:
                 pf_block_tables, pf_seg_ids, pf_pos, page_size,
             )
 
-        def attend(q, pool, layer):
+        def attend(q, pool, layer, layer_axis=""):
             od = attn_ops.attend_decode(
                 q[:B], pool, layer, dec_block_tables, dec_seq_lens,
                 page_size, kvh, kvd, split_kv=not self.absorb,
                 scale=self.attn_scale, impl=attn_impl, mesh=mesh,
+                layer_axis=layer_axis,
             )
             op = attn_ops.attend_prefill_packed(
                 q[B:], pool, layer, pf_block_tables, pf_seg_ids,
                 pf_pos_safe, pf_total_lens, pf_block_seg, pf_block_qstart,
                 page_size, kvh, kvd, split_kv=not self.absorb,
                 scale=self.attn_scale, impl=attn_impl, mesh=mesh,
+                layer_axis=layer_axis,
             )
             return jnp.concatenate([od, op], axis=0)
 
@@ -767,7 +808,7 @@ class DeepSeekV3ForCausalLM:
                     layer_axis=self._ring_layer_axis(),
                 )
 
-            def attend(q, pool, layer):
+            def attend(q, pool, layer, layer_axis=""):
                 return ring_ops.attend_decode_ring(
                     q, pool, layer, block_tables, seq_lens, page_size,
                     kvh, kvd, split_kv=not self.absorb,
@@ -782,7 +823,7 @@ class DeepSeekV3ForCausalLM:
                     pool, layer, k, v, block_tables, seq_lens, valid, page_size
                 )
 
-            def attend(q, pool, layer):
+            def attend(q, pool, layer, layer_axis=""):
                 return attn_ops.attend_decode(
                     q,
                     pool,
@@ -796,6 +837,7 @@ class DeepSeekV3ForCausalLM:
                     scale=self.attn_scale,
                     impl=attn_impl,
                     mesh=mesh,
+                    layer_axis=layer_axis,
                 )
 
         # fused in-kernel append+attend (the flash_attn_with_kvcache /

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from chitu_tpu.models import register_model
-from chitu_tpu.models.common import rms_norm, rope_tables, apply_rope
+from chitu_tpu.models.common import (
+    apply_rope,
+    psum_f32,
+    rms_norm,
+    rope_tables,
+)
 from chitu_tpu.ops import attention as attn_ops
 from chitu_tpu.ops.linear import linear
 
@@ -299,10 +304,11 @@ class LlamaForCausalLM:
         return specs
 
     def _ring_layer_axis(self) -> str:
-        """pp composition for the ring-sharded pool: the layer dim is
-        'pp'-sharded (kv_cache_partition_spec), so ring ops must treat
-        non-owner stages as holding zero pages and fold stats over
-        ('dp', 'pp')."""
+        """The mesh axis sharding the pool's LAYER dim
+        (kv_cache_partition_spec): ring ops treat non-owner stages as
+        holding zero pages and fold stats over ('dp', 'pp'); the shmap
+        pallas wrappers gate on the owning stage and psum over it
+        (ops/attention.py _pp_local_layer)."""
         return "pp" if self.cfg.infer.pp_size > 1 else ""
 
     def kv_cache_partition_spec(self, tp_size: int = 1) -> P:
@@ -335,6 +341,7 @@ class LlamaForCausalLM:
         append,  # fn(pool, layer, k, v) -> pool
         mesh=None,
         fused=None,  # fn(q, pool, layer, k, v) -> (o, pool): append+attend
+        tp_axis: str = "",  # manual-tp shard_map axis (pipelined pp x tp)
     ):
         a = self.args
         T = h.shape[0]
@@ -346,14 +353,18 @@ class LlamaForCausalLM:
         )
         if "wqkv" in layers:
             qkv = linear(x, g("wqkv"), g("b_qkv"), layer=layer)
-            q, k, v = self._split_merged(qkv, (H * Dh, KV * Dh, KV * Dh))
-            q = q.reshape(T, H, Dh)
-            k = k.reshape(T, KV, Dh)
-            v = v.reshape(T, KV, Dh)
+            q, k, v = self._split_merged(
+                qkv, (H * Dh, KV * Dh, KV * Dh), local=bool(tp_axis)
+            )
+            # -1 head dims: under manual tp the column shards hold
+            # H/tp (KV/tp) local heads
+            q = q.reshape(T, -1, Dh)
+            k = k.reshape(T, -1, Dh)
+            v = v.reshape(T, -1, Dh)
         else:
-            q = linear(x, g("wq"), g("bq"), layer=layer).reshape(T, H, Dh)
-            k = linear(x, g("wk"), g("bk"), layer=layer).reshape(T, KV, Dh)
-            v = linear(x, g("wv"), g("bv"), layer=layer).reshape(T, KV, Dh)
+            q = linear(x, g("wq"), g("bq"), layer=layer).reshape(T, -1, Dh)
+            k = linear(x, g("wk"), g("bk"), layer=layer).reshape(T, -1, Dh)
+            v = linear(x, g("wv"), g("bv"), layer=layer).reshape(T, -1, Dh)
         q = apply_rope(q, cos, sin, self.rotary_layout)
         k = apply_rope(k, cos, sin, self.rotary_layout)
         if fused is not None:
@@ -361,23 +372,38 @@ class LlamaForCausalLM:
         else:
             pool = append(pool, layer, k, v)
             o = attend(q, pool, layer)
-        h = h + linear(o.reshape(T, H * Dh), g("wo"), layer=layer)
+        o = linear(o.reshape(T, -1), g("wo"), layer=layer)
+        if tp_axis:
+            # wo is row-parallel: local head products are partial sums
+            # (reference RowParallelLinear, tensor_parallel.py:157-169)
+            o = psum_f32(o, tp_axis)
+        h = h + o
 
         x = self._norm_acts(
             h, g("ffn_norm"), layers.get("w_gate_up", layers.get("w_gate")),
             mesh,
         )
-        h = h + self._ffn(x, layers, layer, mesh)
+        h = h + self._ffn(x, layers, layer, mesh, tp_axis)
         return h, pool
 
-    def _split_merged(self, y, widths):
+    def _split_merged(self, y, widths, local: bool = False):
         """Split a rank-major merged projection output [T, sum(widths)]
         back into per-projection tensors (the inverse of
         rank_major_merge's column layout). All ops are local under a
         'tp'-sharded last dim: the reshape splits exactly on shard
-        boundaries and the slices stay within a shard's chunk."""
+        boundaries and the slices stay within a shard's chunk.
+
+        `local`: y is ONE rank's chunk (inside a manual-tp shard_map) —
+        a plain (q_r | k_r | v_r) concat of per-rank widths."""
         tp = self.merge_tp
         T = y.shape[0]
+        if local and tp > 1:
+            outs, o = [], 0
+            for w in widths:
+                wl = w // tp
+                outs.append(y[:, o : o + wl])
+                o += wl
+            return outs
         outs, o = [], 0
         if tp == 1:
             for w in widths:
@@ -426,23 +452,26 @@ class LlamaForCausalLM:
             return quant_acts(x, interpret=jax.default_backend() != "tpu")
         return x
 
-    def _ffn(self, x: jnp.ndarray, layers, layer, mesh=None) -> jnp.ndarray:
+    def _ffn(
+        self, x: jnp.ndarray, layers, layer, mesh=None, tp_axis: str = ""
+    ) -> jnp.ndarray:
         """SwiGLU FFN; MoE families override (mixtral, deepseek)."""
         g = lambda name: _layer_leaf(layers, name, layer)
         if "w_gate_up" in layers:
             gu = linear(x, g("w_gate_up"), layer=layer)
-            F = gu.shape[-1] // 2
-            gate, up = self._split_merged(gu, (F, F))
+            F = self.inter_dim
+            gate, up = self._split_merged(gu, (F, F), local=bool(tp_axis))
         else:
             gate = linear(x, g("w_gate"), layer=layer)
             up = linear(x, g("w_up"), layer=layer)
         hid = jax.nn.silu(gate) * up
         hid = self._maybe_quant_acts(hid.astype(x.dtype), g("w_down"), mesh)
-        return linear(hid, g("w_down"), layer=layer)
+        y = linear(hid, g("w_down"), layer=layer)
+        return psum_f32(y, tp_axis) if tp_axis else y
 
     def _run_layers(
         self, params, pool, h, cos, sin, attend, append, mesh=None,
-        fused=None,
+        fused=None, tp_axis: str = "",
     ):
         """Scan over stacked layer params; the pool rides the CARRY whole
         and is indexed per layer inside the kernels/scatters — per-layer
@@ -461,7 +490,7 @@ class LlamaForCausalLM:
             view = {**lp, **static_leaves}
             h, pool = self._layer(
                 h, view, pool, layer, cos, sin, attend, append, mesh,
-                fused=fused,
+                fused=fused, tp_axis=tp_axis,
             )
             return (h, pool), None
 
@@ -561,6 +590,7 @@ class LlamaForCausalLM:
                 kv_tp_shard=self.kv_tp_shard,
                 window=self.args.sliding_window,
                 softcap=self.args.attn_softcap,
+                layer_axis=self._ring_layer_axis(),
             )
 
         if ring_axis:
@@ -661,6 +691,7 @@ class LlamaForCausalLM:
                 kv_tp_shard=self.kv_tp_shard,
                 window=self.args.sliding_window,
                 softcap=self.args.attn_softcap,
+                layer_axis=self._ring_layer_axis(),
             )
 
         h, pool = self._run_layers(
@@ -728,6 +759,7 @@ class LlamaForCausalLM:
                 scale=self.attn_scale, impl=attn_impl, mesh=mesh,
                 kv_tp_shard=self.kv_tp_shard, window=a.sliding_window,
                 softcap=a.attn_softcap,
+                layer_axis=self._ring_layer_axis(),
             )
             op = attn_ops.attend_prefill_packed(
                 q[B:], pool, layer, pf_block_tables, pf_seg_ids,
@@ -736,6 +768,7 @@ class LlamaForCausalLM:
                 scale=self.attn_scale, impl=attn_impl, mesh=mesh,
                 kv_tp_shard=self.kv_tp_shard, window=a.sliding_window,
                 softcap=a.attn_softcap,
+                layer_axis=self._ring_layer_axis(),
             )
             return jnp.concatenate([od, op], axis=0)
 
@@ -814,6 +847,7 @@ class LlamaForCausalLM:
                     split_kv=True, scale=self.attn_scale, impl=attn_impl,
                     mesh=mesh, kv_tp_shard=self.kv_tp_shard,
                     window=a.sliding_window, softcap=a.attn_softcap,
+                    layer_axis=self._ring_layer_axis(),
                 )
 
         else:
@@ -911,6 +945,7 @@ class LlamaForCausalLM:
                 kv_tp_shard=self.kv_tp_shard,
                 window=self.args.sliding_window,
                 softcap=self.args.attn_softcap,
+                layer_axis=self._ring_layer_axis(),
             )
 
         # fused append+attend kernel (the flash_attn_with_kvcache contract,

@@ -69,17 +69,32 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
         return load_mixtral_params(self, cfg, mesh)
 
-    def _ffn(self, x: jnp.ndarray, layers, layer, mesh=None) -> jnp.ndarray:
+    def _ffn(
+        self, x: jnp.ndarray, layers, layer, mesh=None, tp_axis: str = ""
+    ) -> jnp.ndarray:
         from chitu_tpu.models.llama import _layer_leaf
 
         g = lambda name: _layer_leaf(layers, name, layer)
         weights, sel = route(x, g("moe_gate"), self.moe)
-        if "w_gu" in layers:
-            return moe_ffn_auto(
-                x, g("w_gu"), None, g("w_down"), weights, sel, self.moe,
-                layer=layer, mesh=mesh,
+        gate_w, up_w = (
+            (g("w_gu"), None)
+            if "w_gu" in layers
+            else (g("w_gate"), g("w_up"))
+        )
+        if tp_axis:
+            # manual ('pp','tp') pipeline: local expert chunk + psum
+            # (parallel/pipeline.py; the EP contract of models/moe.py)
+            from chitu_tpu.models.common import psum_f32
+            from chitu_tpu.models.moe import moe_ffn_manual_ep
+
+            return psum_f32(
+                moe_ffn_manual_ep(
+                    x, gate_w, up_w, g("w_down"), weights, sel, tp_axis,
+                    layer=layer,
+                ),
+                tp_axis,
             )
         return moe_ffn_auto(
-            x, g("w_gate"), g("w_up"), g("w_down"), weights, sel, self.moe,
+            x, gate_w, up_w, g("w_down"), weights, sel, self.moe,
             layer=layer, mesh=mesh,
         )

@@ -234,6 +234,41 @@ def _sorted_eligible(ws) -> bool:
     return all(kernel_eligible(w) for w in ws if w is not None)
 
 
+def moe_ffn_manual_ep(
+    x: jnp.ndarray,  # [T, D]
+    w_gate,  # LOCAL [Ll, El, K, N] stack (dense or QTensor)
+    w_up,  # None when w_gate holds merged [gate | up]
+    w_down,
+    weights: jnp.ndarray,  # [T, k]
+    sel: jnp.ndarray,  # [T, k] GLOBAL expert ids
+    tp_axis: str,
+    layer=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Local-expert sorted MoE INSIDE an enclosing manual shard_map whose
+    `tp_axis` shards the expert dim (the pipelined pp x tp dual stack,
+    VERDICT r4 next-2): the stacks arriving here are already local
+    (layer-chunk x expert-chunk) slices, so this shard dispatches only
+    its experts through the grouped kernel and returns its PARTIAL
+    combine — the CALLER psums over tp_axis (letting it fold the shared
+    expert / attention partials into one collective). Mirrors
+    `_moe_ffn_ep.local` outside the pipeline (reference EP contract:
+    chitu/fused_moe.py:449-463 expert_map -1 write_zeros)."""
+    from chitu_tpu.ops.qtensor import QTensor
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ref = w_gate if w_gate is not None else w_down
+    El = (ref.data if isinstance(ref, QTensor) else ref).shape[-3]
+    e0 = jax.lax.axis_index(tp_axis) * El
+    sl = sel - e0
+    sl = jnp.where((sl < 0) | (sl >= El), El, sl)
+    return moe_ffn_sorted(
+        x, w_gate, w_up, w_down, weights, sl, El,
+        layer=layer, interpret=interpret, e_dispatch=El + 1,
+    )
+
+
 _capacity_warned = set()
 
 

@@ -167,13 +167,17 @@ def attend_prefill(
     kv_tp_shard: bool = False,
     window: int = 0,
     softcap: float = 0.0,
+    layer_axis: str = "",
 ) -> jnp.ndarray:
-    """Chunk attention against the paged context (append must precede)."""
+    """Chunk attention against the paged context (append must precede).
+
+    `layer_axis`: mesh axis sharding the pool's layer dim ("pp" under
+    sequential pipeline-parallel GSPMD; "" = replicated pool)."""
     if impl == "pallas" and mesh is not None:
         return _shmap_prefill(
             q, pool, layer, block_table, q_pos, total_len,
             page_size, kv_heads, head_dim, split_kv, scale, mesh,
-            kv_tp_shard, window, softcap,
+            kv_tp_shard, window, softcap, layer_axis,
         )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
@@ -276,15 +280,16 @@ def attend_prefill_packed(
     kv_tp_shard: bool = False,
     window: int = 0,
     softcap: float = 0.0,
+    layer_axis: str = "",
 ) -> jnp.ndarray:
     """R ragged prompts' chunk attention in one call (reference packed
     varlen prefill: chitu/utils.py:84-100, executor.py:118-131)."""
     if impl == "pallas" and mesh is not None:
-        if _supports_shmap(mesh, q.shape[1]):
+        if _supports_shmap(mesh, q.shape[1], pool.shape[0], layer_axis):
             return _shmap_prefill_packed(
                 q, pool, layer, block_tables, block_seg, block_qstart,
                 total_lens, page_size, kv_heads, head_dim, split_kv, scale,
-                mesh, kv_tp_shard, window, softcap,
+                mesh, kv_tp_shard, window, softcap, layer_axis,
             )
         impl = "xla"  # oracle under GSPMD for unsupported layouts
     if impl == "pallas":
@@ -319,13 +324,14 @@ def attend_decode(
     kv_tp_shard: bool = False,
     window: int = 0,
     softcap: float = 0.0,
+    layer_axis: str = "",
 ) -> jnp.ndarray:
     """One-token decode attention (new token's K/V already appended)."""
     if impl == "pallas" and mesh is not None:
         return _shmap_decode(
             q, pool, layer, block_tables, seq_lens,
             page_size, kv_heads, head_dim, split_kv, scale, mesh,
-            kv_tp_shard, window, softcap,
+            kv_tp_shard, window, softcap, layer_axis,
         )
     if impl == "pallas":
         from chitu_tpu.ops import pallas_attention
@@ -363,21 +369,65 @@ def attend_decode(
 # GSPMD cannot partition pallas_call itself, so this is the multi-chip
 # kernel path (the NCCL-free analogue of the reference's per-rank
 # flash-attn calls).
+#
+# pp>1 (r5, VERDICT r4 next-1b): the pool's LAYER dim is 'pp'-sharded
+# (kv_cache_partition_spec); `layer_axis="pp"` makes 'pp' a manual axis
+# too — the OWNING stage runs the kernel on its local layer slice with a
+# local layer index, the others contribute zeros, and one psum over 'pp'
+# replicates the output (the sequential-GSPMD layers are computed
+# redundantly on every stage anyway, so attention output is replicated).
+# A replicated pool (layer_axis="", e.g. DeepSeek's dense-first group)
+# just computes identically on every stage. This replaces the old
+# pp==1-only gate that dropped EVERY pp>1 layout to the dense-gather
+# oracle — the O(seq) copying SURVEY.md §2.2 criticizes (the reference
+# keeps flash-attn on every rank regardless of layout,
+# chitu/attn_backend.py:167-243).
 # ---------------------------------------------------------------------------
 
 
-def _supports_shmap(mesh, H: int) -> bool:
+def _supports_shmap(mesh, H: int, L: int = 0, layer_axis: str = "") -> bool:
     tp = mesh.shape.get("tp", 1)
-    return (
-        mesh.shape.get("pp", 1) == 1
-        and H % tp == 0
-        and jax.default_backend() in ("tpu", "cpu")
-    )
+    pp = mesh.shape.get("pp", 1)
+    if pp > 1:
+        # 'pp'-sharded pool needs even layer slices and the axis name;
+        # a pool NOT declared pp-sharded must be replicated — callers
+        # pass layer_axis="" only for replicated groups
+        if layer_axis == "pp":
+            if L % pp != 0:
+                return False
+        elif layer_axis:
+            return False
+    return H % tp == 0 and jax.default_backend() in ("tpu", "cpu")
+
+
+def _pp_local_layer(pool_l, layer, layer_axis: str, pp: int):
+    """(local_layer_idx, owner_weight | None): maps a GLOBAL layer index
+    onto this stage's local pool slice. owner_weight is None when the
+    pool is replicated (every stage owns every layer)."""
+    if not layer_axis or pp <= 1:
+        return layer, None
+    Ll = pool_l.shape[0]
+    stage = jax.lax.axis_index(layer_axis)
+    loc = layer - stage * Ll
+    owns = (loc >= 0) & (loc < Ll)
+    return jnp.clip(loc, 0, Ll - 1), owns
+
+
+def _pp_fold(out, owns, layer_axis: str):
+    """Zero non-owner stages' kernel output and psum it back replicated
+    (f32 lanes: the XLA CPU AllReducePromotion bf16 crash, see
+    models/common.psum_f32)."""
+    if owns is None:
+        return out
+    from chitu_tpu.models.common import psum_f32
+
+    return psum_f32(jnp.where(owns, out, 0), layer_axis)
 
 
 def _shmap_decode(
     q, pool, layer, block_tables, seq_lens, page_size, kv_heads, head_dim,
     split_kv, scale, mesh, kv_tp_shard=False, window=0, softcap=0.0,
+    layer_axis: str = "",
 ):
     from jax.sharding import PartitionSpec as P
 
@@ -385,7 +435,8 @@ def _shmap_decode(
 
     B, H, D = q.shape
     tp = mesh.shape["tp"]
-    if not _supports_shmap(mesh, H):
+    pp = mesh.shape.get("pp", 1)
+    if not _supports_shmap(mesh, H, pool.shape[0], layer_axis):
         # fall back to the oracle path under unsupported layouts
         gathered = _gather(pool, layer, block_tables)
         k, v = unpack_pool(
@@ -411,23 +462,28 @@ def _shmap_decode(
     kv_local = kv_heads // tp if sharded else kv_heads
     interpret = jax.default_backend() != "tpu"
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
+    pool_spec = P(
+        layer_axis or None, None, None, "tp" if sharded else None
+    )
 
     def local(q_l, pool_l, layer_l, bt_l, sl_l):
         # sharded pool: the local head slice is aligned with the local KV
         # slice (both contiguous over 'tp'), so local kv = h // group
         off = 0 if sharded else jax.lax.axis_index("tp") * (H // tp)
-        return pallas_attention.attend_decode(
-            q_l, pool_l, layer_l[0], bt_l, sl_l, page_size, kv_local,
+        lidx, owns = _pp_local_layer(pool_l, layer_l[0], layer_axis, pp)
+        out = pallas_attention.attend_decode(
+            q_l, pool_l, lidx, bt_l, sl_l, page_size, kv_local,
             head_dim, split_kv, scale=scale, interpret=interpret,
             group=group, head_offset=off, window=window, softcap=softcap,
         )
+        return _pp_fold(out, owns, layer_axis)
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),
-            P(None, None, None, "tp" if sharded else None),
+            pool_spec,
             P(None),
             P(None, None),
             P(None),
@@ -440,7 +496,7 @@ def _shmap_decode(
 def _shmap_prefill(
     q, pool, layer, block_table, q_pos, total_len, page_size, kv_heads,
     head_dim, split_kv, scale, mesh, kv_tp_shard=False, window=0,
-    softcap=0.0,
+    softcap=0.0, layer_axis: str = "",
 ):
     from jax.sharding import PartitionSpec as P
 
@@ -448,7 +504,8 @@ def _shmap_prefill(
 
     T, H, D = q.shape
     tp = mesh.shape["tp"]
-    if not _supports_shmap(mesh, H):
+    pp = mesh.shape.get("pp", 1)
+    if not _supports_shmap(mesh, H, pool.shape[0], layer_axis):
         gathered = _gather(pool, layer, block_table[None])
         k, v = unpack_pool(
             gathered, kv_heads, head_dim, split_kv,
@@ -470,21 +527,26 @@ def _shmap_prefill(
     info = jnp.stack(
         [jnp.asarray(total_len, jnp.int32), layer.astype(jnp.int32)]
     )
+    pool_spec = P(
+        layer_axis or None, None, None, "tp" if sharded else None
+    )
 
     def local(q_l, pool_l, bt_l, qp_l, info_l):
         off = 0 if sharded else jax.lax.axis_index("tp") * (H // tp)
-        return pallas_attention.attend_prefill(
-            q_l, pool_l, info_l[1], bt_l, qp_l, info_l[0], page_size,
+        lidx, owns = _pp_local_layer(pool_l, info_l[1], layer_axis, pp)
+        out = pallas_attention.attend_prefill(
+            q_l, pool_l, lidx, bt_l, qp_l, info_l[0], page_size,
             kv_local, head_dim, split_kv, scale=scale, interpret=interpret,
             group=group, head_offset=off, window=window, softcap=softcap,
         )
+        return _pp_fold(out, owns, layer_axis)
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),
-            P(None, None, None, "tp" if sharded else None),
+            pool_spec,
             P(None),
             P(None),
             P(None),
@@ -497,7 +559,7 @@ def _shmap_prefill(
 def _shmap_prefill_packed(
     q, pool, layer, block_tables, block_seg, block_qstart, total_lens,
     page_size, kv_heads, head_dim, split_kv, scale, mesh, kv_tp_shard=False,
-    window=0, softcap=0.0,
+    window=0, softcap=0.0, layer_axis: str = "",
 ):
     from jax.sharding import PartitionSpec as P
 
@@ -505,7 +567,8 @@ def _shmap_prefill_packed(
 
     T, H, D = q.shape
     tp = mesh.shape["tp"]
-    if not _supports_shmap(mesh, H):
+    pp = mesh.shape.get("pp", 1)
+    if not _supports_shmap(mesh, H, pool.shape[0], layer_axis):
         raise NotImplementedError(
             "packed prefill oracle fallback under mesh requires seg/pos; "
             "callers guard on _supports_shmap"
@@ -515,21 +578,26 @@ def _shmap_prefill_packed(
     kv_local = kv_heads // tp if sharded else kv_heads
     interpret = jax.default_backend() != "tpu"
     layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
+    pool_spec = P(
+        layer_axis or None, None, None, "tp" if sharded else None
+    )
 
     def local(q_l, pool_l, bt_l, bs_l, bq_l, tl_l, layer_l):
         off = 0 if sharded else jax.lax.axis_index("tp") * (H // tp)
-        return pallas_attention.attend_prefill_packed(
-            q_l, pool_l, layer_l[0], bt_l, bs_l, bq_l, tl_l, page_size,
+        lidx, owns = _pp_local_layer(pool_l, layer_l[0], layer_axis, pp)
+        out = pallas_attention.attend_prefill_packed(
+            q_l, pool_l, lidx, bt_l, bs_l, bq_l, tl_l, page_size,
             kv_local, head_dim, split_kv, scale=scale, interpret=interpret,
             group=group, head_offset=off, window=window, softcap=softcap,
         )
+        return _pp_fold(out, owns, layer_axis)
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(None, "tp", None),
-            P(None, None, None, "tp" if sharded else None),
+            pool_spec,
             P(None, None),
             P(None),
             P(None),

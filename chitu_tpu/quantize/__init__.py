@@ -1,4 +1,5 @@
 from chitu_tpu.quantize.transforms import (
+    expand_fp8_scales_rowwise,
     is_packed_int4,
     pack_int4_storage,
     quantize_params,

@@ -177,6 +177,39 @@ def quantize_llmint8(w: jnp.ndarray, frac: float = OUTLIER_FRAC) -> QTensor:
     )
 
 
+def expand_fp8_scales_rowwise(params: Any) -> Any:
+    """Blockwise fp8 scales [.., in/B, out/B] -> rowwise [.., in/B, out]
+    (storage stays fp8). On TPU `requantize_fp8_storage` does this as
+    part of the int8 fast path; CPU/virtual-mesh engines run THIS
+    instead so manual-('pp','tp') shard_map eligibility matches the TPU
+    layout — a blockwise out/B dim often fails tp divisibility (e.g.
+    384/128 = 3 on tiny test geometries) where the rowwise `out` dim
+    divides exactly like the weight it scales. The repeat is exact."""
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            for k in list(tree.keys()):
+                tree[k] = walk(tree.pop(k))
+            return tree
+        if (
+            isinstance(tree, QTensor)
+            and tree.kind in (QuantKind.SOFT_FP8, QuantKind.FP8)
+            and tree.scale.shape[-1] != tree.data.shape[-1]
+        ):
+            n = tree.data.shape[-1]
+            scale = jnp.repeat(tree.scale, tree.block, axis=-1)[
+                ..., :n
+            ].astype(jnp.float32)
+            return QTensor(
+                data=tree.data, scale=scale, zeros=tree.zeros,
+                kind=tree.kind, block=tree.block, in_perm=tree.in_perm,
+                oc_idx=tree.oc_idx, oc_w=tree.oc_w,
+            )
+        return tree
+
+    return walk(params)
+
+
 def requantize_fp8_storage(params: Any) -> Any:
     """fp8-e4m3 QTensor storage -> int8 lanes with rescaled block scales.
 

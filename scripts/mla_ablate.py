@@ -56,7 +56,8 @@ def _patch(variant: str):
         if variant == "no_moe_all":
             orig = ds.DeepSeekV3ForCausalLM._moe_ffn
             ds.DeepSeekV3ForCausalLM._moe_ffn = (
-                lambda self, x, layers, layer, mesh=None: jnp.zeros_like(x)
+                lambda self, x, layers, layer, mesh=None, tp_axis="":
+                jnp.zeros_like(x)
             )
     elif variant != "full":
         raise SystemExit(f"unknown variant {variant}")

@@ -581,3 +581,248 @@ def test_deepseek_pp2_pipelined_dual_stack(monkeypatch):
     assert calls, "deepseek pp=2 did not take the pipelined path"
     assert list(reqs[0].async_stream.tokens) == want
     assert len(reqs[1].async_stream.tokens) == 6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_pipelined_decode_pallas_kernels_no_oracle(monkeypatch):
+    """VERDICT r4 next-1a: with attn_type=pallas, the pipelined pp>1
+    decode must run the Pallas kernels on the stage-local pool slice —
+    the XLA gather oracle must NEVER trace inside the pipeline (it
+    gathers the whole context into a dense [B, S, M] per layer, the
+    exact O(seq) copying SURVEY.md §2.2 criticizes). Tokens must match
+    the single-device oracle engine."""
+    import dataclasses as dc
+
+    from chitu_tpu.ops import attention as attn_mod
+    from chitu_tpu.parallel import pipeline as pipe_mod
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_tp_friendly_cfg())
+    prompts = [f"pallas pipeline probe {i}" for i in range(4)]
+    want = [base.generate(s, p) for s in prompts]
+
+    cfg = _tp_friendly_cfg()
+    cfg = dc.replace(
+        cfg,
+        infer=dc.replace(cfg.infer, pp_size=2, attn_type="pallas"),
+    )
+    eng = Engine(cfg)
+    assert pipe_mod.supports_pipeline(eng.model, eng.mesh, eng.params)
+    assert eng.executor.attn_impl == "pallas"
+
+    pipe_calls = []
+    orig_pipe = pipe_mod.decode_pipelined
+
+    def pipe_spy(*a, **k):
+        pipe_calls.append(k.get("impl"))
+        return orig_pipe(*a, **k)
+
+    monkeypatch.setattr(pipe_mod, "decode_pipelined", pipe_spy)
+
+    # the oracle decode path is attn_ops.attend_decode with impl="xla";
+    # under pallas the pipeline must call pallas_attention directly
+    def oracle_boom(*a, **k):
+        if k.get("impl", "xla") != "pallas":
+            raise AssertionError(
+                "XLA oracle attend_decode traced inside the pallas "
+                "pipelined decode"
+            )
+        return orig_attend(*a, **k)
+
+    orig_attend = attn_mod.attend_decode
+    monkeypatch.setattr(attn_mod, "attend_decode", oracle_boom)
+
+    reqs = [eng.submit(s, p) for s in prompts]
+    eng.run_until_complete()
+    assert pipe_calls and all(i == "pallas" for i in pipe_calls)
+    got = [list(r.async_stream.tokens) for r in reqs]
+    assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_pipelined_decode_pp2_tp2_llama_manual(monkeypatch):
+    """VERDICT r4 next-2 (llama side): tp joins the pipeline shard_map
+    as a MANUAL axis — weight shards stay local, attention runs on the
+    local head slice, per-layer psums fold the partials — and tokens
+    match the single-device engine."""
+    import dataclasses as dc
+
+    from chitu_tpu.parallel import pipeline as pipe_mod
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_tp_friendly_cfg())
+    prompts = [f"manual tp pipeline {i}" for i in range(4)]
+    want = [base.generate(s, p) for s in prompts]
+
+    cfg = _tp_friendly_cfg(tp=2)
+    cfg = dc.replace(cfg, infer=dc.replace(cfg.infer, pp_size=2))
+    eng = Engine(cfg)
+    assert eng.model.kv_tp_shard
+    assert pipe_mod._tp_mode(eng.model, eng.mesh, eng.params) == "manual"
+    assert pipe_mod.supports_pipeline(eng.model, eng.mesh, eng.params)
+
+    calls = []
+    orig = pipe_mod.decode_pipelined
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipe_mod, "decode_pipelined", spy)
+    reqs = [eng.submit(s, p) for s in prompts]
+    eng.run_until_complete()
+    assert calls, "pp2 x tp2 did not take the pipelined path"
+    got = [list(r.async_stream.tokens) for r in reqs]
+    assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_deepseek_fp8_pp2_tp2_pipelined_dual_stack(monkeypatch):
+    """VERDICT r4 next-2: the flagship pp x tp layout rides the
+    MICROBATCH pipeline — each (stage, tp-shard) holds its
+    (layer-chunk, expert-chunk) of the fp8 stacks and dispatches local
+    experts through the grouped kernel (capacity fallback never
+    traces); attention q heads shard over tp and run MQA over the
+    replicated latent pool. Tokens must agree with the single-device
+    engine (logit-level gate: exact parity across different compiled
+    programs on random bf16 is luck, see
+    test_deepseek_fp8_pp2_tp2_grouped_moe)."""
+    import dataclasses as dc
+
+    from chitu_tpu.config import load_config
+    from chitu_tpu.models import moe as moe_mod
+    from chitu_tpu.parallel import pipeline as pipe_mod
+
+    def cfg_of(tp, pp):
+        return load_config(
+            overrides=[
+                "models=tiny-deepseek-debug",
+                "models.n_layers=5",  # n_moe=4: divisible by pp=2
+                # 256: the shared expert's in/128 scale rows must divide
+                # tp=2 for manual-tp shard_map (the flagship's 2048 does)
+                "models.moe.moe_inter_dim=256",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=4",
+                "infer.page_size=16",
+                "infer.stop_with_eos=false",
+                f"infer.tp_size={tp}",
+                f"infer.pp_size={pp}",
+                "quant.method=soft_fp8",
+                "quant.quant_on_load=true",
+            ]
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    base = Engine(cfg_of(1, 1))
+    prompts = ["flagship pipelined layout", "second microbatch row"]
+    want = [base.generate(s, p) for s in prompts]
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "capacity-einsum fallback traced inside the pipelined "
+            "pp x tp dual stack: fp8 experts dequantized"
+        )
+
+    monkeypatch.setattr(moe_mod, "moe_ffn", boom)
+    eng = Engine(cfg_of(2, 2))
+    assert pipe_mod._tp_mode(eng.model, eng.mesh, eng.params) == "manual"
+    assert pipe_mod.supports_pipeline(eng.model, eng.mesh, eng.params)
+
+    calls = []
+    orig = pipe_mod.decode_pipelined
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipe_mod, "decode_pipelined", spy)
+    reqs = [eng.submit(s, p) for s in prompts]
+    eng.run_until_complete()
+    assert calls, "deepseek pp2 x tp2 did not take the pipelined path"
+    got = [list(r.async_stream.tokens) for r in reqs]
+    # token-level gate with near-tie tolerance: count positions where
+    # the streams agree; a sharding bug drops agreement to ~chance
+    flat_want = [t for w in want for t in w]
+    flat_got = [t for g in got for t in g]
+    agree = sum(a == b for a, b in zip(flat_want, flat_got))
+    assert agree >= 0.8 * len(flat_want), (want, got)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_sequential_pp2_pallas_kernels(monkeypatch):
+    """VERDICT r4 next-1b: the SEQUENTIAL pp>1 path (single in-flight
+    request, no microbatch group) must run the Pallas kernels on the
+    'pp'-sharded pool — the owning stage computes its local layer slice,
+    psum replicates — instead of dropping to the dense-gather oracle.
+    Tokens must match the single-device engine."""
+    import dataclasses as dc
+
+    from chitu_tpu.ops import pallas_attention as pk
+
+    p = SampleParams(temperature=0.0, max_new_tokens=6)
+    base = Engine(_tp_friendly_cfg())
+    want = base.generate("sequential pp pallas", p)
+
+    cfg = _tp_friendly_cfg()
+    cfg = dc.replace(
+        cfg, infer=dc.replace(cfg.infer, pp_size=2, attn_type="pallas")
+    )
+    eng = Engine(cfg)
+    calls = {"decode": 0, "prefill": 0}
+    od, opf = pk.attend_decode, pk.attend_prefill
+
+    def sd(*a, **k):
+        calls["decode"] += 1
+        return od(*a, **k)
+
+    def sp(*a, **k):
+        calls["prefill"] += 1
+        return opf(*a, **k)
+
+    monkeypatch.setattr(pk, "attend_decode", sd)
+    monkeypatch.setattr(pk, "attend_prefill", sp)
+    # ONE request: the pipelined path needs >= 2 live rows, so this
+    # exercises the sequential windowed decode under pp=2
+    got = eng.generate("sequential pp pallas", p)
+    assert calls["decode"] > 0, "sequential pp2 decode did not trace pallas"
+    assert calls["prefill"] > 0, "sequential pp2 prefill did not trace pallas"
+    assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_sequential_pp2_pallas_deepseek(monkeypatch):
+    """Sequential pp>1 MLA: the dual stack's 'pp'-sharded MoE pool and
+    replicated dense pool both run the Pallas MQA kernel under pallas
+    attn_type (layer_axis plumbing through _forward)."""
+    from chitu_tpu.config import load_config
+    from chitu_tpu.ops import pallas_attention as pk
+
+    def cfg_of(pp, attn):
+        return load_config(
+            overrides=[
+                "models=tiny-deepseek-debug",
+                "models.n_layers=5",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=4",
+                "infer.page_size=16",
+                "infer.stop_with_eos=false",
+                f"infer.pp_size={pp}",
+                f"infer.attn_type={attn}",
+            ]
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    want = Engine(cfg_of(1, "xla")).generate("mla sequential pp", p)
+
+    eng = Engine(cfg_of(2, "pallas"))
+    calls = {"n": 0}
+    od = pk.attend_decode
+
+    def sd(*a, **k):
+        calls["n"] += 1
+        return od(*a, **k)
+
+    monkeypatch.setattr(pk, "attend_decode", sd)
+    got = eng.generate("mla sequential pp", p)
+    assert calls["n"] > 0, "pp2 MLA decode did not trace the pallas kernel"
+    assert got == want
