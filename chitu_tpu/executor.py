@@ -340,7 +340,11 @@ class Executor:
 
             M = next(iter(self.cache.arrays.values())).shape[-1]
             self._tq_cache = packed_q_block(
-                self.model.args.n_heads, M, self.page, self.model.head_dim
+                self.model.args.n_heads, M, self.page, self.model.head_dim,
+                kv_heads=getattr(self.model.args, "n_kv_heads", None),
+                # merged-MLA (absorb) pools are 1-"head" latent rows:
+                # the grouped GQA layout does not apply there
+                split_kv=not getattr(self.model, "absorb", False),
             )
         return self._tq_cache
 

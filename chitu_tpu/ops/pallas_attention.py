@@ -857,8 +857,159 @@ def attend_decode_fused(
 
 
 # ---------------------------------------------------------------------------
-# Prefill kernel
+# Prefill kernels
+#
+# Two variants (r5, VERDICT r4 next-5):
+# - GROUPED (GQA/MHA, head_dim % 128 == 0): queries arrive KV-major
+#   [KV, Tq, G, D]; each KV head's G query heads dot ONLY their own
+#   128-lane-aligned K/V slice of the page row. No expanded-q copies, no
+#   mask/fold matmuls, 1/KV of the old score MACs, and a q block KV x
+#   smaller in VMEM (so Tq grows 8x at the 3B geometry -> 8x fewer
+#   whole-context page re-reads). This was the 0.46-MFU ceiling the r4
+#   xplane attribution pointed at ("expanded-query GQA attention").
+# - EXPANDED (fallback): head_dim not lane-aligned (64-wide heads) or a
+#   dynamic head offset (shard_map unsharded-pool path) — the original
+#   expand/mask/fold formulation. MLA's merged latent (nofold) also
+#   stays here: its 1-"head" row is already optimal.
 # ---------------------------------------------------------------------------
+
+
+def _grouped_eligible(
+    split_kv: bool, kv_heads: int, head_dim: int, H: int,
+    group, head_offset,
+) -> bool:
+    if not split_kv or head_dim % 128 != 0:
+        return False
+    if not isinstance(head_offset, int) or head_offset != 0:
+        return False  # dynamic offsets keep the expanded layout
+    G = group or (H // kv_heads)
+    return G > 0 and H == kv_heads * G
+
+
+def _fit_q_block_grouped(T: int, H: int, page: int, D: int) -> int:
+    """Grouped-kernel q block: per-row footprint uses D (not KV*D)."""
+    per_row = H * (14 * D + 4 * page)
+    tq = min(T, Q_BLOCK)
+    while tq > 8 and tq * per_row > VMEM_BUDGET // 2:
+        tq //= 2
+    return tq
+
+
+def _grouped_inner(
+    q_ref,  # [KV, Tq, G, D] VMEM block
+    buf,  # [ring, page, M] VMEM scratch
+    dma,  # fn(slot, i) -> async copy
+    o_ref,  # [KV, Tq, G, D] VMEM block
+    *,
+    page: int,
+    scale: float,
+    ring: int,
+    window: int,
+    softcap: float,
+    khalf: int,
+    q_start,
+    total,
+    p0,
+    n_pages,
+):
+    """Shared page loop of the grouped prefill kernels: per-KV-head
+    online softmax over [Tq*G, D] x [D, page] dots."""
+    KV, Tq, G, D = q_ref.shape
+    TG = Tq * G
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (TG, 1), 0) // G
+    q_pos = q_start + row_t  # [TG, 1]
+    qs = [q_ref[h].astype(jnp.bfloat16).reshape(TG, D) for h in range(KV)]
+
+    def body(i, carry):
+        ms, ls, accs = carry
+        slot = jax.lax.rem(i, ring)
+        dma(slot, i).wait()
+        kpos = i * page + jax.lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        keep = (kpos < total) & (kpos <= q_pos)
+        if window > 0:
+            keep = keep & (kpos > q_pos - window)
+        new_m, new_l, new_acc = [], [], []
+        for h in range(KV):
+            rows_k = _pool_bf16(buf[slot, :, h * D : (h + 1) * D])
+            rows_v = _pool_bf16(
+                buf[slot, :, khalf + h * D : khalf + (h + 1) * D]
+            )
+            s = jax.lax.dot_general(
+                qs[h], rows_k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [TG, page]
+            if softcap > 0.0:
+                s = jnp.tanh(s / softcap) * softcap
+            s = jnp.where(keep, s, NEG_INF)
+            m_new = jnp.maximum(ms[h], jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(ms[h] - m_new)
+            new_m.append(m_new)
+            new_l.append(ls[h] * alpha + jnp.sum(p, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), rows_v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_acc.append(accs[h] * alpha + pv)
+
+        @pl.when(i + ring < n_pages)
+        def _():
+            dma(slot, i + ring).start()
+
+        return tuple(new_m), tuple(new_l), tuple(new_acc)
+
+    m0 = tuple(jnp.full((TG, 1), NEG_INF, jnp.float32) for _ in range(KV))
+    l0 = tuple(jnp.zeros((TG, 1), jnp.float32) for _ in range(KV))
+    a0 = tuple(jnp.zeros((TG, D), jnp.float32) for _ in range(KV))
+    ms, ls, accs = jax.lax.fori_loop(p0, n_pages, body, (m0, l0, a0))
+    for h in range(KV):
+        out = accs[h] / jnp.maximum(ls[h], 1e-30)
+        o_ref[h] = out.reshape(Tq, G, D).astype(o_ref.dtype)
+
+
+def _prefill_grouped_kernel(
+    block_table_ref,  # [mp] int32
+    info_ref,  # [3] int32: (total_len, q_start, layer)
+    q_ref,  # [KV, Tq, G, D] VMEM block
+    pool_ref,  # [L, P, page, M] ANY
+    o_ref,  # [KV, Tq, G, D] VMEM block
+    buf,
+    sems,
+    *,
+    page: int,
+    scale: float,
+    ring: int,
+    window: int = 0,
+    softcap: float = 0.0,
+    khalf: int = 0,
+):
+    qb = pl.program_id(0)
+    total = info_ref[0]
+    Tq = q_ref.shape[1]
+    q_start = info_ref[1] + qb * Tq
+    layer = info_ref[2]
+    last_pos = jnp.minimum(q_start + Tq, total)
+    n_pages = jax.lax.div(last_pos + page - 1, page)
+    p0 = (
+        jnp.maximum(q_start - window + 1, 0) // page if window > 0 else 0
+    )
+
+    def dma(slot, i):
+        pid = jnp.maximum(block_table_ref[i], 0)
+        return pltpu.make_async_copy(
+            pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
+        )
+
+    for w in range(ring):
+        @pl.when(p0 + w < n_pages)
+        def _():
+            dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
+
+    _grouped_inner(
+        q_ref, buf, dma, o_ref, page=page, scale=scale, ring=ring,
+        window=window, softcap=softcap, khalf=khalf, q_start=q_start,
+        total=total, p0=p0, n_pages=n_pages,
+    )
 
 
 def _prefill_kernel(
@@ -1004,12 +1155,62 @@ def attend_prefill(
     T, H, D = q.shape
     L, P, page, M = pool.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
-    Tq = _fit_q_block(T, H, M, page, D)
-    assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
     ring = min(
         _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
         max(block_table.shape[-1], 2),
     )
+
+    if _grouped_eligible(split_kv, kv_heads, D, H, group, head_offset):
+        KV = kv_heads
+        G = H // KV
+        Tq = _fit_q_block_grouped(T, H, page, D)
+        assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
+        q_g = jnp.transpose(
+            q.reshape(T, KV, G, D), (1, 0, 2, 3)
+        )  # [KV, T, G, D]
+        info = jnp.stack(
+            [
+                jnp.asarray(total_len, jnp.int32),
+                q_pos[0].astype(jnp.int32),
+                jnp.asarray(layer, jnp.int32),
+            ]
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T // Tq,),
+            in_specs=[
+                pl.BlockSpec(
+                    (KV, Tq, G, D), lambda i, *_: (0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (KV, Tq, G, D), lambda i, *_: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ring, page, M), pool.dtype),
+                pltpu.SemaphoreType.DMA((ring,)),
+            ],
+        )
+        kernel = functools.partial(
+            _prefill_grouped_kernel, page=page, scale=scale, ring=ring,
+            window=window, softcap=softcap, khalf=KV * D,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((KV, T, G, D), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(block_table, info, q_g, pool)
+        return jnp.transpose(out, (1, 0, 2, 3)).reshape(T, H, D)
+
+    Tq = _fit_q_block(T, H, M, page, D)
+    assert T % Tq == 0, f"prefill chunk {T} must be a multiple of {Tq}"
 
     khalf = kv_heads * D if split_kv and (kv_heads * D) % 128 == 0 else 0
     Mq = khalf if khalf else M
@@ -1082,11 +1283,81 @@ def attend_prefill(
 # ---------------------------------------------------------------------------
 
 
-def packed_q_block(H: int, M: int, page: int, D: int) -> int:
+def packed_q_block(
+    H: int, M: int, page: int, D: int,
+    kv_heads: Optional[int] = None, split_kv: bool = True,
+) -> int:
     """Query-block granularity for packed prefill: each request's tokens
     are padded to a multiple of this so every grid block belongs to
-    exactly one segment (the moe-align trick applied to attention)."""
+    exactly one segment (the moe-align trick applied to attention).
+
+    When the grouped kernel applies (kv_heads given, lane-aligned
+    heads) the fit uses its KV x smaller per-row footprint — at the 3B
+    geometry that takes Tq from 8 to 64, cutting whole-context page
+    re-reads 8x (the r4 prefill-MFU ceiling)."""
+    if kv_heads and _grouped_eligible(split_kv, kv_heads, D, H, None, 0):
+        return _fit_q_block_grouped(1 << 30, H, page, D)
     return _fit_q_block(1 << 30, H, M, page, D)
+
+
+def _prefill_packed_grouped_kernel(
+    bt_ref,  # [R, mp] int32 (scalar prefetch)
+    seg_ref,  # [NB] int32 block -> segment (-1 = dead/pad block)
+    qstart_ref,  # [NB] int32 block's first-row position within its seq
+    total_ref,  # [R] int32 per-segment total context length
+    layer_ref,  # [1] int32
+    q_ref,  # [KV, Tq, G, D] VMEM block
+    pool_ref,  # [L, P, page, M] ANY
+    o_ref,  # [KV, Tq, G, D]
+    buf,
+    sems,
+    *,
+    page: int,
+    scale: float,
+    ring: int,
+    window: int = 0,
+    softcap: float = 0.0,
+    khalf: int = 0,
+):
+    b = pl.program_id(0)
+    seg = seg_ref[b]
+    live = seg >= 0
+    ss = jnp.maximum(seg, 0)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(live)
+    def _():
+        total = total_ref[ss]
+        q_start = qstart_ref[b]
+        layer = layer_ref[0]
+        Tq = q_ref.shape[1]
+        last_pos = jnp.minimum(q_start + Tq, total)
+        n_pages = jax.lax.div(last_pos + page - 1, page)
+        p0 = (
+            jnp.maximum(q_start - window + 1, 0) // page
+            if window > 0
+            else 0
+        )
+
+        def dma(slot, i):
+            pid = jnp.maximum(bt_ref[ss, i], 0)
+            return pltpu.make_async_copy(
+                pool_ref.at[layer, pid], buf.at[slot], sems.at[slot]
+            )
+
+        for w in range(ring):
+            @pl.when(p0 + w < n_pages)
+            def _():
+                dma(jax.lax.rem(p0 + w, ring), p0 + w).start()
+
+        _grouped_inner(
+            q_ref, buf, dma, o_ref, page=page, scale=scale, ring=ring,
+            window=window, softcap=softcap, khalf=khalf, q_start=q_start,
+            total=total, p0=p0, n_pages=n_pages,
+        )
 
 
 def _prefill_packed_kernel(
@@ -1250,13 +1521,61 @@ def attend_prefill_packed(
     NB = block_seg.shape[0]
     Tq = T // NB
     assert Tq * NB == T
-    assert Tq <= _fit_q_block(1 << 30, H, M, page, D), (
-        f"packed q block {Tq} exceeds the VMEM fit"
-    )
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     ring = min(
         _fit_ring(page, M, pool.dtype.itemsize, VMEM_BUDGET // 2),
         max(block_tables.shape[-1], 2),
+    )
+
+    if _grouped_eligible(split_kv, kv_heads, D, H, group, head_offset):
+        KV = kv_heads
+        G = H // KV
+        assert Tq <= _fit_q_block_grouped(1 << 30, H, page, D), (
+            f"packed q block {Tq} exceeds the grouped VMEM fit"
+        )
+        q_g = jnp.transpose(
+            q.reshape(T, KV, G, D), (1, 0, 2, 3)
+        )  # [KV, T, G, D]
+        layer_arr = jnp.reshape(jnp.asarray(layer, jnp.int32), (1,))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (KV, Tq, G, D), lambda i, *_: (0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (KV, Tq, G, D), lambda i, *_: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ring, page, M), pool.dtype),
+                pltpu.SemaphoreType.DMA((ring,)),
+            ],
+        )
+        kernel = functools.partial(
+            _prefill_packed_grouped_kernel, page=page, scale=scale,
+            ring=ring, window=window, softcap=softcap, khalf=KV * D,
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((KV, T, G, D), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(
+            block_tables, block_seg, block_qstart, total_lens, layer_arr,
+            q_g, pool,
+        )
+        return jnp.transpose(out, (1, 0, 2, 3)).reshape(T, H, D)
+
+    assert Tq <= _fit_q_block(1 << 30, H, M, page, D), (
+        f"packed q block {Tq} exceeds the VMEM fit"
     )
     khalf = kv_heads * D if split_kv and (kv_heads * D) % 128 == 0 else 0
     Mq = khalf if khalf else M

@@ -107,9 +107,30 @@ def run(bs: int, quant: str):
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
-            for ev in line.events:
+            # EXCLUSIVE self time: XLA Op events nest (while/call wrap
+            # their bodies); subtract each event's children so loop
+            # wrappers don't double-count their contents
+            evs = sorted(
+                line.events, key=lambda e: (e.offset_ps, -e.duration_ps)
+            )
+            child_sum = {}  # id(ev) -> accumulated direct-child ps
+            stack = []  # (end_ps, ev_id)
+            for ev in evs:
+                start, dur = ev.offset_ps, ev.duration_ps
+                while stack and start >= stack[-1][0]:
+                    stack.pop()
+                if stack:
+                    child_sum[stack[-1][1]] = (
+                        child_sum.get(stack[-1][1], 0) + dur
+                    )
+                stack.append((start + dur, id(ev)))
+            for ev in evs:
                 name = plane.event_metadata[ev.metadata_id].name
-                ms = ev.duration_ps / 1e9
+                ms = (
+                    ev.duration_ps - child_sum.get(id(ev), 0)
+                ) / 1e9
+                if ms < 0:
+                    ms = 0.0
                 c = categorize(name)
                 cat_ms[c] += ms
                 cat_cnt[c] += 1

@@ -27,12 +27,38 @@ PEAK = 197e12  # v5e bf16 MXU peak
 
 
 def model_params(m) -> int:
+    """ACTIVE params per token (the MFU denominator): MoE counts the
+    shared expert + the k activated routed experts only, MLA counts the
+    lora/absorb projections — total params would overstate per-token
+    FLOPs ~6x at the deepseek-mini geometry."""
     d, L, H, KV, Dh, F, V = (
         m.dim, m.n_layers, m.n_heads, m.n_kv_heads, m.head_dim_(),
         m.inter_dim, m.vocab_size,
     )
-    per_layer = d * H * Dh + 2 * d * KV * Dh + H * Dh * d + 3 * d * F
-    return V * d + L * per_layer + d * V
+    ml, mo = m.mla, m.moe
+    if ml is not None:
+        qk = ml.qk_nope_head_dim + ml.qk_rope_head_dim
+        attn = (
+            (d * ml.q_lora_rank + ml.q_lora_rank * H * qk)
+            if ml.q_lora_rank
+            else d * H * qk
+        )
+        attn += d * (ml.kv_lora_rank + ml.qk_rope_head_dim)
+        attn += ml.kv_lora_rank * H * (ml.qk_nope_head_dim + ml.v_head_dim)
+        attn += H * ml.v_head_dim * d
+    else:
+        attn = d * H * Dh + 2 * d * KV * Dh + H * Dh * d
+    if mo is not None:
+        Ld = mo.n_dense_layers
+        Lm = L - Ld
+        dense_ffn = 3 * d * F
+        act_ffn = 3 * d * mo.moe_inter_dim * (
+            max(mo.n_shared_experts, 1) + mo.n_activated_experts
+        )
+        layers = L * attn + Ld * dense_ffn + Lm * act_ffn
+    else:
+        layers = L * (attn + 3 * d * F)
+    return V * d + layers + d * V
 
 
 def measure(bs: int, prompt: int):

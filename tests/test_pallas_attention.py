@@ -280,3 +280,82 @@ def test_decode_fused_fp8_pool_appends_encoded_bits():
     np.testing.assert_array_equal(
         np.asarray(new_pool), np.asarray(ref_pool)
     )
+
+
+@pytest.mark.parametrize("window,softcap", [(0, 0.0), (24, 0.0), (0, 5.0)])
+def test_prefill_grouped_kernel_matches_oracle(window, softcap):
+    """The KV-major GROUPED prefill kernel (r5, head_dim % 128 == 0: each
+    KV head's G query heads dot only their own lane slice — no expanded-q
+    dead lanes, no mask/fold matmuls) must match the oracle. D=128
+    triggers the grouped path; the tiny-model D=64 tests above keep
+    covering the expanded fallback."""
+    from chitu_tpu.ops.pallas_attention import _grouped_eligible
+
+    H, KV, D = 8, 4, 128
+    q, pool, bt, _ = _setup(B=1, H=H, KV=KV, D=D, P=24, mp=24)
+    assert _grouped_eligible(True, KV, D, H, None, 0)
+    T, start = 64, 16
+    total = start + T
+    q1 = jax.random.normal(jax.random.PRNGKey(9), (T, H, D)) * 0.5
+    q_pos = start + jnp.arange(T, dtype=jnp.int32)
+    want = xla_attn.attend_prefill(
+        q1, pool, jnp.int32(LAYER), bt[0], q_pos, jnp.int32(total), PAGE,
+        KV, D, split_kv=True, impl="xla", window=window, softcap=softcap,
+    )
+    got = pk.attend_prefill(
+        q1, pool, jnp.int32(LAYER), bt[0], q_pos, jnp.int32(total), PAGE,
+        KV, D, split_kv=True, interpret=_interp(), window=window,
+        softcap=softcap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_prefill_packed_grouped_matches_oracle():
+    """Packed-varlen GROUPED prefill (r5): ragged segments + dead blocks
+    through the KV-major kernel must match the packed oracle at D=128."""
+    H, KV, D = 8, 4, 128
+    C = pad_kv_minor(KV, D)
+    M = 2 * C
+    P, mp, R = 24, 8, 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    pool = jax.random.normal(ks[0], (3, P, PAGE, M), jnp.float32) * 0.3
+    bt = np.full((R, mp), -1, np.int32)
+    bt[0] = np.arange(0, mp)
+    bt[1] = np.arange(mp, 2 * mp)
+    Tq = 16
+    lens = [40, 24]  # padded to 48, 32 -> 5 blocks + 1 dead (T=96)
+    NB, T = 6, 96
+    seg_ids = np.full((T,), -1, np.int32)
+    pos = np.full((T,), -1, np.int32)
+    block_seg = np.full((NB,), -1, np.int32)
+    block_qstart = np.zeros((NB,), np.int32)
+    off = 0
+    for r, n in enumerate(lens):
+        npad = (n + Tq - 1) // Tq * Tq
+        seg_ids[off : off + n] = r
+        pos[off : off + n] = np.arange(n)
+        b0 = off // Tq
+        nb_r = npad // Tq
+        block_seg[b0 : b0 + nb_r] = r
+        block_qstart[b0 : b0 + nb_r] = np.arange(nb_r) * Tq
+        off += npad
+    q1 = jax.random.normal(ks[1], (T, H, D)) * 0.5
+    total_lens = jnp.asarray(lens, jnp.int32)
+    args = (
+        q1, pool, jnp.int32(LAYER), jnp.asarray(bt),
+    )
+    want = xla_attn._oracle_prefill_packed(
+        q1, pool, jnp.int32(LAYER), jnp.asarray(bt), jnp.asarray(seg_ids),
+        jnp.asarray(np.maximum(pos, 0)), total_lens, KV, D, True, None,
+    )
+    got = pk.attend_prefill_packed(
+        q1, pool, jnp.int32(LAYER), jnp.asarray(bt),
+        jnp.asarray(block_seg), jnp.asarray(block_qstart), total_lens,
+        PAGE, KV, D, split_kv=True, interpret=_interp(),
+    )
+    gm = np.asarray(got)
+    wm = np.asarray(want)
+    live = np.asarray(seg_ids) >= 0
+    np.testing.assert_allclose(gm[live], wm[live], atol=2e-2, rtol=2e-2)
