@@ -34,6 +34,11 @@ def one_request(url: str, prompt: str, max_tokens: int, stream: bool):
     ntok = 0
     if stream:
         with requests.post(url, json=body, stream=True, timeout=600) as r:
+            if r.status_code == 403:
+                # admission shed (serve.admission_max_wait_s): counted
+                # separately — a shed is the server choosing bounded TTFT
+                # for admitted traffic over unbounded queueing
+                return dict(shed=True, total=time.perf_counter() - t0)
             r.raise_for_status()
             # chunk_size=1: iter_lines buffers 512B by default, which hides
             # real first-token latency behind client-side read coalescing
@@ -53,6 +58,8 @@ def one_request(url: str, prompt: str, max_tokens: int, stream: bool):
                     ntok = chunk["usage"]["completion_tokens"]
     else:
         r = requests.post(url, json=body, timeout=600)
+        if r.status_code == 403:
+            return dict(shed=True, total=time.perf_counter() - t0)
         r.raise_for_status()
         data = r.json()
         ttft = time.perf_counter() - t0
@@ -149,6 +156,11 @@ def run_benchmark(
             results.append(f.result())
     wall = time.perf_counter() - t0
 
+    shed = [r for r in results if r.get("shed")]
+    results = [r for r in results if not r.get("shed")]
+    if not results:
+        return {"num_requests": num_requests, "shed": len(shed),
+                "error": "every request was shed"}
     out_tokens = sum(r["output_tokens"] for r in results)
     ttfts = sorted(r["ttft"] for r in results)
     totals = sorted(r["total"] for r in results)
@@ -174,6 +186,9 @@ def run_benchmark(
         "ttft_p99_s": round(pct(ttfts, 0.99), 4) if ttft_measured else None,
         "latency_p50_s": round(pct(totals, 0.5), 4),
         "latency_p99_s": round(pct(totals, 0.99), 4),
+        # admission sheds: percentiles above cover ADMITTED traffic only
+        "shed": len(shed),
+        "served": len(results),
     }
     return summary
 

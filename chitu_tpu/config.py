@@ -154,6 +154,12 @@ class ModelArgs:
 class ServeArgs:
     host: str = "0.0.0.0"
     port: int = 21002
+    # predicted-wait admission SLO (seconds, 0 = legacy 4x-max_reqs cap
+    # only): shed a request with 403 when queued / observed completion
+    # rate exceeds this — queueing past the knee only converts throughput
+    # into TTFT (VERDICT r4 next-6). Shed requests are cheap for clients
+    # to retry against a replica (/load_status exists for exactly that).
+    admission_max_wait_s: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -170,6 +176,11 @@ class InferArgs:
     max_seq_len: int = 2048
     # "paged" | "dense" | "nop"  (reference cache_type normal/paged/skew/nop)
     cache_type: str = "paged"
+    # fraction of the fully-provisioned paged pool to allocate (< 1.0
+    # means max_reqs full-length contexts can NOT all fit — the engine's
+    # KV-pressure preemption + prefix-cache eviction then actually fire;
+    # also how a big-model deployment fits weights + KV on one chip)
+    kv_pool_frac: float = 1.0
     # 256-token pages amortize DMA latency on TPU (measured 3x effective
     # bandwidth vs 64 at ctx 2048); the reference uses block 256 for
     # non-MLA models too (backend.py:234-237)

@@ -190,6 +190,13 @@ class Engine:
             num_pages = PagedKVCache.num_pages_for(
                 cfg.infer.max_reqs, cfg.infer.max_seq_len, page_size
             )
+            if cfg.infer.kv_pool_frac < 1.0:
+                # under-provisioned pool: preemption/eviction become the
+                # steady-state mechanism, not a corner case
+                num_pages = max(
+                    cfg.infer.max_seq_len // page_size + 1,
+                    int(num_pages * cfg.infer.kv_pool_frac),
+                )
         if page_size % 8:
             # the fused pallas decode's aligned read-modify-write tiles
             # pages in 8-row blocks; a non-multiple page (including 1-7,

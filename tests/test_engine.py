@@ -413,3 +413,57 @@ def test_degraded_path_reporting():
 
     piped = Engine(cfg_of(1, 2))
     assert not any("SEQUENTIAL" in d for d in piped.degraded), piped.degraded
+
+
+def test_kv_pool_frac_underprovisions_and_still_serves():
+    """infer.kv_pool_frac < 1 (VERDICT r4 next-7: serving at real memory
+    pressure): the pool holds fewer pages than the resident requests'
+    full contexts need, preemption fires mid-decode, and every request
+    still completes its budget."""
+    kw = {
+        "infer.stop_with_eos": False,
+        "infer.max_seq_len": 64,
+        "infer.page_size": 16,
+        "infer.max_reqs": 4,
+        "infer.decode_window": 4,
+    }
+    # 4 + 44 = 48 tokens = 3 pages/request at full growth, but admission
+    # reserves only 2 — residents outgrow the 6-page pool mid-decode
+    p = lambda: SampleParams(temperature=0.0, max_new_tokens=44)
+    prompts = [[300 + i, 301, 302, 303 + i] for i in range(4)]
+
+    base = Engine(tiny_cfg(**kw))
+    breqs = [base.submit("", p(), prompt_tokens=pr) for pr in prompts]
+    base.run_until_complete()
+    want = [list(r.async_stream.tokens) for r in breqs]
+
+    tight = Engine(tiny_cfg(**kw, **{"infer.kv_pool_frac": 0.3}))
+    assert tight.cache.allocator.num_free() <= 6
+    import logging
+
+    preempts = []
+
+    class Spy(logging.Handler):
+        def emit(self, record):
+            if "preempting" in record.getMessage():
+                preempts.append(1)
+
+    h = Spy()
+    logging.getLogger("chitu_tpu").addHandler(h)
+    try:
+        reqs = [tight.submit("", p(), prompt_tokens=pr) for pr in prompts]
+        tight.run_until_complete(max_steps=4000)
+    finally:
+        logging.getLogger("chitu_tpu").removeHandler(h)
+    got = [list(r.async_stream.tokens) for r in reqs]
+    assert all(len(g) == 44 for g in got), got
+    assert preempts, "under-provisioned pool never preempted"
+    # preempt-rebuild recomputes response-token KV through the PREFILL
+    # kernels; bf16 rounding there can flip a greedy near-tie after the
+    # resume point, so exact parity is not a contract — positional
+    # agreement far above chance is (a rebuild position bug drops it
+    # toward zero)
+    agree = sum(
+        a == b for g, w in zip(got, want) for a, b in zip(g, w)
+    ) / (44 * len(got))
+    assert agree >= 0.7, f"agreement {agree}: {got} != {want}"

@@ -224,3 +224,47 @@ def test_top_k_above_sampler_limit_clamps_not_errors(base_url):
     assert r.status_code == 200, r.text
     out = r.json()
     assert out["choices"][0]["message"]["content"] is not None
+
+
+def test_admission_slo_sheds_past_knee():
+    """serve.admission_max_wait_s (VERDICT r4 next-6): with the queue far
+    past the SLO's predicted wait, new requests shed with 403 instead of
+    queueing unboundedly; /status reports the shed count and the phase
+    timers used for the serving attribution."""
+    import concurrent.futures as futures
+
+    cfg = tiny_cfg(**{"infer.max_reqs": 2, "infer.stop_with_eos": False})
+    cfg = dataclasses.replace(
+        cfg,
+        serve=dataclasses.replace(
+            cfg.serve, port=0, admission_max_wait_s=0.05
+        ),
+    )
+    srv = BackgroundServer(cfg, warmup=False)
+    port = srv.start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        # one completed request seeds the completion-rate estimate
+        r0 = requests.post(
+            f"{url}/v1/chat/completions",
+            json={"messages": "warm", "max_tokens": 2},
+        )
+        assert r0.status_code == 200
+
+        def fire(i):
+            return requests.post(
+                f"{url}/v1/chat/completions",
+                json={"messages": f"flood {i}", "max_tokens": 48},
+            ).status_code
+
+        with futures.ThreadPoolExecutor(max_workers=24) as ex:
+            codes = list(ex.map(fire, range(24)))
+        assert 200 in codes, codes
+        assert 403 in codes, (
+            f"no request was shed past the 0.05s SLO: {codes}"
+        )
+        st = requests.get(f"{url}/status").json()
+        assert st["admission"]["shed"] >= 1
+        assert "prefill" in st["timers"] and "decode" in st["timers"]
+    finally:
+        srv.stop()
