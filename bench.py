@@ -202,6 +202,41 @@ def _measure_mla():
     return bf16, fp8
 
 
+def _measure_mid():
+    """Big-model point (VERDICT r4 next-7): deepseek-mid-bench — 6.2B
+    params, 12.4 GiB bf16 / ~6.5 GiB fp8 on the 16 GiB chip. Runs in
+    SUBPROCESSES: sequential engine boots in one process leak device
+    buffers across boots (closure refs defer frees to the cycle GC), and
+    at this weight size the leak OOMs the chip."""
+    import subprocess
+    import sys
+
+    if SMOKE:
+        return 0.0, 0.0
+    out = {}
+    env = dict(os.environ)
+    env["MLA_ABLATE_MODEL"] = "deepseek-mid-bench"
+    for tag, q in (("bf16", ""), ("fp8", "fp8")):
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "mla_ablate.py",
+                ),
+                "full", q, "16",
+            ],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        try:
+            out[tag] = json.loads(
+                p.stdout.strip().splitlines()[-1]
+            )["tok_per_s"]
+        except Exception:
+            out[tag] = 0.0
+    return out["bf16"], out["fp8"]
+
+
 def _mla_roofline(cfg_overrides=None, hbm_bw=510e9, fp8=False):
     """Analytic MLA decode roofline: bytes one step must stream (attn
     stacks + dense FFN + shared + LIVE routed experts + head) at the
@@ -338,6 +373,7 @@ def main():
     moe_bf16, moe_fp8 = _measure_moe()
     d3b_bf16, d3b_fp8 = _measure_3b()
     mla_bf16, mla_fp8 = _measure_mla()
+    mid_bf16, mid_fp8 = _measure_mid()
     mla_roof_bf16 = _mla_roofline()
     mla_roof_fp8 = _mla_roofline(fp8=True)
 
@@ -392,6 +428,13 @@ def main():
                         mla_bf16 / mla_roof_bf16, 4
                     ),
                     "mla_fp8_vs_envelope": round(mla_fp8 / mla_roof_fp8, 4),
+                    # big-model point: 6.2B / 12.4 GiB bf16 on the 16 GiB
+                    # chip (deepseek-mid-bench, 64 experts k=8, bs=16)
+                    "mid6b_bf16_tok_per_s": round(mid_bf16, 2),
+                    "mid6b_fp8_tok_per_s": round(mid_fp8, 2),
+                    "mid6b_fp8_vs_bf16": round(
+                        mid_fp8 / mid_bf16 if mid_bf16 else 0.0, 3
+                    ),
                 },
             }
         )
