@@ -324,9 +324,35 @@ class DeepSeekV3ForCausalLM:
         if isinstance(wkv_b, QTensor):
             # whole-stacked quantized leaf: slice + dequant
             wkv_b_d = wkv_b[layer].dequantize(x.dtype)
+        elif wkv_b.ndim == 3:
+            # whole stacked DENSE leaf (split_scan_leaves static_names):
+            # the pallas absorb kernel indexes [layer, :, head-slices]
+            # straight from HBM — pass it through un-materialized
+            wkv_b_d = wkv_b
         else:
             wkv_b_d = wkv_b.astype(x.dtype)  # already scan-sliced
         return q_nope, q_pe, c_kv, k_pe, wkv_b_d, g
+
+    def _absorb_static_names(self, stack_params, mesh, tp_axis):
+        """Keep wkv_b OUT of the scan when the pallas absorb kernel can
+        consume the whole stacked leaf (r5; see ops/pallas_absorb.py):
+        single chip, or inside the manual-('pp','tp') pipeline where the
+        local shard is a plain local array. GSPMD meshes keep the scan
+        slice (pallas_call cannot be auto-partitioned)."""
+        from chitu_tpu.ops.linear import get_op_impl
+        from chitu_tpu.ops.pallas_absorb import absorb_kernel_ok
+
+        m = self.mla
+        if not self.absorb or get_op_impl() != "pallas":
+            return frozenset()
+        if mesh is not None and not tp_axis:
+            return frozenset()
+        w = stack_params.get("wkv_b")
+        if w is None or not absorb_kernel_ok(
+            w, m.qk_nope_head_dim, m.v_head_dim, m.kv_lora_rank
+        ):
+            return frozenset()
+        return frozenset({"wkv_b"})
 
     def _mla(
         self, x, layers, kv_pool, layer, cos, sin, append, attend,
@@ -356,18 +382,36 @@ class DeepSeekV3ForCausalLM:
             x, layers, layer, cos, sin
         )
         k_pe = k_pe[:, 0]  # [T, dr]
-        # -1: under manual tp the wkv_b column shard holds H/tp heads,
-        # aligned with wq_b's local heads and wo's local rows
-        w_b = wkv_b_d.reshape(dc, -1, dn + dv)
-        w_uk = w_b[..., :dn]  # [512, H, 128]
-        w_uv = w_b[..., dn:]  # [512, H, 128]
-        # bf16 operands with f32 accumulation: an f32xf32 MXU matmul on
-        # this per-layer hot path costs several bf16 passes for the same
-        # accumulator precision
-        q_abs = jnp.einsum(
-            "thd,chd->thc", q_nope, w_uk,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # [T, H, 512]
+        # whole stacked leaf (r5): the pallas absorb kernel wins at
+        # decode-sized T (it exists to kill the per-layer slice copy and
+        # the VPU multiply-reduce lowering); at prefill slab sizes the
+        # einsum lowers to proper MXU dots and the slice copy amortizes
+        # over T, while the kernel's head-major transposes would not
+        absorb_kernel = wkv_b_d.ndim == 3 and T <= 128
+        if wkv_b_d.ndim == 3 and not absorb_kernel:
+            wkv_b_d = jax.lax.dynamic_index_in_dim(
+                wkv_b_d, layer, 0, keepdims=False
+            ).astype(x.dtype)
+        if absorb_kernel:
+            from chitu_tpu.ops.pallas_absorb import absorb_matmul
+
+            interp = jax.default_backend() != "tpu"
+            q_abs = absorb_matmul(
+                q_nope, wkv_b_d, layer, "uk", dn, dv, interpret=interp
+            ).astype(x.dtype)
+        else:
+            # -1: under manual tp the wkv_b column shard holds H/tp
+            # heads, aligned with wq_b's local heads and wo's local rows
+            w_b = wkv_b_d.reshape(dc, -1, dn + dv)
+            w_uk = w_b[..., :dn]  # [512, H, 128]
+            w_uv = w_b[..., dn:]  # [512, H, 128]
+            # bf16 operands with f32 accumulation: an f32xf32 MXU matmul
+            # on this per-layer hot path costs several bf16 passes for
+            # the same accumulator precision
+            q_abs = jnp.einsum(
+                "thd,chd->thc", q_nope, w_uk,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)  # [T, H, 512]
 
         # merged cache row: [c_kv || k_pe], one shared "kv head"
         new_kv = jnp.concatenate([c_kv, k_pe], axis=-1)[:, None, :]  # [T,1,576]
@@ -384,10 +428,17 @@ class DeepSeekV3ForCausalLM:
             o = attend(q_full, kv_pool, layer)  # [T, H, kv_minor]
         out_c = o[..., :dc]  # latent-weighted sum
 
-        v_out = jnp.einsum(
-            "thc,chd->thd", out_c, w_uv,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)  # [T, H(/tp), 128]
+        if absorb_kernel:
+            from chitu_tpu.ops.pallas_absorb import absorb_matmul
+
+            v_out = absorb_matmul(
+                out_c, wkv_b_d, layer, "uv", dn, dv, interpret=interp
+            ).astype(x.dtype)
+        else:
+            v_out = jnp.einsum(
+                "thc,chd->thd", out_c, w_uv,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)  # [T, H(/tp), 128]
         o = linear(v_out.reshape(T, -1), g("wo"), layer=layer)
         if tp_axis:
             # wo is row-parallel (in-dim = heads sharded over tp): local
@@ -494,7 +545,9 @@ class DeepSeekV3ForCausalLM:
         from chitu_tpu.models.llama import split_scan_leaves
 
         a = self.args
-        xs_leaves, static_leaves = split_scan_leaves(stack_params)
+        xs_leaves, static_leaves = split_scan_leaves(
+            stack_params, self._absorb_static_names(stack_params, mesh, tp_axis)
+        )
 
         def body(carry, xs):
             h, pool = carry

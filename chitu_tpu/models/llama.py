@@ -42,7 +42,7 @@ from chitu_tpu.ops.linear import linear
 
 
 
-def split_scan_leaves(layers):
+def split_scan_leaves(layers, static_names=frozenset()):
     """(xs_leaves, static_leaves): per-layer dense matrices ride the scan
     xs (XLA fuses the layer slice into their consumer dots); leaves whose
     consumer is a Pallas kernel stay out of the scan whole and are
@@ -53,7 +53,10 @@ def split_scan_leaves(layers):
     MoE GEMM): scan-slicing a bf16 [L, E, K, N] expert stack tripled its
     HBM traffic (slice read + slice write + kernel read) and was measured
     costing the bf16 MoE decode ~2.4x over fp8's whole-stack path at the
-    deepseek-mini-bench geometry (r4 ledger)."""
+    deepseek-mini-bench geometry (r4 ledger). `static_names` forces named
+    dense leaves static too (wkv_b feeding the pallas absorb kernel —
+    the scan slice alone was measured copying 8 MiB/layer/step at memory
+    rate, r5 ledger)."""
     from chitu_tpu.ops.qtensor import QTensor
 
     xs, static = {}, {}
@@ -61,6 +64,8 @@ def split_scan_leaves(layers):
         if isinstance(v, QTensor) and v.data.ndim >= 3:
             static[k] = v
         elif not isinstance(v, QTensor) and v.ndim == 4:
+            static[k] = v
+        elif k in static_names and not isinstance(v, QTensor):
             static[k] = v
         else:
             xs[k] = v

@@ -359,3 +359,84 @@ def test_prefill_packed_grouped_matches_oracle():
     wm = np.asarray(want)
     live = np.asarray(seg_ids) >= 0
     np.testing.assert_allclose(gm[live], wm[live], atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("kind", ["uk", "uv"])
+def test_absorb_matmul_matches_einsum(kind):
+    """Pallas MLA absorb projections (r5): per-head DMA slices of the
+    stacked wkv_b leaf + MXU dots must match the einsum oracle."""
+    from chitu_tpu.ops.pallas_absorb import absorb_kernel_ok, absorb_matmul
+
+    L, C, H, dn, dv, T = 3, 64, 4, 128, 128, 5
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    w = (
+        jax.random.normal(ks[0], (L, C, H * (dn + dv)), jnp.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    assert absorb_kernel_ok(w, dn, dv, C)
+    wb = w[LAYER].reshape(C, H, dn + dv)
+    if kind == "uk":
+        x = (
+            jax.random.normal(ks[1], (T, H, dn), jnp.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        want = jnp.einsum(
+            "thd,chd->thc", x, wb[..., :dn],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        x = (
+            jax.random.normal(ks[1], (T, H, C), jnp.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        want = jnp.einsum(
+            "thc,chd->thd", x, wb[..., dn:],
+            preferred_element_type=jnp.float32,
+        )
+    got = absorb_matmul(
+        x, w, jnp.int32(LAYER), kind, dn, dv, interpret=_interp()
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_mla_absorb_kernel_engine_parity():
+    """A flagship-dims (dn=dv=128) MLA engine with op_impl=pallas must
+    route wkv_b through the absorb kernel (whole leaf stays out of the
+    scan) and produce the same greedy tokens as the einsum path."""
+    import dataclasses as dc
+
+    from chitu_tpu.config import load_config
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.task import SampleParams
+
+    def cfg_of(impl):
+        return load_config(
+            overrides=[
+                "models=tiny-deepseek-debug",
+                "models.dim=256",
+                "models.mla.qk_nope_head_dim=128",
+                "models.mla.v_head_dim=128",
+                "models.mla.kv_lora_rank=128",
+                "models.mla.qk_rope_head_dim=64",
+                "models.n_heads=4",
+                "models.n_kv_heads=4",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=2",
+                "infer.page_size=16",
+                "infer.stop_with_eos=false",
+                f"infer.op_impl={impl}",
+            ]
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=4)
+    want = Engine(cfg_of("xla")).generate("absorb kernel parity", p)
+
+    eng = Engine(cfg_of("pallas"))
+    from chitu_tpu.ops.pallas_absorb import absorb_kernel_ok
+
+    w = eng.params["moe_layers"]["wkv_b"]
+    assert absorb_kernel_ok(w, 128, 128, 128)
+    assert eng.model._absorb_static_names(
+        eng.params["moe_layers"], None, ""
+    ) == frozenset({"wkv_b"})
+    got = eng.generate("absorb kernel parity", p)
+    assert got == want
