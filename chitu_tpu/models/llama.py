@@ -699,8 +699,36 @@ class LlamaForCausalLM:
                 layer_axis=self._ring_layer_axis(),
             )
 
+        # fused in-kernel append+attend (r5): the XLA page scatter was 9%
+        # of the 3B prefill step; the packed slab's structural alignment
+        # (q_start multiples of Tq, page % Tq == 0) lets the kernel RMW
+        # each block's rows into its one page before attending
+        fused = None
+        if attn_impl == "pallas" and mesh is None:
+            from chitu_tpu.ops import pallas_attention as pk
+
+            NB = block_seg.shape[0]
+            Tq = tokens.shape[0] // NB
+            if pk.prefill_packed_fused_ok(
+                True, self.args.n_kv_heads, self.head_dim,
+                self.args.n_heads, page_size, Tq,
+            ) and self.kv_groups == 1:
+                interp = jax.default_backend() != "tpu"
+
+                def fused(q, pool, layer, k, v):
+                    return pk.attend_prefill_packed_fused(
+                        q, pool, layer, k, v, block_tables, block_seg,
+                        block_qstart, total_lens, page_size,
+                        self.args.n_kv_heads, self.head_dim,
+                        split_kv=True, scale=self.attn_scale,
+                        interpret=interp,
+                        window=self.args.sliding_window,
+                        softcap=self.args.attn_softcap,
+                    )
+
         h, pool = self._run_layers(
-            params, cache["kv"], h, cos, sin, attend, append, mesh
+            params, cache["kv"], h, cos, sin, attend, append, mesh,
+            fused=fused,
         )
         h = rms_norm(h, params["norm"], self.args.norm_eps)
         last = jnp.take(h, last_idx, axis=0)  # [R, D]

@@ -440,3 +440,66 @@ def test_mla_absorb_kernel_engine_parity():
     ) == frozenset({"wkv_b"})
     got = eng.generate("absorb kernel parity", p)
     assert got == want
+
+
+def test_prefill_packed_fused_matches_separate():
+    """Fused in-kernel prefill append+attend (r5) == XLA append_prefill_
+    packed followed by the packed attend, pool bytes included."""
+    from chitu_tpu.ops.pallas_attention import (
+        attend_prefill_packed_fused,
+        prefill_packed_fused_ok,
+    )
+
+    H, KV, D = 8, 4, 128
+    C = pad_kv_minor(KV, D)
+    M = 2 * C
+    P, mp, R = 24, 8, 2
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    pool = jax.random.normal(ks[0], (3, P, PAGE, M), jnp.float32) * 0.3
+    bt = np.full((R, mp), -1, np.int32)
+    bt[0] = np.arange(0, mp)
+    bt[1] = np.arange(mp, 2 * mp)
+    Tq = PAGE  # page % Tq == 0
+    lens = [40, 24]  # padded to 48, 32 -> T=80, NB=5
+    NB, T = 5, 80
+    assert prefill_packed_fused_ok(True, KV, D, H, PAGE, Tq)
+    seg_ids = np.full((T,), -1, np.int32)
+    pos = np.full((T,), -1, np.int32)
+    block_seg = np.full((NB,), -1, np.int32)
+    block_qstart = np.zeros((NB,), np.int32)
+    off = 0
+    for r, n in enumerate(lens):
+        npad = (n + Tq - 1) // Tq * Tq
+        seg_ids[off : off + n] = r
+        pos[off : off + n] = np.arange(n)
+        b0 = off // Tq
+        nb_r = npad // Tq
+        block_seg[b0 : b0 + nb_r] = r
+        block_qstart[b0 : b0 + nb_r] = np.arange(nb_r) * Tq
+        off += npad
+    q1 = jax.random.normal(ks[1], (T, H, D)) * 0.5
+    k1 = jax.random.normal(ks[2], (T, KV, D)) * 0.5
+    v1 = jax.random.normal(ks[3], (T, KV, D)) * 0.5
+    total_lens = jnp.asarray(lens, jnp.int32)
+
+    pool_ref = xla_attn.append_prefill_packed(
+        pool, jnp.int32(LAYER), k1, v1, jnp.asarray(bt),
+        jnp.asarray(seg_ids), jnp.asarray(pos), PAGE,
+    )
+    want = pk.attend_prefill_packed(
+        q1, pool_ref, jnp.int32(LAYER), jnp.asarray(bt),
+        jnp.asarray(block_seg), jnp.asarray(block_qstart), total_lens,
+        PAGE, KV, D, split_kv=True, interpret=_interp(),
+    )
+    got, pool_got = attend_prefill_packed_fused(
+        q1, pool, jnp.int32(LAYER), k1, v1, jnp.asarray(bt),
+        jnp.asarray(block_seg), jnp.asarray(block_qstart), total_lens,
+        PAGE, KV, D, split_kv=True, interpret=_interp(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(pool_got), np.asarray(pool_ref), atol=2e-2, rtol=2e-2
+    )
+    live = np.asarray(seg_ids) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got)[live], np.asarray(want)[live], atol=2e-2, rtol=2e-2
+    )

@@ -826,3 +826,55 @@ def test_sequential_pp2_pallas_deepseek(monkeypatch):
     got = eng.generate("mla sequential pp", p)
     assert calls["n"] > 0, "pp2 MLA decode did not trace the pallas kernel"
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_mixtral_pp2_tp2_pipelined_manual(monkeypatch):
+    """Mixtral under pp2 x tp2 rides the manual-('pp','tp') pipeline:
+    expert stacks stay local per (stage, tp-shard) chunk on the grouped
+    kernel (capacity fallback never traces) and tokens match the
+    single-device engine."""
+    from chitu_tpu.config import load_config
+    from chitu_tpu.models import moe as moe_mod
+    from chitu_tpu.parallel import pipeline as pipe_mod
+
+    def cfg_of(tp, pp):
+        return load_config(
+            overrides=[
+                "models=tiny-mixtral-debug",
+                "infer.max_seq_len=128",
+                "infer.max_reqs=4",
+                "infer.page_size=16",
+                "infer.stop_with_eos=false",
+                f"infer.tp_size={tp}",
+                f"infer.pp_size={pp}",
+                "infer.merge_qkv_gate_up=off",
+            ]
+        )
+
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    base = Engine(cfg_of(1, 1))
+    prompts = ["mixtral manual tp pipeline", "second row"]
+    want = [base.generate(s, p) for s in prompts]
+
+    def boom(*a, **k):
+        raise AssertionError("capacity fallback traced (mixtral pp x tp)")
+
+    monkeypatch.setattr(moe_mod, "moe_ffn", boom)
+    eng = Engine(cfg_of(2, 2))
+    assert pipe_mod._tp_mode(eng.model, eng.mesh, eng.params) == "manual"
+    assert pipe_mod.supports_pipeline(eng.model, eng.mesh, eng.params)
+    calls = []
+    orig = pipe_mod.decode_pipelined
+    monkeypatch.setattr(
+        pipe_mod, "decode_pipelined",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    reqs = [eng.submit(s, p) for s in prompts]
+    eng.run_until_complete()
+    assert calls, "mixtral pp2 x tp2 did not pipeline"
+    got = [list(r.async_stream.tokens) for r in reqs]
+    flat_w = [t for w in want for t in w]
+    flat_g = [t for g in got for t in g]
+    agree = sum(a == b for a, b in zip(flat_w, flat_g))
+    assert agree >= 0.8 * len(flat_w), (want, got)
