@@ -134,15 +134,20 @@ class Engine:
             # reassignment, and without donation XLA copies EVERY leaf
             # (pass-through dense weights included), doubling peak device
             # memory during bring-up (ADVICE r2 medium)
+            tp_sz = self.mesh.shape.get("tp", 1) if self.mesh else 1
             self.params = jax.jit(
                 lambda p: merge_moe_gate_up(
-                    pack_int4_storage(requantize_fp8_storage(p))
+                    pack_int4_storage(requantize_fp8_storage(p)),
+                    tp=tp_sz,
                 ),
                 donate_argnums=0,
             )(self.params)
         else:
             # one grouped GEMM per MoE layer for gate+up
-            self.params = merge_moe_gate_up(self.params)
+            self.params = merge_moe_gate_up(
+                self.params,
+                tp=self.mesh.shape.get("tp", 1) if self.mesh else 1,
+            )
             if self.mesh is not None:
                 # match the TPU scale layout (rowwise, see
                 # requantize_fp8_storage) so manual-tp shard_map

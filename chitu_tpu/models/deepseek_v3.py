@@ -238,16 +238,20 @@ class DeepSeekV3ForCausalLM:
             out = {
                 "attn_norm": P("pp", None),
                 "ffn_norm": P("pp", None),
-                "wkv_a": P("pp", None, None),  # latent: replicated over tp
                 "kv_norm": P("pp", None),
                 "wkv_b": P("pp", None, "tp"),  # shard heads
                 "wo": P("pp", "tp", None),
             }
+            if "wkv_a" in p:  # absent when merged into wq_kv_a
+                out["wkv_a"] = P("pp", None, None)  # latent: tp-replicated
             if "wq_a" in p:
                 out["wq_a"] = P("pp", None, None)
+            if "wq_kv_a" in p:
+                out["wq_kv_a"] = P("pp", None, None)
+            if "wq_a" in p or "wq_kv_a" in p:
                 out["q_norm"] = P("pp", None)
                 out["wq_b"] = P("pp", None, "tp")
-            else:
+            if "wq" in p:
                 out["wq"] = P("pp", None, "tp")
             return out
 
@@ -262,6 +266,11 @@ class DeepSeekV3ForCausalLM:
         if "shared_gate" in params["moe_layers"]:
             moe_l["shared_gate"] = P("pp", None, "tp")
             moe_l["shared_up"] = P("pp", None, "tp")
+        if "shared_gu" in params["moe_layers"]:
+            # merged gate|up exists on tp==1 layouts only (the plain
+            # concat would shard-split at the wrong boundary)
+            moe_l["shared_gu"] = P("pp", None, None)
+        if "shared_down" in params["moe_layers"]:
             moe_l["shared_down"] = P("pp", "tp", None)
         # expert parallelism over 'tp'
         for name in ("exp_gate", "exp_up", "exp_gu", "exp_down"):
@@ -297,7 +306,21 @@ class DeepSeekV3ForCausalLM:
         dn, dc = m.qk_nope_head_dim, m.kv_lora_rank
         g = lambda name: _layer_leaf(layers, name, layer)
 
-        if m.q_lora_rank > 0:
+        if "wq_kv_a" in layers:
+            # merged lora down-projections (r5 bs=1 dispatch cut,
+            # quantize/transforms.merge_moe_gate_up): ONE GEMM yields
+            # [q_a | kv_a]; both halves replicate over tp so the global
+            # split is shard-local everywhere
+            qkv_a = linear(x, g("wq_kv_a"), layer=layer)
+            q = linear(
+                rms_norm(
+                    qkv_a[:, : m.q_lora_rank], g("q_norm"), a.norm_eps
+                ),
+                g("wq_b"),
+                layer=layer,
+            )
+            kv_a = qkv_a[:, m.q_lora_rank :]  # [T, dc + dr]
+        elif m.q_lora_rank > 0:
             q = linear(
                 rms_norm(
                     linear(x, g("wq_a"), layer=layer), g("q_norm"), a.norm_eps
@@ -305,8 +328,10 @@ class DeepSeekV3ForCausalLM:
                 g("wq_b"),
                 layer=layer,
             )
+            kv_a = linear(x, g("wkv_a"), layer=layer)  # [T, dc + dr]
         else:
             q = linear(x, g("wq"), layer=layer)
+            kv_a = linear(x, g("wkv_a"), layer=layer)  # [T, dc + dr]
         # head count from the projection width, not args: under a manual
         # 'tp' shard_map (pipelined pp x tp) wq_b is a LOCAL column shard
         # holding H/tp heads (parallel/pipeline.py)
@@ -314,7 +339,6 @@ class DeepSeekV3ForCausalLM:
         q_nope, q_pe = q[..., :dn], q[..., dn:]
         q_pe = apply_rope(q_pe, cos, sin, self.rotary_layout)
 
-        kv_a = linear(x, g("wkv_a"), layer=layer)  # [T, dc + dr]
         c_kv = rms_norm(kv_a[:, :dc], g("kv_norm"), a.norm_eps)
         k_pe = apply_rope(
             kv_a[:, None, dc:], cos, sin, self.rotary_layout
@@ -507,7 +531,17 @@ class DeepSeekV3ForCausalLM:
 
         g = lambda name: _layer_leaf(layers, name, layer)
         y = jnp.zeros_like(x)
-        if "shared_gate" in layers:
+        if "shared_gu" in layers:
+            # merged shared-expert gate|up (single-chip layouts only;
+            # quantize/transforms.merge_moe_gate_up r5)
+            gu = linear(x, g("shared_gu"), layer=layer)
+            Fs = gu.shape[-1] // 2
+            y = linear(
+                jax.nn.silu(gu[:, :Fs]) * gu[:, Fs:],
+                g("shared_down"),
+                layer=layer,
+            )
+        elif "shared_gate" in layers:
             # shared expert: column/row-parallel like the dense FFN, so
             # under manual tp its output is a PARTIAL sum folded into the
             # same psum as the routed combine below

@@ -805,8 +805,44 @@ class LlamaForCausalLM:
             )
             return jnp.concatenate([od, op], axis=0)
 
+        # fused in-kernel appends for BOTH phases (r5): decode rows and
+        # packed prefill rows write disjoint page sets (different
+        # requests; shared prefix pages are read-only), so each kernel
+        # RMWs its own rows — no XLA scatters in the hybrid step either
+        fused = None
+        if attn_impl == "pallas" and mesh is None and self.kv_groups == 1:
+            from chitu_tpu.ops import pallas_attention as pk
+
+            NB = pf_block_seg.shape[0]
+            Tq = pf_tokens.shape[0] // NB
+            if pk.prefill_packed_fused_ok(
+                True, a.n_kv_heads, self.head_dim, a.n_heads,
+                page_size, Tq,
+            ) and os.environ.get("CHITU_TPU_FUSED_DECODE", "1") != "0":
+                interp = jax.default_backend() != "tpu"
+
+                def fused(q, pool, layer, k, v):
+                    od, pool = pk.attend_decode_fused(
+                        q[:B], pool, layer, k[:B], v[:B],
+                        dec_block_tables, dec_seq_lens, dec_valid,
+                        page_size, a.n_kv_heads, self.head_dim,
+                        split_kv=True, scale=self.attn_scale,
+                        interpret=interp, window=a.sliding_window,
+                        softcap=a.attn_softcap,
+                    )
+                    op, pool = pk.attend_prefill_packed_fused(
+                        q[B:], pool, layer, k[B:], v[B:],
+                        pf_block_tables, pf_block_seg, pf_block_qstart,
+                        pf_total_lens, page_size, a.n_kv_heads,
+                        self.head_dim, split_kv=True,
+                        scale=self.attn_scale, interpret=interp,
+                        window=a.sliding_window, softcap=a.attn_softcap,
+                    )
+                    return jnp.concatenate([od, op], axis=0), pool
+
         h, pool = self._run_layers(
-            params, cache["kv"], h, cos, sin, attend, append, mesh
+            params, cache["kv"], h, cos, sin, attend, append, mesh,
+            fused=fused,
         )
         h = rms_norm(h, params["norm"], a.norm_eps)
         dec_logits = self._logits(params, h[:B])

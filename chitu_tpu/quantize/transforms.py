@@ -434,7 +434,7 @@ def quantize_params(
     return walk(params)
 
 
-def merge_moe_gate_up(params: Any) -> Any:
+def merge_moe_gate_up(params: Any, tp: int = 1) -> Any:
     """Concatenate MoE expert gate/up stacks into one [.., D, 2F] leaf so
     each MoE layer runs ONE grouped GEMM for gate+up (half the kernel
     dispatches and DMA chains; the reference's fused_moe w13 merge,
@@ -443,7 +443,7 @@ def merge_moe_gate_up(params: Any) -> Any:
     (rowwise/blockwise scales concat the same way). W4A16 expert stacks
     stay separate (tile-relative nibble packing is not concat-safe)."""
 
-    def mergeable(a, b):
+    def mergeable(a, b, ndim=4):
         # QUANTIZED stacks only: merging measurably helps fp8 (fewer
         # dispatches over half the bytes) but REGRESSED the dense bf16
         # grouped GEMM ~40% at the 16x3.7B bench geometry (wider-N chunks
@@ -454,7 +454,7 @@ def merge_moe_gate_up(params: Any) -> Any:
             a.kind == b.kind
             and a.kind in (QuantKind.SOFT_FP8, QuantKind.FP8,
                            QuantKind.W8A16, QuantKind.W8A8)
-            and a.data.ndim == 4
+            and a.data.ndim == ndim
             and a.in_perm is None and b.in_perm is None
             and a.oc_idx is None and b.oc_idx is None
             # blockwise scales concatenate on the block axis, which is
@@ -490,6 +490,24 @@ def merge_moe_gate_up(params: Any) -> Any:
                 tree[gate], tree[up]
             ):
                 tree[merged] = cat(tree.pop(gate), tree.pop(up))
+        # 3-D quantized per-layer merges (r5, DeepSeek bs=1 dispatch
+        # count): the shared expert's gate+up become one GEMM per layer,
+        # and the two lora down-projections (wq_a + wkv_a, both fed by
+        # the same attn_norm output) become one — ~26 fewer kernel
+        # dispatches per step at the flagship depth
+        # shared_gu is 'tp'-column-sharded: a plain [gate | up] concat
+        # would split across shards at the wrong boundary, so it merges
+        # on single-chip (tp == 1) layouts only — the bs=1 regime the
+        # dispatch count matters for. wq_kv_a replicates over tp, so it
+        # merges everywhere.
+        pairs = [("wq_a", "wkv_a", "wq_kv_a")]
+        if tp <= 1:
+            pairs.append(("shared_gate", "shared_up", "shared_gu"))
+        for a_key, b_key, merged in pairs:
+            if a_key in tree and b_key in tree and mergeable(
+                tree[a_key], tree[b_key], ndim=3
+            ):
+                tree[merged] = cat(tree.pop(a_key), tree.pop(b_key))
         return tree
 
     return walk(params)

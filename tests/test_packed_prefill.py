@@ -158,3 +158,58 @@ def test_deepseek_packed_prefill_matches_sequential():
         )
         assert rel < 1e-4, (r, rel)
         assert lg[r].argmax() == seq_logits[r].argmax()
+
+
+def test_hybrid_fused_append_matches_scatter(monkeypatch):
+    """The hybrid step's fused in-kernel appends (r5) must produce the
+    same tokens as the XLA-scatter hybrid on the same pallas kernels."""
+    import dataclasses as dc
+
+    from chitu_tpu.config import load_config
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.ops import pallas_attention as pk
+    from chitu_tpu.task import SampleParams
+
+    def cfg_of():
+        cfg = load_config(
+            overrides=[
+                "models=tiny-llama-debug",
+                "infer.max_seq_len=256",
+                "infer.max_reqs=4",
+                "infer.page_size=64",
+                "infer.stop_with_eos=false",
+                "infer.attn_type=pallas",
+                "infer.merge_qkv_gate_up=off",
+            ]
+        )
+        m = dc.replace(
+            cfg.models, n_layers=2, dim=512, n_heads=4, n_kv_heads=2,
+            head_dim=128, inter_dim=256, vocab_size=512,
+        )
+        return dc.replace(cfg, models=m)
+
+    def run(fused_on):
+        if not fused_on:
+            monkeypatch.setattr(
+                pk, "prefill_packed_fused_ok", lambda *a, **k: False
+            )
+        eng = Engine(cfg_of())
+        keeper = eng.submit(
+            "keeper runs long", SampleParams(temperature=0.0, max_new_tokens=24)
+        )
+        eng.step()  # prefill the keeper
+        eng.step()  # it decodes now
+        burst = [
+            eng.submit(f"hybrid row {i}", SampleParams(temperature=0.0, max_new_tokens=6))
+            for i in range(3)
+        ]
+        eng.run_until_complete()
+        if not fused_on:
+            monkeypatch.undo()
+        return [list(keeper.async_stream.tokens)] + [
+            list(r.async_stream.tokens) for r in burst
+        ]
+
+    want = run(False)
+    got = run(True)
+    assert got == want, (got, want)
