@@ -302,6 +302,10 @@ class QuantArgs:
     # "e4m3" rounds activations through the true fp8 grid with blockwise
     # dynamic scales (reference act_quant semantics, chitu/ops.py:329-353)
     fp8_act: str = "int8"
+    # ALSO quantize lm_head (the reference never does; opt-in r5): at
+    # bs=1 the bf16 head is ~9% of step bytes on the MLA geometry.
+    # Skipped for tied embeddings (the lookup needs the dense table).
+    quantize_head: bool = False
 
 
 @dataclass(frozen=True)

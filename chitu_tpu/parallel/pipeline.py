@@ -212,6 +212,11 @@ def supports_pipeline(model, mesh, params=None) -> bool:
             # prefill laid out grouped (pack_kv) — mixed layouts corrupt
             # reads; sequential GSPMD handles this layout instead
             return False
+        if mode == "auto" and getattr(model.args, "moe", None) is not None:
+            # MoE under GSPMD-auto tp inside the pipeline would hand the
+            # grouped Pallas kernel tp-sharded expert stacks it cannot
+            # partition; the sequential path's EP shard_map handles them
+            return False
         return model.args.n_layers % pp == 0
     return False
 
@@ -357,10 +362,9 @@ def decode_pipelined(
             return psum_f32(jnp.where(ok[:, None], e, 0), "tp")
 
         def full_logits(hn):
-            lg = jnp.dot(
-                hn, head_r.astype(hn.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.float32)
+            from chitu_tpu.ops.linear import linear
+
+            lg = linear(hn, head_r, out_dtype=jnp.float32)
             if vp_head:
                 # column-parallel head: gather the vocab shards
                 lg = jax.lax.all_gather(lg, "tp", axis=1, tiled=True)

@@ -385,6 +385,19 @@ def quantize_params(
     if keys is None:
         keys = getattr(model, "quantizable_keys", lambda: None)()
 
+    if (
+        getattr(quant_args, "quantize_head", False)
+        and isinstance(params, dict)
+        and isinstance(params.get("lm_head"), jnp.ndarray)
+        and method not in _OUTLIER_METHODS
+    ):
+        # opt-in head quantization (quant.quantize_head): untied heads
+        # only — consumers go through ops.linear, which dispatches the
+        # QTensor to the fused dequant GEMM
+        params["lm_head"] = _quantize_weight_jit(
+            params["lm_head"], kind, block
+        )
+
     def walk(tree, path=()):
         if isinstance(tree, dict):
             # destructive walk: drop each original leaf as soon as it is

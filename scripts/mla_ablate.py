@@ -83,6 +83,9 @@ def measure(variant: str, quant: bool, bs: int) -> float:
     ]
     if quant:
         over += ["quant.method=soft_fp8", "quant.quant_on_load=true"]
+    extra = os.environ.get("MLA_ABLATE_EXTRA", "")
+    if extra:
+        over += [o for o in extra.split(",") if o]
     eng = Engine(load_config(overrides=over))
     rng = np.random.default_rng(0)
 

@@ -357,3 +357,45 @@ def test_fp8_e4m3_acts_reach_moe_gemms(monkeypatch):
     finally:
         set_fp8_act(prev)
     assert calls["n"] >= 2  # entry acts + mid-FFN acts
+
+
+def test_quantize_head_option():
+    """quant.quantize_head (r5, opt-in): lm_head becomes a QTensor, the
+    engine still serves, and logits stay close to the dense-head engine
+    (the quantization error itself, not a wiring bug)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from chitu_tpu.engine import Engine
+    from chitu_tpu.ops.qtensor import QTensor
+    from chitu_tpu.task import SampleParams
+
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_cfg
+
+    base_cfg = tiny_cfg(**{"infer.stop_with_eos": False})
+    base_cfg = dc.replace(
+        base_cfg,
+        quant=dc.replace(
+            base_cfg.quant, method="soft_fp8", quant_on_load=True
+        ),
+    )
+    dense_head = Engine(base_cfg)
+    want = dense_head.generate(
+        "head quant check", SampleParams(temperature=0.0, max_new_tokens=6)
+    )
+
+    qcfg = dc.replace(
+        base_cfg,
+        quant=dc.replace(base_cfg.quant, quantize_head=True),
+    )
+    eng = Engine(qcfg)
+    assert isinstance(eng.params["lm_head"], QTensor)
+    got = eng.generate(
+        "head quant check", SampleParams(temperature=0.0, max_new_tokens=6)
+    )
+    assert len(got) == 6
+    agree = sum(a == b for a, b in zip(got, want)) / 6
+    assert agree >= 0.5, (got, want)
