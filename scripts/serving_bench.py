@@ -59,8 +59,13 @@ def main():
                 sys.executable, bench,
                 "--port", str(port), "--num-requests", "64",
                 "--concurrency", "16", "--max-tokens", "64", "--stream",
+                # the client 12x-multiplies the prompt into its word
+                # pool (build_workload) and takes half: keep the seed
+                # phrase short so uniform prompts stay ~110 tokens
+                # (a 4x-repeated phrase overflowed max_seq_len=512 and
+                # every request 400'd — r5 fix)
                 "--prompt",
-                "Write a short story about a lighthouse keeper. " * 4,
+                "Write a short story about a lighthouse keeper.",
             ],
             capture_output=True, text=True, timeout=900, env=env,
         )
