@@ -878,3 +878,37 @@ def test_mixtral_pp2_tp2_pipelined_manual(monkeypatch):
     flat_g = [t for g in got for t in g]
     agree = sum(a == b for a, b in zip(flat_w, flat_g))
     assert agree >= 0.8 * len(flat_w), (want, got)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_pipelined_decode_quantized_head(monkeypatch):
+    """quant.quantize_head under pp>1: the pipelined last stage's head
+    projection goes through ops.linear (a raw dot would choke on the
+    QTensor head) and every request completes."""
+    import dataclasses as dc
+
+    from chitu_tpu.ops.qtensor import QTensor
+    from chitu_tpu.parallel import pipeline as pipe_mod
+
+    cfg = _tp_friendly_cfg()
+    cfg = dc.replace(
+        cfg,
+        infer=dc.replace(cfg.infer, pp_size=2),
+        quant=dc.replace(
+            cfg.quant, method="soft_fp8", quant_on_load=True,
+            quantize_head=True,
+        ),
+    )
+    eng = Engine(cfg)
+    assert isinstance(eng.params["lm_head"], QTensor)
+    calls = []
+    orig = pipe_mod.decode_pipelined
+    monkeypatch.setattr(
+        pipe_mod, "decode_pipelined",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    p = SampleParams(temperature=0.0, max_new_tokens=5)
+    reqs = [eng.submit(f"qhead pipeline {i}", p) for i in range(3)]
+    eng.run_until_complete()
+    assert calls, "did not take the pipelined path"
+    assert all(len(r.async_stream.tokens) == 5 for r in reqs)
